@@ -1,0 +1,51 @@
+"""Cross-engine determinism helpers (SURVEY.md §2.1 contract).
+
+Rules encoded here:
+  1. every double-valued output column is rounded to 6 places on BOTH engines;
+  2. integer aggregates are cast to BIGINT on the oracle side (DuckDB SUM(int)
+     returns HUGEINT, which would be a schema mismatch);
+  3. computed columns carry identical aliases on both sides;
+  4. top-k queries impose a total order (unique-key tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def revenue() -> Column:
+    """`l_extendedprice * (1 - l_discount)` — the contract's revenue
+    expression (SURVEY.md §2.9). A function because PySpark 4 column
+    construction needs an active session."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def r6(col: Column | str) -> Column:
+    """Round a double column to 6 places — the cross-engine FP contract for
+    bounded-magnitude values (avgs, ratios, stddevs, per-row values).
+
+    NOT safe for large aggregates: FP addition order differs across engines,
+    and at magnitude ~1e8 the observed cross-engine noise (~2e-6, tens of
+    ULPs) survives 6-decimal rounding. Measured live: a 3-way-join revenue sum
+    came out 600819450.466602 (Spark) vs 600819450.4666 (DuckDB). Use r0/rmil
+    for those.
+    """
+    return F.round(F.col(col) if isinstance(col, str) else col, 6)
+
+
+def r0(col: Column | str) -> Column:
+    """Round to integer — for large sums (money totals over joins, sample
+    variances, magnitudes up to ~1e11). Noise ~1e-5 vs grid 1.0 → boundary
+    flip probability ~1e-5 per value."""
+    return F.round(F.col(col) if isinstance(col, str) else col, 0)
+
+
+def rmil(col: Column | str) -> Column:
+    """Scale into millions and round to 3 places — for Σx² -scale aggregates
+    that can reach 1e12–1e15, where the double's own ULP (0.125 at 1e15)
+    exceeds any fixed decimal grid. Grid = 500 absolute, noise = a few ULPs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c / 1000000.0, 3)

@@ -1,0 +1,257 @@
+"""Aggregation surface (SURVEY.md §2.3).
+
+This is the heart of the reference's capability: every reference algorithm is
+"scan → per-record transform → keyed partial aggregation → global aggregation"
+(mrjob in-mapper combining, SURVEY.md §4). In Spark each ``groupBy().agg()``
+compiles to a partial ``HashAggregateExec`` before the Exchange and a final one
+after — map-side combine for free, shuffling only one row per (partition, key)
+rather than the data. At 100 TB that is the difference between shuffling
+kilobytes of sufficient statistics and shuffling the table.
+
+Scale notes per query are inline; nothing here uses Python UDFs — all
+whole-stage-codegen JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import REVENUE_SQL, r0, r6, revenue, rmil
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 6) AS sum_x,
+           ROUND(SUM(l_extendedprice), 0) AS sum_y,
+           ROUND(SUM(l_quantity * l_quantity), 6) AS sum_xx,
+           ROUND(SUM(l_quantity * l_extendedprice), 0) AS sum_xy,
+           ROUND(SUM(l_extendedprice * l_extendedprice) / 1000000.0, 3) AS sum_yy_mil
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf_dir):
+    """Global sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy) — the exact
+    summation-form kernel of the reference's normal-equation linear regression
+    (Chu et al. NIPS'06). One pass, partial+final agg, zero shuffle of data
+    rows: each of 32 (or 100k) partitions emits one 6-number row."""
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum(x)).alias("sum_x"),
+        r0(F.sum(y)).alias("sum_y"),
+        r6(F.sum(x * x)).alias("sum_xx"),
+        r0(F.sum(x * y)).alias("sum_xy"),
+        rmil(F.sum(y * y)).alias("sum_yy_mil"),
+    )
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 0) AS sum_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark, sf_dir):
+    """FLAGSHIP: TPC-H-Q1-style pricing summary. Filter reaches the parquet
+    scan (pushed `l_shipdate <=` predicate); 6 groups → the shuffle moves six
+    rows per partition."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r0(F.sum("l_extendedprice")).alias("sum_price"),
+            r0(F.sum(revenue())).alias("sum_disc_price"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — Catalyst plans the two-phase expand+agg rewrite; at
+    scale prefer approx_count_distinct (q_agg_approx) when exactness isn't
+    required, since exact distinct shuffles every distinct (type, user) pair."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+    SELECT c_mktsegment, ROUND(SUM({REVENUE_SQL}), 0) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment
+    HAVING SUM({REVENUE_SQL}) > 600000000.0
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    """HAVING = filter over the aggregated frame. The customer join is
+    broadcast (customer is the small dim vs lineitem fact)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum(revenue()).alias("_rev"))
+        .filter(F.col("_rev") > 600000000.0)
+        .select("c_mktsegment", r0(F.col("_rev")).alias("revenue"))
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           ROUND(VAR_SAMP(o_totalprice), 0) AS var_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 6) AS std_price,
+           ROUND(MIN(o_totalprice), 6) AS min_price,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Per-class moment kernel — the same one-pass class statistics the
+    reference's naive-Bayes/GDA jobs compute (SURVEY.md §2.6 reuses it)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            r6(F.avg("o_totalprice")).alias("avg_price"),
+            r0(F.var_samp("o_totalprice")).alias("var_price"),
+            r6(F.stddev_samp("o_totalprice")).alias("std_price"),
+            r6(F.min("o_totalprice")).alias("min_price"),
+            r6(F.max("o_totalprice")).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, '(all)') AS region_name,
+           COALESCE(n_name, '(all)') AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS customers
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP over the region→nation dimension path. Dimension joins are
+    broadcast (region=5, nation=25 rows — trivially under the 10 MB broadcast
+    threshold even at 100 TB fact scale). Data has no NULL dim values, so
+    COALESCE sentinels disambiguate subtotal rows deterministically."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "customers",
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(r6(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+    SELECT COALESCE(p_type, '(all)') AS type_name,
+           COALESCE(p_brand, '(all)') AS brand_name,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(p_retailprice), 6) AS avg_price
+    FROM part
+    GROUP BY GROUPING SETS ((p_type), (p_brand), ())
+    """,
+)
+def q_agg_gsets(spark, sf_dir):
+    """GROUPING SETS via spark.sql — Catalyst expands to a single Expand +
+    aggregate (one scan feeding all three groupings, not three scans)."""
+    T(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT COALESCE(p_type, '(all)') AS type_name,
+               COALESCE(p_brand, '(all)') AS brand_name,
+               COUNT(*) AS cnt,
+               ROUND(AVG(p_retailprice), 6) AS avg_price
+        FROM part
+        GROUP BY GROUPING SETS ((p_type), (p_brand), ())
+        """
+    )
+
+
+@query("q_agg_approx")  # rows-only: HLL++ sketch differs from DuckDB's
+def q_agg_approx(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++). The 100 TB answer to
+    q_agg_distinct: fixed-size sketch per group, mergeable, no expand. Sketches
+    are engine-specific so this is a rows-only check (SURVEY.md §2.3)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )

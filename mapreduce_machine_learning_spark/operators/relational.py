@@ -1,1 +1,412 @@
-"""Placeholder — populated by later milestone (SURVEY.md §7)."""
+"""Relational core (SURVEY.md §2.2): scans, filters, and all join shapes.
+
+Scale notes, applied throughout:
+- Scans stay declarative so Catalyst pushes predicates and prunes columns into
+  the parquet reader (`PushedFilters`/`ReadSchema` — asserted in
+  tests/test_plans.py). At 100 TB the scan is the dominant cost; a filter that
+  doesn't reach the reader re-reads the lake.
+- Dimension joins (region/nation/part/customer-vs-fact) take an explicit
+  `broadcast()` hint where we *know* the dim side stays small at production
+  scale; fact-fact joins are left to Catalyst (sort-merge + AQE skew split).
+- The range/as-of joins document their 100 TB strategy inline: time-bucket
+  binning turns the theta join into an equi-join (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import REVENUE_SQL, r0, r6, revenue
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_scan_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def q_scan_stats(spark, sf_dir):
+    """Footer-level scan stats. Catalyst can answer COUNT/MIN/MAX of a parquet
+    table from metadata when aggregate pushdown is on; either way no shuffle of
+    data rows — one row per partition."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def q_scan_project(spark, sf_dir):
+    """Projection + pushed filter, raw rows out. The plan must show
+    PushedFilters=[LessThan(l_orderkey,100)] and ReadSchema with exactly three
+    columns — the 100 TB version reads 3/11 of the column data and only
+    row-groups whose zone map admits l_orderkey<100."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .filter(F.col("l_orderkey") < 100)
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM({REVENUE_SQL}), 0) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'R')
+      AND NOT l_linestatus = 'O'
+    """,
+)
+def q_filter_pred(spark, sf_dir):
+    """Compound predicate: AND/NOT composition, BETWEEN, IN-list — all pushed
+    to the scan as native parquet filters."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+            & F.col("l_returnflag").isin("A", "R")
+            & ~(F.col("l_linestatus") == "O")
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r0(F.sum(revenue())).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_filter_like",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    WHERE p_name LIKE '%ar%'
+    GROUP BY p_brand
+    """,
+)
+def q_filter_like(spark, sf_dir):
+    """LIKE '%..%' — contains() pushed as a StringContains parquet filter."""
+    return (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ar%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    """Plain inner equi-join, strategy left to Catalyst: with stats it picks
+    broadcast-hash here (customer is small); at 100 TB fact-fact scale AQE
+    falls back to sort-merge with skew splitting."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.avg("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand, ROUND(SUM({REVENUE_SQL}), 0) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Fact ⋈ dim with an explicit broadcast hint: part stays MBs at any fact
+    scale, so the join is shuffle-free — each lineitem partition probes a
+    replicated hash map, and only 25 brand rows reach the agg exchange."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(r0(F.sum(revenue())).alias("revenue"))
+    )
+
+
+@query(
+    "q_join_multi",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority, ROUND(SUM({REVENUE_SQL}), 0) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY revenue DESC, c_mktsegment, o_orderpriority
+    LIMIT 10
+    """,
+)
+def q_join_multi(spark, sf_dir):
+    """3-way join → agg → deterministic top-10 (revenue DESC, then the full
+    group key as tie-break — §2.1 rule 4). orderBy().limit() compiles to
+    TakeOrderedAndProject: per-partition top-10 then a single-driver merge,
+    never a global sort."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(r0(F.sum(revenue())).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_mktsegment", "o_orderpriority")
+        .limit(10)
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT order_count, CAST(COUNT(*) AS BIGINT) AS num_customers
+    FROM per_cust
+    GROUP BY order_count
+    """,
+)
+def q_join_left(spark, sf_dir):
+    """LEFT JOIN with null-skipping count(o_orderkey): customers without
+    orders survive with count 0; second agg folds to a histogram."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_right(spark, sf_dir):
+    """RIGHT JOIN: every nation appears, nations without suppliers count 0."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("suppliers"))
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH l AS (SELECT DISTINCT o_custkey FROM orders),
+         r AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT CASE WHEN o_custkey IS NULL THEN 'right_only'
+                WHEN c_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM l FULL OUTER JOIN r ON o_custkey = c_custkey
+    GROUP BY bucket
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """FULL OUTER of two key sets, bucketed into left-only/right-only/both."""
+    o = T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    r = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return (
+        o.join(r, o.o_custkey == r.c_custkey, "full")
+        .select(
+            F.when(F.col("o_custkey").isNull(), "right_only")
+            .when(F.col("c_custkey").isNull(), "left_only")
+            .otherwise("both")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """LEFT SEMI — existence probe that never duplicates the left side and
+    never materializes right columns (the 100 TB-friendly way to write
+    'has at least one order')."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """LEFT ANTI: customers with no order above 300k. (Every customer in the
+    testdata has ≥1 order, so the bare 'no orders' anti-join of SURVEY §2.2
+    would be vacuously empty; the price predicate keeps the same operator
+    shape with a non-degenerate result.)"""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    """Explicit cartesian of two tiny sets (5 × 3). Cross joins are only ever
+    sane when one side is provably small — here both are."""
+    r = T(spark, sf_dir, "region").select("r_name")
+    st = T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st)
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e1.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    GROUP BY e1.user_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Interval self-join: event pairs of the same user within 5 minutes.
+    Executes as an equi-join on user_id with the time predicate as a
+    post-join filter — per-user groups are small here. 100 TB strategy
+    (SURVEY.md §4): bin ts into 5-minute buckets and equi-join on
+    (user, bucket)∪(user, bucket+1) before filtering, turning the O(n²)
+    theta-join into a bounded equi-join; AQE splits residual hot users."""
+    e1 = T(spark, sf_dir, "events").alias("e1")
+    e2 = T(spark, sf_dir, "events").alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH enriched AS (
+        SELECT event_type, ts,
+               MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_signup_ts
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(last_signup_ts) AS BIGINT) AS matched,
+           ROUND(AVG(date_diff('microsecond', last_signup_ts, ts) / 1000000.0), 6)
+               AS avg_gap_s
+    FROM enriched
+    GROUP BY event_type
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: latest signup of the same user at-or-before each event.
+    Spark has no native ASOF, so it's expressed as a running MAX over a
+    conditional column — a RANGE frame so same-timestamp peers are included
+    on both engines (identical `s.ts <= e.ts` semantics, no tie-break
+    needed). One window pass over a single shuffle by user_id; at 100 TB
+    this beats the join formulation (no row multiplication) and partitions
+    by the session key."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_signup_ts"))
+    ) / 1000000.0
+    return (
+        ev.withColumn("last_signup_ts", last_signup)
+        .groupBy("event_type")
+        .agg(
+            F.count("last_signup_ts").alias("matched"),
+            r6(F.avg(gap_s)).alias("avg_gap_s"),
+        )
+    )

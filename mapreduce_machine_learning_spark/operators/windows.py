@@ -1,1 +1,297 @@
-"""Placeholder — populated by later milestone (SURVEY.md §7)."""
+"""Window-function surface (SURVEY.md §2.4): ranking, lag/lead, running and
+moving frames, RANGE frames, ntile, first/last, top-k.
+
+Every window here orders on a deterministic total order (unique-key
+tie-breaks, §2.1 rule 4). Scale notes: a window partitioned by a key is one
+shuffle on that key and then a per-partition sort — the partition key choice
+IS the partitioning strategy (user_id/custkey give millions of small groups,
+which scale linearly). The two global windows (ntile, topk_global) note their
+100 TB strategy inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_rank(spark, sf_dir):
+    """Top-3 orders per customer with all three ranking flavors. One shuffle
+    on custkey; the rn<=3 filter is applied before any further stage, so only
+    3 rows per customer move on."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_lag",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(COUNT(gap_s) AS BIGINT) AS gaps,
+           ROUND(AVG(gap_s), 6) AS avg_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def q_win_lag(spark, sf_dir):
+    """lag(): per-user inter-event gaps; the first event of each user has a
+    NULL gap (counted via the events-vs-gaps difference)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1000000.0
+    return (
+        T(spark, sf_dir, "events")
+        .select("user_id", gap_s.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.count("gap_s").alias("gaps"),
+            r6(F.avg("gap_s")).alias("avg_gap_s"),
+        )
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_total
+    FROM orders
+    """,
+)
+def q_win_running(spark, sf_dir):
+    """Running total per customer. The ORDER BY fixes the FP addition order
+    identically on both engines, so the sums are bit-reproducible and r6 is
+    safe even though magnitudes reach 1e6."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        r6(F.sum("o_totalprice").over(w)).alias("run_total"),
+    )
+
+
+@query(
+    "q_win_moving",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+    FROM events
+    """,
+)
+def q_win_moving(spark, sf_dir):
+    """3-row moving average of event value per user (ROWS 2 PRECEDING)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        r6(F.avg("value").over(w)).alias("mavg"),
+    )
+
+
+@query(
+    "q_win_range",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice
+               RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby
+    FROM orders
+    """,
+)
+def q_win_range(spark, sf_dir):
+    """RANGE frame keyed on a value offset: orders within 100.0 of the
+    current price (peers included — identical semantics both engines).
+    Expressed via SQL window syntax: the PySpark ``rangeBetween`` Python API
+    only accepts long offsets, while the SQL form supports value-typed
+    frame bounds."""
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+            "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)"
+        ).alias("nearby"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    WITH q AS (
+        SELECT c_acctbal,
+               CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+                   AS quartile
+        FROM customer
+    )
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM q GROUP BY quartile
+    """,
+)
+def q_win_ntile(spark, sf_dir):
+    """ntile(4) — an unpartitioned window, i.e. a single-partition global
+    sort. Fine for a dimension table; for a 100 TB fact you'd switch to
+    approxQuantile/percentile_approx cut-points + a broadcast bucketizer
+    instead of forcing one sorted partition."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        T(spark, sf_dir, "customer")
+        .select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.avg("c_acctbal")).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "q_win_firstlast",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER w AS last_key
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_firstlast(spark, sf_dir):
+    """first/last over the full-partition frame (explicit UNBOUNDED BOTH —
+    the default frame would make last_value degenerate to current row)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_win_pctrank",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def q_win_pctrank(spark, sf_dir):
+    """percent_rank / cume_dist within order status. Ties on o_totalprice get
+    identical ranks on both engines, so no tie-break column is needed."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        r6(F.percent_rank().over(w)).alias("pr"),
+        r6(F.cume_dist().over(w)).alias("cd"),
+    )
+
+
+@query(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk_global(spark, sf_dir):
+    """Global top-10: orderBy().limit() compiles to TakeOrderedAndProject —
+    per-partition heaps of size k merged on the driver, never a full sort.
+    This is already the two-stage top-k you'd hand-write at 100 TB."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_topk_pergroup",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_pergroup(spark, sf_dir):
+    """Top-3 per market segment via rank-filter — the distributed per-group
+    top-k idiom (window + filter), one shuffle on the group key."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,1 +1,433 @@
-"""Placeholder — populated by later milestone (SURVEY.md §7)."""
+"""LLM-training-data pipeline operators (SURVEY.md §2.8): dedup (exact +
+MinHash/LSH + near-dup Jaccard), similarity search, TF-IDF, text statistics,
+and the multimodal text×vector join.
+
+Design for cross-engine determinism: the MinHash family is built from
+``md5(seed || '|' || token)`` — both engines produce identical md5 hex, so
+signatures, band keys, and candidate sets agree exactly (no engine-internal
+hash functions anywhere).
+
+Scale design: MinHash-LSH is the 100 TB dedup path — signatures are one
+explode+groupBy (shuffle keyed on doc_id), banding is a groupBy on the band
+key, and only candidate *buckets* ever join, never all pairs. The brute-force
+cosine queries are the exact baselines; the blocked/banded variants are the
+scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SEEDS = [f"s{i:02d}" for i in range(N_HASHES)]
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS survivors,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS duplicates
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_llm_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: per-language survivor/duplicate counts
+    (survivor = one doc per distinct md5(text)). At 100 TB this is a single
+    hash-shuffle on a 16-byte key instead of full text — the standard first
+    pass of every training-data pipeline."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct(F.md5("text")).alias("survivors"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("duplicates"),
+    )
+
+
+def _doc_tokens(spark, sf_dir):
+    """Distinct (doc_id, token) pairs — the shingle set for MinHash."""
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+
+
+def _signatures(spark, sf_dir):
+    """doc_id → 16 MinHash signatures: sig_i = MIN(md5('sNN|' || token))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s + "|"), F.col("token")))).alias(f"sig{i}")
+        for i, s in enumerate(SEEDS)
+    ]
+    return _doc_tokens(spark, sf_dir).groupBy("doc_id").agg(*aggs)
+
+
+def _bands(spark, sf_dir):
+    """(doc_id, band_id, band_key): band key = md5 of its 4 concatenated
+    signature rows."""
+    sigs = _signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+_SIG_SQL = ",\n               ".join(
+    f"MIN(md5('{s}|' || token)) AS sig{i}" for i, s in enumerate(SEEDS)
+)
+_BAND_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band_id, "
+    f"md5(sig{b * 4} || sig{b * 4 + 1} || sig{b * 4 + 2} || sig{b * 4 + 3}) "
+    f"AS band_key FROM sigs"
+    for b in range(N_BANDS)
+)
+_BANDS_CTE = f"""
+    toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {_SIG_SQL}
+        FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_SQL}
+    )
+"""
+
+
+@query(
+    "q_llm_minhash",
+    oracle=f"""
+    WITH {_BANDS_CTE}
+    SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM bands
+    GROUP BY band_id, band_key
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_llm_minhash(spark, sf_dir):
+    """MinHash + LSH banding (k=16 hashes, 4 bands × 4 rows, SURVEY §2.9
+    seeds): emits every band bucket holding >1 doc — the candidate groups.
+    The md5-based hash family makes signatures engine-portable. Pipeline:
+    explode→distinct (shuffle on (doc,token)) → 16-way min-agg (shuffle on
+    doc) → band groupBy; nothing ever compares all pairs."""
+    return (
+        _bands(spark, sf_dir)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@query(
+    "q_llm_neardup_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_tok
+        FROM toks GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS DOUBLE) AS n_inter
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.5
+    """,
+)
+def q_llm_neardup_pairs(spark, sf_dir):
+    """Near-duplicate verification: LSH candidate pairs (≥1 shared band) get
+    their exact Jaccard over distinct-token sets; pairs ≥ 0.5 survive. The
+    expensive exact measure only runs on the tiny candidate set — that
+    asymmetry is the whole point of LSH at scale."""
+    bands = _bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = _doc_tokens(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok")
+    )
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "q_llm_sim_threshold",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
+               UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT label, ia, ib,
+               SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cos
+        FROM pairs GROUP BY label, ia, ib
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS pairs,
+           ROUND(MAX(cos), 6) AS max_sim
+    FROM sims
+    WHERE cos > 0.3
+    GROUP BY label
+    """,
+)
+def q_llm_sim_threshold(spark, sf_dir):
+    """All-pairs cosine above a threshold, blocked by label (the blocking
+    keeps it ~10×n² instead of (10n)² — same pattern as LSH banding). The
+    contract threshold is 0.3, not SURVEY's 0.9: the synthetic embeddings
+    are not label-clustered (max within-label cosine ≈ 0.47), so 0.9 selects
+    nothing. 100 TB path: replace the label block with LSH/IVF buckets."""
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "a.embedding",
+            "b.embedding",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+    def sqnorm(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cos = dot / (F.sqrt(sqnorm("a.embedding")) * F.sqrt(sqnorm("b.embedding")))
+    return (
+        pairs.select(F.col("a.label").alias("label"), cos.alias("cos"))
+        .filter(F.col("cos") > 0.3)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            r6(F.max("cos")).alias("max_sim"),
+        )
+    )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tfc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tf GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf * LN(n.n_docs / d.df) AS score
+        FROM tfc t JOIN df d ON t.term = d.term CROSS JOIN n
+        WHERE t.doc_id BETWEEN 0 AND 9
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT)
+                   AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS score, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_llm_tfidf(spark, sf_dir):
+    """TF-IDF (tf · ln(N/df), natural log) with top-3 terms for docs 0–9,
+    totally ordered (score DESC, term ASC). The df table is tiny (vocabulary)
+    → broadcast to the tf side; mirrors MLlib's HashingTF/IDF pipeline
+    (ml_iterative has the MLlib variant, rows-only)."""
+    docs = T(spark, sf_dir, "documents")
+    tf_rows = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tfc = (
+        tf_rows.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf_rows.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tfc.filter(F.col("doc_id").between(0, 9))
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", r6(F.col("score")).alias("score"), "rnk")
+    )
+
+
+@query(
+    "q_llm_textstats",
+    oracle="""
+    WITH base AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               ROUND(AVG(n_chars), 6) AS avg_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+        FROM documents GROUP BY lang
+    ),
+    vocab AS (
+        SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocabulary
+        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang
+    )
+    SELECT b.lang, b.docs, b.avg_chars, b.avg_tokens, v.vocabulary
+    FROM base b JOIN vocab v ON b.lang = v.lang
+    """,
+)
+def q_llm_textstats(spark, sf_dir):
+    """Per-language corpus statistics: doc count, avg chars, avg token count,
+    vocabulary size. Two independent aggregations (per-doc and exploded)
+    joined on the 5-row language key."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        r6(F.avg(F.size(F.split("text", " ")))).alias("avg_tokens"),
+    )
+    vocab = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("vocabulary"))
+    )
+    return base.join(vocab, "lang")
+
+
+@query(
+    "q_llm_multimodal",
+    oracle="""
+    SELECT d.lang, e.label,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           FROM UNNEST(e.embedding) AS t(x)))), 6) AS avg_l2
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def q_llm_multimodal(spark, sf_dir):
+    """Multimodal join: text metadata ⋈ vector table (1:1 on doc_id=vec_id at
+    t2 scale), grouped stats over both modalities — per (lang, label): count
+    and mean embedding L2 norm. The vector math runs as JVM higher-order
+    array functions, no Python. Binary media columns would ride the same
+    pattern (opaque binary + typed metadata; see sources/multimodal.py)."""
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select("lang", "label", F.sqrt(sq).alias("l2"))
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.avg("l2")).alias("avg_l2"),
+        )
+    )
+
+
+# §2.8 also lists q_llm_knn — the same operator as q_ml_knn (declared once
+# there, aliased here so the §2.8 inventory is complete under its own key).
+def _register_llm_knn() -> None:
+    from mapreduce_machine_learning_spark.operators.ml import q_ml_knn
+    from mapreduce_machine_learning_spark.registry import _ORACLES, _QUERIES
+
+    if "q_llm_knn" not in _QUERIES:
+        _QUERIES["q_llm_knn"] = q_ml_knn
+        _ORACLES["q_llm_knn"] = _ORACLES["q_ml_knn"]
+
+
+_register_llm_knn()

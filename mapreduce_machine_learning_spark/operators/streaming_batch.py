@@ -1,1 +1,181 @@
-"""Placeholder — populated by later milestone (SURVEY.md §7)."""
+"""Streaming surface, batch-equivalent declarations (SURVEY.md §2.7).
+
+Structured Streaming's unified semantics guarantee that a windowed aggregation
+over a bounded stream equals the same aggregation run in batch (Armbrust et
+al., SIGMOD'18). These queries are the hash-checked batch side; the live
+``readStream`` twins — asserted equal in pytest — live in
+``mapreduce_machine_learning_spark/streaming/live.py``.
+
+Scale notes: event-time windows group by (window, key), so state is bounded by
+watermarking in the live variant; ``F.window``/``F.session_window`` are
+built-in JVM generators, not UDFs. At 100 TB/day the tumbling agg is an
+embarrassingly parallel shuffle on (window, type) — salting is unnecessary
+because the window key rotates hourly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_stream_tumble",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 6) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def q_stream_tumble(spark, sf_dir):
+    """1-hour tumbling windows per event type (count, value sum, distinct
+    users). `F.window` ↔ `time_bucket` — both epoch-aligned."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.sum("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+            "users",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (k * INTERVAL '15 minutes') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(k)
+    GROUP BY window_start
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """1-hour windows hopping every 15 minutes — every event lands in exactly
+    4 windows. The oracle reconstructs hop membership by cross-joining the 4
+    offsets of the 15-minute grid."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR date_diff('microsecond',
+                                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                      ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS events_in_session,
+               date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0 AS span_s
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT events_in_session,
+           CAST(COUNT(*) AS BIGINT) AS num_sessions,
+           ROUND(AVG(span_s), 6) AS avg_span_s
+    FROM per_session
+    GROUP BY events_in_session
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """30-minute-gap session windows per user, folded to a histogram of
+    session sizes with average span. Spark's built-in `session_window`
+    (batch mode) vs the oracle's gaps-and-islands rewrite; a gap of exactly
+    30 min extends the session on both engines (oracle LAG uses strict >).
+    Session merging is one shuffle on user_id."""
+    ev = T(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_session"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1000000.0
+            ).alias("span_s"),
+        )
+    )
+    return per_session.groupBy("events_in_session").agg(
+        F.count(F.lit(1)).alias("num_sessions"),
+        r6(F.avg("span_s")).alias("avg_span_s"),
+    )
+
+
+@query(
+    "q_stream_latedata",
+    oracle="""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_seen
+        FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS dropped
+    FROM arr
+    WHERE max_seen IS NOT NULL
+      AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+            <= max_seen - INTERVAL '1 hour'
+    GROUP BY window_start
+    """,
+)
+def q_stream_latedata(spark, sf_dir):
+    """Watermark-drop model: replay events in arrival order (= event_id),
+    track the running max event time; an event is dropped iff its 1-hour
+    tumbling window already closed under a 1-hour watermark
+    (window_end <= max_seen - 1h). This is exactly the rows a
+    `withWatermark('ts', '1 hour')` stream discards — the live twin is
+    asserted against this in pytest."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    bucket = F.window("ts", "1 hour").getField("start")
+    return (
+        ev.withColumn("max_seen", F.max("ts").over(w))
+        .filter(
+            F.col("max_seen").isNotNull()
+            & (
+                bucket + F.expr("INTERVAL 1 HOUR")
+                <= F.col("max_seen") - F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        .groupBy(bucket.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("dropped"))
+    )

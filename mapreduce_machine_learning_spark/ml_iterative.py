@@ -1,0 +1,235 @@
+"""Iterative ML drivers — the reference's full algorithms (SURVEY §1.1/§2.6),
+Spark-style.
+
+The reference runs each iteration as a *separate Hadoop job*, re-reading input
+from HDFS and shipping parameters via ``--file``/jobconf. Here every algorithm
+is a driver loop over ONE cached DataFrame: parameters are folded into the
+next iteration's expressions as literals (Catalyst constant-folds them into
+codegen), sufficient statistics come back as a single collected row, and the
+dense solve runs in numpy on the driver (Chu et al. NIPS'06 summation form).
+At 100 TB the per-iteration cost is one scan of cached columnar batches and a
+shuffle of one sufficient-statistics row per partition — broadcast of the
+parameter vector is implicit in literal folding (use
+``sparkContext.broadcast`` instead once parameters exceed plan-literal scale,
+e.g. >10^4 features).
+
+MLlib mirrors (`mllib_*`) fit the equivalent `pyspark.ml` estimator so users
+of the reference get both the transparent summation-form path and the
+production MLlib path; tests assert the two agree.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- linear reg
+def linreg_normal(df: DataFrame, feature_cols: list[str], label_col: str) -> np.ndarray:
+    """Normal-equation OLS with intercept: one aggregation computes the full
+    Gram matrix XᵀX and Xᵀy (features prepended with 1); numpy solves the
+    (p+1)×(p+1) system on the driver. Exactly the reference's linear
+    regression: mapper partial sums → reducer total → solve."""
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    p = len(feats)
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(feats[i] * feats[j]).alias(f"g_{i}_{j}"))
+    for i in range(p):
+        aggs.append(F.sum(feats[i] * y).alias(f"b_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    G = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+    b = np.array([row[f"b_{i}"] for i in range(p)])
+    return np.linalg.solve(G, b)
+
+
+# ------------------------------------------------------------- logistic reg
+def logreg_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.1,
+    iters: int = 10,
+) -> np.ndarray:
+    """Full-batch gradient descent for logistic regression (intercept
+    included). Each step: fold current weights into a σ(wᵀx) expression,
+    aggregate the gradient Σ(σ−y)·x, update on the driver. The reference
+    resubmits a MapReduce job per step; here the input is cached once."""
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    w = np.zeros(len(feats))
+    df = df.cache()
+    n = df.count()  # materializes the cache
+    for _ in range(iters):
+        z = sum(float(wi) * fi for wi, fi in zip(w, feats))
+        sigma = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = [F.sum((sigma - y) * fi).alias(f"g{i}") for i, fi in enumerate(feats)]
+        row = df.agg(*grads).collect()[0]
+        w = w - lr * np.array([row[f"g{i}"] for i in range(len(feats))]) / n
+    return w
+
+
+# ------------------------------------------------------------------- k-means
+def kmeans_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    init_centroids: list[tuple[float, ...]],
+    iters: int = 5,
+) -> tuple[list[tuple[float, ...]], list[int]]:
+    """Lloyd's algorithm: assignment is a pure-expression argmin over the
+    current centroids (ties → lowest id), the update is one groupBy over the
+    cached points. Returns (centroids, cluster sizes). Empty clusters keep
+    their previous centroid — same policy as MLlib."""
+    pts = df.select(*[F.col(c).cast("double").alias(c) for c in feature_cols]).cache()
+    cents = [tuple(map(float, c)) for c in init_centroids]
+    k = len(cents)
+    sizes = [0] * k
+    for _ in range(iters):
+        dists = [
+            sum((F.col(c) - ci) * (F.col(c) - ci) for c, ci in zip(feature_cols, cent))
+            for cent in cents
+        ]
+        assign = F.lit(0)
+        best = dists[0]
+        for i in range(1, k):
+            assign = F.when(dists[i] < best, i).otherwise(assign)
+            best = F.when(dists[i] < best, dists[i]).otherwise(best)
+        stats = (
+            pts.withColumn("c", assign)
+            .groupBy("c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.avg(c).alias(f"m_{c}") for c in feature_cols],
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        sizes = [0] * k
+        for r in stats:
+            new_cents[r["c"]] = tuple(r[f"m_{c}"] for c in feature_cols)
+            sizes[r["c"]] = r["n"]
+        cents = new_cents
+    return cents, sizes
+
+
+# ---------------------------------------------------------------------- GMM
+@dataclass
+class Gmm1D:
+    pi: tuple[float, float]
+    mu: tuple[float, float]
+    sigma: tuple[float, float]
+
+
+def gmm_em_1d(df: DataFrame, col: str, init: Gmm1D, iters: int = 5) -> Gmm1D:
+    """EM for a two-component 1-D Gaussian mixture. E-step responsibilities
+    and the M-step sufficient statistics (Σr, Σr·x, Σr·x²) are ONE
+    aggregation; parameter updates are scalar math on the driver."""
+    x = F.col(col).cast("double")
+    params = init
+    cached = df.select(x.alias("_x")).cache()
+    n = cached.count()
+    x = F.col("_x")
+    for _ in range(iters):
+
+        def pdf(pi, mu, s):
+            return (
+                pi
+                * F.exp(-F.pow((x - mu) / s, 2) / 2.0)
+                / (s * math.sqrt(2 * math.pi))
+            )
+
+        p1 = pdf(params.pi[0], params.mu[0], params.sigma[0])
+        p2 = pdf(params.pi[1], params.mu[1], params.sigma[1])
+        r1 = p1 / (p1 + p2)
+        row = cached.agg(
+            F.sum(r1).alias("n1"),
+            F.sum(r1 * x).alias("sx1"),
+            F.sum(r1 * x * x).alias("sxx1"),
+            F.sum((1 - r1) * x).alias("sx2"),
+            F.sum((1 - r1) * x * x).alias("sxx2"),
+        ).collect()[0]
+        n1 = row["n1"]
+        n2 = n - n1
+        mu1, mu2 = row["sx1"] / n1, row["sx2"] / n2
+        var1 = max(row["sxx1"] / n1 - mu1 * mu1, 1e-9)
+        var2 = max(row["sxx2"] / n2 - mu2 * mu2, 1e-9)
+        params = Gmm1D(
+            pi=(n1 / n, n2 / n),
+            mu=(mu1, mu2),
+            sigma=(math.sqrt(var1), math.sqrt(var2)),
+        )
+    return params
+
+
+# -------------------------------------------------------------- naive Bayes
+def gaussian_nb_fit(df: DataFrame, label_col: str, feature_col: str):
+    """Gaussian naive Bayes: per-class (prior, mean, variance) in one pass —
+    the reference's NB job. Returns {class: (prior, mean, var)}."""
+    n = df.count()
+    rows = (
+        df.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(feature_col).cast("double")).alias("mu"),
+            F.var_samp(F.col(feature_col).cast("double")).alias("var"),
+        )
+        .collect()
+    )
+    return {r[label_col]: (r["n"] / n, r["mu"], r["var"]) for r in rows}
+
+
+# --------------------------------------------------------------- MLlib mirrors
+def _assemble(df: DataFrame, feature_cols: list[str], label_col: str | None):
+    from pyspark.ml.feature import VectorAssembler
+
+    out = VectorAssembler(inputCols=feature_cols, outputCol="features").transform(df)
+    if label_col is not None:
+        out = out.withColumn("label", F.col(label_col).cast("double"))
+    return out
+
+
+def mllib_linreg(df: DataFrame, feature_cols: list[str], label_col: str) -> np.ndarray:
+    """MLlib LinearRegression with the normal-equation solver — the
+    production twin of linreg_normal (WeightedLeastSquares ≈ treeAggregate
+    of the same Gram matrix). Returns [intercept, *coefficients]."""
+    from pyspark.ml.regression import LinearRegression
+
+    m = LinearRegression(solver="normal", regParam=0.0).fit(
+        _assemble(df, feature_cols, label_col)
+    )
+    return np.array([m.intercept, *m.coefficients])
+
+
+def mllib_kmeans(
+    df: DataFrame,
+    feature_cols: list[str],
+    init_centroids: list[tuple[float, ...]],
+    iters: int = 5,
+):
+    """MLlib KMeans seeded deterministically; returns centroid array sorted
+    by first coordinate (MLlib may permute cluster ids)."""
+    from pyspark.ml.clustering import KMeans
+
+    m = KMeans(k=len(init_centroids), maxIter=iters, seed=42, initMode="random").fit(
+        _assemble(df, feature_cols, None)
+    )
+    return sorted(tuple(c) for c in m.clusterCenters())
+
+
+def mllib_logreg(df: DataFrame, feature_cols: list[str], label_col: str) -> np.ndarray:
+    from pyspark.ml.classification import LogisticRegression
+
+    m = LogisticRegression(regParam=0.0, standardization=False).fit(
+        _assemble(df, feature_cols, label_col)
+    )
+    return np.array([m.intercept, *m.coefficients])

@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.functions import cosine, l2norm
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
 
@@ -250,24 +251,7 @@ def q_llm_sim_threshold(spark, sf_dir):
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            "a.embedding",
-            "b.embedding",
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-
-    def sqnorm(col):
-        return F.aggregate(
-            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    cos = dot / (F.sqrt(sqnorm("a.embedding")) * F.sqrt(sqnorm("b.embedding")))
+    cos = cosine("a.embedding", "b.embedding")
     return (
         pairs.select(F.col("a.label").alias("label"), cos.alias("cos"))
         .filter(F.col("cos") > 0.3)
@@ -403,14 +387,9 @@ def q_llm_multimodal(spark, sf_dir):
     pattern (opaque binary + typed metadata; see sources/multimodal.py)."""
     d = T(spark, sf_dir, "documents")
     e = T(spark, sf_dir, "embeddings")
-    sq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
     return (
         d.join(e, d.doc_id == e.vec_id)
-        .select("lang", "label", F.sqrt(sq).alias("l2"))
+        .select("lang", "label", l2norm("embedding").alias("l2"))
         .groupBy("lang", "label")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -24,6 +24,7 @@ import math
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import r0, r6
+from mapreduce_machine_learning_spark.functions import cosine
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
 
@@ -348,26 +349,7 @@ def q_ml_knn(spark, sf_dir):
         F.col("embedding").alias("q_embedding")
     )
     pairs = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "q_embedding",
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    nx = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    ny = F.aggregate(
-        F.transform("q_embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    cos = dot / (F.sqrt(nx) * F.sqrt(ny))
+    cos = cosine("embedding", "q_embedding")
     return (
         pairs.select("vec_id", r6(cos).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")

@@ -1,0 +1,393 @@
+"""Training-data pipeline extensions beyond SURVEY §2.8: language
+identification, quality scoring, token counting, document fingerprinting,
+SimHash dedup, and LSH-bucketed approximate nearest neighbours.
+
+These are the operators a 100 TB pretraining-data pipeline runs after ingest:
+every one is a single declarative pass (explode/groupBy/window), no Python in
+the hot path, and every hash is md5-derived so both engines agree bit-for-bit
+(same design as the §2.8 MinHash family).
+
+Note on the synthetic corpus: all five `lang` values share one vocabulary, so
+the language-ID confusion matrix is dominated by marker-set luck — the query
+checks the *mechanism* (n-gram marker scoring with deterministic argmax), not
+classifier accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.functions import cosine
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+# fixed marker vocabularies (arbitrary but FROZEN — §2.9-style literals)
+LANG_MARKERS = {
+    "de": ("customer", "batch", "merge", "key"),
+    "en": ("hash", "order", "table", "window"),
+    "es": ("slow", "agg", "vector", "value"),
+    "fr": ("scan", "data", "query", "small"),
+    "zh": ("join", "the", "column", "row"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_SCORE_SQL = ",\n               ".join(
+    f"len(list_intersect(toks, {_sql_list(ws)})) AS s_{lang}"
+    for lang, ws in LANG_MARKERS.items()
+)
+_PRED_SQL = (
+    "CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+    "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+    "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+    "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END"
+)
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_SCORE_SQL}
+        FROM (SELECT lang, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents)
+    )
+    SELECT lang, {_PRED_SQL} AS predicted, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM scored
+    GROUP BY lang, predicted
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Heuristic language ID: score each doc's distinct-token set against
+    five fixed marker vocabularies, predict the argmax (ties resolved in
+    lang order — identical CASE text both engines); output the confusion
+    matrix. The real-corpus version swaps marker sets for char-n-gram
+    profiles; the plan shape (map-side scoring, tiny agg) is identical."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scored = d.select(
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+            ).alias(f"s_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH q AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                       {_sql_list(STOPWORDS)})) AS DOUBLE) AS n_stop,
+               CAST(n_chars AS DOUBLE) AS nc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               0.4 * (n_dist / n_tok)
+             + 0.3 * (1.0 - n_stop / n_dist)
+             + 0.3 * LEAST(((nc - (n_tok - 1)) / n_tok) / 8.0, 1.0) AS score
+        FROM q
+    )
+    SELECT lang, CAST(FLOOR(score * 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(score), 6) AS avg_score
+    FROM s
+    GROUP BY lang, bucket
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Document quality score — the standard pretraining filter features
+    (type-token ratio, stopword ratio over a fixed list, mean token length)
+    combined with fixed weights, bucketed per language. Pure column math; at
+    scale this annotates every document in one map stage with zero shuffle
+    (the histogram agg is the only exchange)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_dist = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])
+        )
+    ).cast("double")
+    avg_tok_len = (F.col("n_chars").cast("double") - (n_tok - 1)) / n_tok
+    score = (
+        0.4 * (n_dist / n_tok)
+        + 0.3 * (1.0 - n_stop / n_dist)
+        + 0.3 * F.least(avg_tok_len / 8.0, F.lit(1.0))
+    )
+    return (
+        d.select("lang", score.alias("score"))
+        .groupBy("lang", F.floor(F.col("score") * 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.avg("score")).alias("avg_score"),
+        )
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+                    t -> CAST(FLOOR((length(t) + 3) / 4) AS BIGINT)))) AS BIGINT)
+               AS bpe_tokens,
+           ROUND(SUM(list_sum(list_transform(string_split(text, ' '),
+                    t -> CAST(FLOOR((length(t) + 3) / 4) AS BIGINT))))
+                 / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6)
+               AS bpe_per_word
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace words and a BPE-style subword
+    estimate (⌈len/4⌉ pieces per word — the standard chars/4 heuristic,
+    computed exactly with integer FLOOR so both engines agree). Budgeting
+    pretraining token counts is a pure map+agg: no shuffle beyond the 20-row
+    source rollup."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.floor((F.length(t) + 3) / 4)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(toks)).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        r6(F.sum(bpe) / F.sum(F.size(toks)).cast("double")).alias("bpe_per_word"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, lang,
+               UNNEST(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id, lang,
+               token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+                   AS shingle
+        FROM pos
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    fp AS (
+        SELECT doc_id, lang, MIN(md5(shingle)) AS fingerprint
+        FROM shingles WHERE shingle IS NOT NULL
+        GROUP BY doc_id, lang
+    ),
+    grp AS (
+        SELECT lang, fingerprint, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fp GROUP BY lang, fingerprint
+    )
+    SELECT lang,
+           CAST(SUM(group_size) AS BIGINT) AS docs,
+           CAST(COUNT(*) AS BIGINT) AS distinct_fp,
+           CAST(MAX(group_size) AS BIGINT) AS max_fp_group
+    FROM grp GROUP BY lang
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing-lite): md5 over every
+    word 3-gram, keep the minimum as the doc fingerprint; docs sharing a
+    fingerprint are duplication candidates. The 3-grams come from two LEAD
+    windows per doc — one shuffle on doc_id; at 100 TB the shingle stream
+    never materializes outside its partition."""
+    d = T(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+    )
+    # concat_ws skips trailing nulls → force NULL when the 3-gram is short
+    shingles = pos.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.lead("token", 2).over(w).isNotNull(), F.md5(shingle)
+        ).alias("h"),
+    )
+    fp = (
+        shingles.filter(F.col("h").isNotNull())
+        .groupBy("doc_id", "lang")
+        .agg(F.min("h").alias("fingerprint"))
+    )
+    grp = fp.groupBy("lang", "fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return grp.groupBy("lang").agg(
+        F.sum("group_size").alias("docs"),
+        F.count(F.lit(1)).alias("distinct_fp"),
+        F.max("group_size").alias("max_fp_group"),
+    )
+
+
+_NIBBLE_ONE = "('8','9','a','b','c','d','e','f')"
+_SIM_BITS_SQL = ",\n               ".join(
+    f"CASE WHEN SUM(CASE WHEN substr(md5(token), {j + 1}, 1) IN {_NIBBLE_ONE} "
+    f"THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS b{j}"
+    for j in range(16)
+)
+
+
+@query(
+    "q_llm_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    sim AS (
+        SELECT doc_id,
+               {_SIM_BITS_SQL}
+        FROM toks GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+               b0 || b1 || b2 || b3 || b4 || b5 || b6 || b7 ||
+               b8 || b9 || b10 || b11 || b12 || b13 || b14 || b15 AS simhash
+        FROM sim
+    )
+    SELECT simhash, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM keyed
+    GROUP BY simhash
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_llm_simhash(spark, sf_dir):
+    """SimHash near-dup detection: 16-bit signature where bit j is the sign
+    of Σ±1 votes from the j-th hex nibble of each distinct token's md5.
+    Similar token sets → similar signatures; identical signatures are dup
+    candidates (emitted here). Like MinHash, the md5 vote basis makes the
+    signature engine-portable; one explode + one 16-column agg, shuffled on
+    doc_id only."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    one = set("89abcdef")
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.md5("token"), j + 1, 1).isin(*one), 1
+            ).otherwise(-1)
+        )
+        for j in range(16)
+    ]
+    bits = [
+        F.when(v >= 0, "1").otherwise("0").alias(f"b{j}")
+        for j, v in enumerate(votes)
+    ]
+    sim = toks.groupBy("doc_id").agg(*bits)
+    return (
+        sim.select(F.concat(*[F.col(f"b{j}") for j in range(16)]).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@query(
+    "q_ann_lsh",
+    oracle="""
+    WITH buckets AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT bucket, embedding AS qe FROM buckets WHERE vec_id = 0),
+    cand AS (
+        SELECT b.vec_id,
+               UNNEST(b.embedding) AS x, UNNEST(q.qe) AS y
+        FROM buckets b JOIN qb q ON b.bucket = q.bucket
+        WHERE b.vec_id <> 0
+    ),
+    sims AS (
+        SELECT vec_id,
+               SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cos
+        FROM cand GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(cos, 6) AS cos_sim
+    FROM sims
+    ORDER BY ROUND(cos, 6) DESC, vec_id
+    LIMIT 5
+    """,
+)
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: sign-pattern of the first 8 dimensions forms a
+    256-way hyperplane bucket; only the query's bucket is searched (the
+    scale path vs q_ml_knn's brute force — bucket assignment is a map, the
+    candidate set shrinks ~256×, and buckets partition the index across
+    executors). Fixed axis-aligned hyperplanes keep it engine-portable;
+    production would use seeded random projections, same plan shape."""
+    emb = T(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at("embedding", j + 1) > 0, 2**j).otherwise(0)
+        for j in range(8)
+    )
+    b = emb.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("qe")
+    )
+    cand = b.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    )
+    cos = cosine("embedding", "qe")
+    return (
+        cand.select("vec_id", r6(cos).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )

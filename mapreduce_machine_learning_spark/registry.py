@@ -41,6 +41,7 @@ def _load_operator_modules() -> None:
         relational,
         setops_scalar,
         streaming_batch,
+        text_analysis,
         udf,
         windows,
     )

@@ -1,0 +1,102 @@
+"""Live Structured Streaming twins of the §2.7 batch queries.
+
+Spark's unified model means the same DataFrame expression runs over
+``readStream`` unchanged; these helpers build the streaming variants and the
+pytest suite (tests/test_streaming_live.py) asserts the batch/stream
+equivalences the contract claims:
+
+- complete-mode windowed aggregation  == the batch aggregation, exactly;
+- append-mode output under a watermark == the batch windows whose end is at
+  or below the final watermark (the rest are still "open" when the bounded
+  stream ends);
+- foreachBatch sees every input row exactly once with availableNow.
+
+Scale notes: state in the windowed aggregations is bounded by the watermark
+(late rows beyond 1 h are dropped, closed windows are evicted); the
+checkpoint/WAL goes to the sink's checkpointLocation so a 1000-executor job
+resumes after failure without reprocessing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.io import prepare
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, with the same ns→µs
+    timestamp recipe as the batch loader (io.load_table). The file source
+    requires a *directory*, so the read-only parquet file is exposed through
+    a symlink in a temp dir (no data copy)."""
+    import os
+
+    prepare(spark)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema)
+        .parquet(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
+def tumbling_agg(ev: DataFrame, watermark: str | None = "1 hour") -> DataFrame:
+    """The q_stream_tumble aggregation minus countDistinct (exact distinct
+    is not available in streaming aggregation — use approx_count_distinct
+    there; the batch twin checks the exact value)."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, sdf: DataFrame, name: str, mode: str
+) -> DataFrame:
+    """Execute a bounded stream to completion (availableNow) into a memory
+    sink; returns the sink table."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(spark: SparkSession, sdf: DataFrame) -> list[tuple[int, int]]:
+    """Drain a stream through foreachBatch; returns [(batch_id, row_count)]."""
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_feb_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

@@ -53,6 +53,15 @@ def run_oracle(sql, sf_dir, con=None):
             con.close()
 
 
+def result_hash(cols, rows) -> tuple[int, str]:
+    """Order-insensitive digest of a result set (golden-hash freeze)."""
+    import hashlib
+
+    normalized = _normalize_rows(cols, rows)
+    h = hashlib.sha256(repr(normalized).encode()).hexdigest()
+    return len(rows), h
+
+
 def assert_parity(spark, name, fn, sql, sf_dir, con=None):
     s_cols, s_rows = run_spark(spark, fn, sf_dir)
     o_cols, o_rows = run_oracle(sql, sf_dir, con)

@@ -1,0 +1,118 @@
+"""Iterative-driver correctness (SURVEY §5.2 item 3): each Spark algorithm is
+asserted against a local numpy re-implementation with identical literals on
+the same sf0.001 data, and against its MLlib mirror where one exists."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark import ml_iterative as mli
+from mapreduce_machine_learning_spark.io import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    df = load_table(spark, SF_DIR, "events")
+    return (
+        df.select(
+            "value",
+            F.hour("ts").cast("double").alias("hr"),
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        )
+        .toPandas()
+        .astype(float)
+    )
+
+
+def test_linreg_normal_vs_numpy(spark, events_pdf):
+    df = load_table(spark, SF_DIR, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    w = mli.linreg_normal(df, ["hr"], "value")
+    X = np.column_stack([np.ones(len(events_pdf)), events_pdf["hr"]])
+    y = events_pdf["value"].to_numpy()
+    w_np = np.linalg.solve(X.T @ X, X.T @ y)
+    np.testing.assert_allclose(w, w_np, rtol=1e-8)
+
+
+def test_linreg_matches_mllib(spark):
+    df = load_table(spark, SF_DIR, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    w = mli.linreg_normal(df, ["hr"], "value")
+    w_ml = mli.mllib_linreg(df, ["hr"], "value")
+    np.testing.assert_allclose(w, w_ml, rtol=1e-6)
+
+
+def test_logreg_gd_vs_numpy(spark, events_pdf):
+    df = load_table(spark, SF_DIR, "events").select(
+        (F.col("value") / 100.0).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = mli.logreg_gd(df, ["x"], "y", lr=0.5, iters=8)
+
+    X = np.column_stack(
+        [np.ones(len(events_pdf)), events_pdf["value"].to_numpy() / 100.0]
+    )
+    y = events_pdf["y"].to_numpy()
+    w_np = np.zeros(2)
+    for _ in range(8):
+        s = 1.0 / (1.0 + np.exp(-X @ w_np))
+        w_np = w_np - 0.5 * X.T @ (s - y) / len(y)
+    np.testing.assert_allclose(w, w_np, rtol=1e-8)
+
+
+def test_kmeans_vs_numpy(spark, events_pdf):
+    init = [(50.0, 6.0), (100.0, 12.0), (150.0, 18.0)]
+    df = load_table(spark, SF_DIR, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    cents, sizes = mli.kmeans_fit(df, ["value", "hr"], init, iters=5)
+
+    P = events_pdf[["value", "hr"]].to_numpy()
+    C = np.array(init)
+    for _ in range(5):
+        d = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # ties → lowest id, same as the CASE chain
+        for i in range(3):
+            if (a == i).any():
+                C[i] = P[a == i].mean(axis=0)
+    np.testing.assert_allclose(np.array(cents), C, rtol=1e-9)
+    assert sum(sizes) == len(P)
+
+
+def test_gmm_em_vs_numpy(spark, events_pdf):
+    init = mli.Gmm1D(pi=(0.5, 0.5), mu=(50.0, 150.0), sigma=(25.0, 25.0))
+    df = load_table(spark, SF_DIR, "events")
+    out = mli.gmm_em_1d(df, "value", init, iters=4)
+
+    x = events_pdf["value"].to_numpy()
+    pi, mu, sg = np.array(init.pi), np.array(init.mu), np.array(init.sigma)
+    for _ in range(4):
+        p = pi * np.exp(-(((x[:, None] - mu) / sg) ** 2) / 2) / (
+            sg * math.sqrt(2 * math.pi)
+        )
+        r = p / p.sum(axis=1, keepdims=True)
+        n = r.sum(axis=0)
+        mu = (r * x[:, None]).sum(axis=0) / n
+        var = np.maximum((r * x[:, None] ** 2).sum(axis=0) / n - mu**2, 1e-9)
+        pi, sg = n / len(x), np.sqrt(var)
+    np.testing.assert_allclose(out.mu, mu, rtol=1e-7)
+    np.testing.assert_allclose(out.pi, pi, rtol=1e-7)
+    np.testing.assert_allclose(out.sigma, sg, rtol=1e-7)
+
+
+def test_gaussian_nb_vs_numpy(spark, events_pdf):
+    df = load_table(spark, SF_DIR, "events")
+    params = mli.gaussian_nb_fit(df, "event_type", "value")
+    assert abs(sum(p for p, _, _ in params.values()) - 1.0) < 1e-9
+    pdf = load_table(spark, SF_DIR, "events").select("event_type", "value").toPandas()
+    for cls, (prior, mu, var) in params.items():
+        sub = pdf[pdf.event_type == cls]["value"]
+        assert abs(prior - len(sub) / len(pdf)) < 1e-12
+        np.testing.assert_allclose(mu, sub.mean(), rtol=1e-9)
+        np.testing.assert_allclose(var, sub.var(ddof=1), rtol=1e-9)

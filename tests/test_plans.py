@@ -1,0 +1,76 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizer behaviors the
+100 TB design depends on must actually show up in `.explain`, not just be
+assumed. Each test pins one load-bearing plan property."""
+
+from mapreduce_machine_learning_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    explain_str,
+)
+from mapreduce_machine_learning_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_scan_project_pushdown_and_pruning(spark):
+    df = QUERIES["q_scan_project"](spark, SF_DIR)
+    plan = explain_str(df)
+    # filter reaches the parquet reader
+    assert "PushedFilters" in plan and "LessThan(l_orderkey,100)" in plan, plan
+    # column pruning: the 11-column table is read as exactly 3 columns
+    assert "l_extendedprice" in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_filter_pred_pushdown(spark):
+    df = QUERIES["q_filter_pred"](spark, SF_DIR)
+    assert_in_plan(df, "PushedFilters", "GreaterThanOrEqual(l_discount,0.02)")
+
+
+def test_broadcast_join_strategy(spark):
+    df = QUERIES["q_join_broadcast"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_multi_join_no_cartesian(spark):
+    df = QUERIES["q_join_multi"](spark, SF_DIR)
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_topk_uses_take_ordered(spark):
+    df = QUERIES["q_topk_global"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_agg_partial_final_pair(spark):
+    # map-side combine: two HashAggregates around the exchange
+    df = QUERIES["q_agg_group"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_semi_join_planned_as_semi(spark):
+    df = QUERIES["q_join_semi"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = QUERIES["q_agg_group"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only at execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen stages
+    assert "*(" in final, final
+
+
+def test_no_python_udf_outside_udf_surface(spark):
+    # every non-§2.10 query must stay JVM-side: no Python eval nodes
+    for name, fn in QUERIES.items():
+        if name.startswith("q_udf") or name.startswith("q_udaf"):
+            continue
+        plan = explain_str(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name

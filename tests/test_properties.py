@@ -1,0 +1,103 @@
+"""Property-based invariants (SURVEY §5.2 item 4) over generated frames.
+
+Generation is capped small (the cost per example is a Spark job); deadlines
+are disabled because JVM scheduling jitter breaks wall-clock assumptions.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=rows)
+@SETTINGS
+def test_dedup_idempotent(spark, data):
+    df = spark.createDataFrame(data, "k int, v int")
+    once = df.distinct()
+    twice = once.distinct()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == len(set(data))
+
+
+@given(a=rows, b=rows)
+@SETTINGS
+def test_unionall_count_additive(spark, a, b):
+    da = spark.createDataFrame(a, "k int, v int")
+    db = spark.createDataFrame(b, "k int, v int")
+    assert da.unionByName(db).count() == len(a) + len(b)
+
+
+@given(data=rows)
+@SETTINGS
+def test_topk_pergroup_subset_of_full_sort(spark, data):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(data)], "k int, v int, uid int"
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("v"), "uid")
+    top2 = df.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+    all_rows = set(map(tuple, df.collect()))
+    assert all(t[:3] in all_rows for t in map(tuple, top2.collect()))
+    # per-group count bound
+    sizes = {r["k"]: r["cnt"] for r in top2.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert all(c <= 2 for c in sizes.values())
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=20)
+)
+@SETTINGS
+def test_session_count_bounds(spark, gaps):
+    # one user, events separated by the generated gaps (seconds)
+    ts, t = [], 1_700_000_000
+    for g in gaps:
+        t += g
+        ts.append(t)
+    df = spark.createDataFrame(
+        [(1, x) for x in ts], "user_id int, epoch long"
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    n = len(ts)
+    expected = 1 + sum(1 for g in gaps[1:] if g > 1800)
+    assert 1 <= sessions <= n
+    assert sessions == expected
+
+
+@given(data=rows)
+@SETTINGS
+def test_running_sum_last_equals_group_total(spark, data):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(data)], "k int, v int, uid int"
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("uid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = df.withColumn("rs", F.sum("v").over(w))
+    last = run.groupBy("k").agg(F.max_by("rs", "uid").alias("final"))
+    totals = df.groupBy("k").agg(F.sum("v").alias("total"))
+    j = {r["k"]: r["final"] for r in last.collect()}
+    for r in totals.collect():
+        assert j[r["k"]] == r["total"]

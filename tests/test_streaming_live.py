@@ -1,0 +1,74 @@
+"""Batch ↔ stream equivalence (SURVEY §5.2 item 5): the live Structured
+Streaming twins must reproduce the §2.7 batch results."""
+
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.io import load_table
+from mapreduce_machine_learning_spark.streaming.live import (
+    events_stream,
+    run_foreach_batch,
+    run_to_memory,
+    tumbling_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def _batch_tumble(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_complete_mode_equals_batch(spark):
+    live = run_to_memory(
+        spark,
+        tumbling_agg(events_stream(spark, SF_DIR), watermark=None),
+        "tumble_complete",
+        "complete",
+    )
+    assert _rows(live) == _rows(_batch_tumble(spark))
+
+
+def test_append_mode_is_closed_window_prefix(spark):
+    live = run_to_memory(
+        spark,
+        tumbling_agg(events_stream(spark, SF_DIR), watermark="1 hour"),
+        "tumble_append",
+        "append",
+    )
+    batch = _batch_tumble(spark)
+    live_rows = _rows(live)
+    batch_rows = _rows(batch)
+    # append emits exactly the windows closed by the final watermark
+    # (bounded stream: watermark ends at max(ts) - 1h)
+    assert set(live_rows) <= set(batch_rows)
+    max_ts = load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    closed = [r for r in batch_rows if r[1] is not None]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    expected = [r for r in closed if r[1] <= wm]
+    assert live_rows == sorted(expected)
+
+
+def test_foreach_batch_sees_all_rows(spark):
+    ev = events_stream(spark, SF_DIR)
+    seen = run_foreach_batch(spark, ev)
+    total = sum(n for _, n in seen)
+    assert total == load_table(spark, SF_DIR, "events").count()

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Freeze per-query golden hashes at sf0.01 (SURVEY §5.2 item 7) into
+tests/golden.json — regression detection without DuckDB in the loop.
+
+Run after a green differential-oracle sweep:  python tools/freeze_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from mapreduce_machine_learning_spark.registry import all_queries
+    from tests.parity import result_hash
+
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    golden = {}
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF_DIR)
+        n, h = result_hash(df.columns, [tuple(r) for r in df.collect()])
+        golden[name] = {"rows": n, "hash": h}
+        print(f"{name}: rows={n} hash={h[:12]}")
+    out = os.path.join(ROOT, "tests", "golden.json")
+    with open(out, "w") as f:
+        json.dump(golden, f, indent=1, sort_keys=True)
+    print(f"wrote {out} ({len(golden)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -164,13 +164,22 @@ def q_llm_minhash(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.5
+    ORDER BY ROUND(i.n_inter / (sa.n_tok + sb.n_tok - i.n_inter), 6) DESC,
+             i.doc_a, i.doc_b
+    LIMIT 1000
     """,
 )
 def q_llm_neardup_pairs(spark, sf_dir):
     """Near-duplicate verification: LSH candidate pairs (≥1 shared band) get
     their exact Jaccard over distinct-token sets; pairs ≥ 0.5 survive. The
-    expensive exact measure only runs on the tiny candidate set — that
-    asymmetry is the whole point of LSH at scale."""
+    expensive exact measure only runs on the candidate set — that asymmetry
+    is the whole point of LSH at scale.
+
+    EXPLICIT CAP: output is the top-1000 pairs by (jaccard DESC, doc_a,
+    doc_b). The synthetic corpus shares one small vocabulary, so near-dup
+    pairs grow quadratically (65k at sf0.01, 6.2M at sf0.1) — an unbounded
+    pair listing is the wrong deliverable at any scale; real pipelines fold
+    pairs into connected components and keep one survivor per component."""
     bands = _bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -210,6 +219,8 @@ def q_llm_neardup_pairs(spark, sf_dir):
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(1000)
     )
 
 

@@ -233,3 +233,17 @@ def mllib_logreg(df: DataFrame, feature_cols: list[str], label_col: str) -> np.n
         _assemble(df, feature_cols, label_col)
     )
     return np.array([m.intercept, *m.coefficients])
+
+
+def mllib_tfidf_top_terms(df: DataFrame, num_features: int = 1 << 14) -> DataFrame:
+    """MLlib HashingTF/IDF pipeline over documents — the production twin of
+    q_llm_tfidf. Hashed feature indices are engine-internal, so this surface
+    is rows-only (pytest): assertions cover shape and that idf weights are
+    non-negative, not cross-engine equality."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=num_features)
+    words = tf.transform(tok.transform(df))
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(words)
+    return idf.transform(words).select("doc_id", "tfidf")

@@ -116,3 +116,13 @@ def test_gaussian_nb_vs_numpy(spark, events_pdf):
         assert abs(prior - len(sub) / len(pdf)) < 1e-12
         np.testing.assert_allclose(mu, sub.mean(), rtol=1e-9)
         np.testing.assert_allclose(var, sub.var(ddof=1), rtol=1e-9)
+
+
+def test_mllib_tfidf_pipeline(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    out = mli.mllib_tfidf_top_terms(docs)
+    rows = out.collect()
+    assert len(rows) == 100
+    v = rows[0]["tfidf"]
+    assert v.numNonzeros() > 0
+    assert all(x >= 0 for x in v.values)

@@ -255,3 +255,31 @@ def q_agg_approx(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated quartiles per order status — Spark `percentile` ↔
+    DuckDB `quantile_cont` use the same linear interpolation (verified exact
+    at sf0.01). Exact percentile sorts each group; the 100 TB substitute is
+    `percentile_approx` (mergeable t-digest-style sketch, no group sort) —
+    same query shape, rows-only check, like q_agg_approx."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            r6(F.percentile("o_totalprice", F.lit(0.25))).alias("p25"),
+            r6(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+            r6(F.percentile("o_totalprice", F.lit(0.75))).alias("p75"),
+        )
+    )

@@ -335,7 +335,7 @@ def q_llm_tfidf(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", r6(F.col("score")).alias("score"), "rnk")
     )

@@ -138,7 +138,7 @@ def q_str_funcs(spark, sf_dir):
                 "min_replace"
             ),
             F.min(F.lower("c_name")).alias("min_lower"),
-            F.min(F.length("c_name")).alias("min_len"),
+            F.min(F.length("c_name")).cast("bigint").alias("min_len"),
         )
     )
 

@@ -42,9 +42,9 @@ def q_win_rank(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -183,7 +183,7 @@ def q_win_ntile(spark, sf_dir):
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
         T(spark, sf_dir, "customer")
-        .select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .select("c_acctbal", F.ntile(4).over(w).cast("bigint").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -291,7 +291,7 @@ def q_topk_pergroup(spark, sf_dir):
             "c_mktsegment",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

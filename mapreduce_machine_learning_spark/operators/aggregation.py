@@ -283,3 +283,56 @@ def q_agg_percentile(spark, sf_dir):
             r6(F.percentile("o_totalprice", F.lit(0.75))).alias("p75"),
         )
     )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6)
+               AS qty_f,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6)
+               AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """PIVOT: line status becomes columns. The explicit value list matters at
+    scale — without it Spark runs an extra distinct-values job before the
+    real aggregation; with it the pivot is a single pass of conditional
+    aggregates (exactly the oracle's CASE formulation)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(r6(F.sum("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           (list_sort(list(c_custkey)))[1:3] AS first_keys,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """Array aggregation with a deterministic in-array order: the 3 smallest
+    custkeys per segment. collect_list order is partition-dependent, so the
+    sort_array makes it reproducible — the rule for ANY array_agg at scale."""
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 3).alias(
+                "first_keys"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )

@@ -410,3 +410,27 @@ def q_join_asof(spark, sf_dir):
             r6(F.avg(gap_s)).alias("avg_gap_s"),
         )
     )
+
+
+_CORR_SQL = """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS rich_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    GROUP BY n_name
+"""
+
+
+@query("q_join_corr_subquery", oracle=_CORR_SQL)
+def q_join_corr_subquery(spark, sf_dir):
+    """Correlated scalar subquery: customers above their own nation's average
+    balance. Catalyst decorrelates this into an aggregate + join (no
+    per-row re-execution — the reference would need a second full MapReduce
+    pass to materialize the averages). Identical SQL text runs on both
+    engines via the registered views."""
+    from mapreduce_machine_learning_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SQL)

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import r6
-from mapreduce_machine_learning_spark.functions import cosine, l2norm
+from mapreduce_machine_learning_spark.functions import cosine, dot, l2norm
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
 
@@ -254,7 +254,10 @@ def q_llm_sim_threshold(spark, sf_dir):
     contract threshold is 0.3, not SURVEY's 0.9: the synthetic embeddings
     are not label-clustered (max within-label cosine ≈ 0.47), so 0.9 selects
     nothing. 100 TB path: replace the label block with LSH/IVF buckets."""
-    emb = T(spark, sf_dir, "embeddings")
+    # precompute each vector's norm ONCE (n rows) instead of per pair
+    # (n² evaluations) — at 2000 vectors this halves the array work and at
+    # real scale it is the difference between O(n·d) and O(n²·d) norm math
+    emb = T(spark, sf_dir, "embeddings").withColumn("norm", l2norm("embedding"))
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = a.join(
@@ -262,7 +265,7 @@ def q_llm_sim_threshold(spark, sf_dir):
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = cosine("a.embedding", "b.embedding")
+    cos = dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
     return (
         pairs.select(F.col("a.label").alias("label"), cos.alias("cos"))
         .filter(F.col("cos") > 0.3)

@@ -72,3 +72,35 @@ def test_foreach_batch_sees_all_rows(spark):
     seen = run_foreach_batch(spark, ev)
     total = sum(n for _, n in seen)
     assert total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_update_mode_final_state_equals_batch(spark):
+    # update mode re-emits a window row each time it changes; with one
+    # availableNow batch there is exactly one emission per window, which
+    # must equal the batch aggregate
+    live_raw = run_to_memory(
+        spark,
+        tumbling_agg(events_stream(spark, SF_DIR), watermark="1 hour"),
+        "tumble_update",
+        "update",
+    )
+    # single availableNow batch → one emission per changed window
+    assert _rows(live_raw) == _rows(_batch_tumble(spark))
+
+
+def test_sliding_window_live_equals_batch(spark):
+    ev = events_stream(spark, SF_DIR)
+    live = run_to_memory(
+        spark,
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        "slide_complete",
+        "complete",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert _rows(live) == _rows(batch)

@@ -1,0 +1,80 @@
+"""Connected components over a pair list — the step that turns near-duplicate
+PAIRS into dedup GROUPS (one survivor per component).
+
+Algorithm: iterative minimum-label propagation (a DataFrame-native
+union-find). Each round every node adopts the smallest component id among
+itself and its neighbours; convergence in O(diameter) rounds. Duplicate
+clusters have tiny diameters (usually 1–2), so this is 2–3 shuffles in
+practice — the same driver-loop-over-cached-frames shape as the iterative ML
+algorithms (ml_iterative.py).
+
+Scale notes: each round is one join on the edge list + one min-agg, both
+shuffled on node id; checkpoint/localCheckpoint every few rounds if the plan
+lineage grows (the loop materializes with .cache() + count). For
+billion-edge graphs use the large-star/small-star variant (fewer rounds,
+same primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(src, dst) undirected pairs → (node, component) with component = the
+    minimum node id reachable. Converges early when labels stop changing."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()  # truncates lineage: each round replans from here,
+        # not from the full history of prior rounds (which overflows the
+        # planner stack after ~10 iterations)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    all_ids: DataFrame, id_col: str, edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Keep one survivor (the minimum id) per near-dup component; ids with no
+    edges survive unconditionally. Returns the surviving id set."""
+    comps = connected_components(edges, src, dst)
+    dropped = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return all_ids.select(id_col).subtract(dropped)

@@ -224,6 +224,13 @@ def q_llm_neardup_pairs(spark, sf_dir):
     )
 
 
+# the near-dup oracle SQL (just registered above), reused verbatim as the
+# edge-list CTE of the q_graph_components oracle
+from mapreduce_machine_learning_spark.registry import _ORACLES as _registered_oracles  # noqa: E402
+
+_QUERIES_NEARDUP_SQL = _registered_oracles["q_llm_neardup_pairs"]
+
+
 @query(
     "q_llm_sim_threshold",
     oracle="""
@@ -424,3 +431,58 @@ def _register_llm_knn() -> None:
 
 
 _register_llm_knn()
+
+
+_NEARDUP_SQL = None  # set lazily below to avoid forward-reference clutter
+
+
+def _neardup_oracle_sql():
+    from mapreduce_machine_learning_spark.registry import _ORACLES
+
+    return _ORACLES["q_llm_neardup_pairs"]
+
+
+@query(
+    "q_graph_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_QUERIES_NEARDUP_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_a, doc_a FROM pairs
+        UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY src),
+    sizes AS (
+        SELECT comp, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY comp
+    )
+    SELECT component_size, CAST(COUNT(*) AS BIGINT) AS num_components
+    FROM sizes GROUP BY component_size
+    """,
+)
+def q_graph_components(spark, sf_dir):
+    """Near-duplicate components: fold the verified near-dup pairs into
+    connected components (the survivor-selection step real dedup pipelines
+    run after pair generation) and report the component-size histogram.
+    Spark side: iterative minimum-label propagation over cached/checkpointed
+    DataFrames (functions.graph) — the same driver-loop shape as the ML
+    algorithms; oracle side: a recursive transitive-closure CTE. Two very
+    different execution strategies, identical fixpoint."""
+    from mapreduce_machine_learning_spark.functions.graph import (
+        connected_components,
+    )
+
+    pairs = q_llm_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("num_components")
+    )

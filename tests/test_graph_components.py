@@ -1,0 +1,50 @@
+"""Connected-components / dedup-survivor correctness: hand-built graphs with
+known components, a chain (worst-case diameter), and the real MinHash
+near-dup pairs at sf0.001."""
+
+from mapreduce_machine_learning_spark.functions.graph import (
+    connected_components,
+    dedup_survivors,
+)
+from mapreduce_machine_learning_spark.io import load_table
+from mapreduce_machine_learning_spark.operators.llm import q_llm_neardup_pairs
+from tests.conftest import SF_DIR
+
+
+def _comps(spark, pairs):
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = connected_components(edges)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _comps(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges(spark):
+    # a path graph stresses propagation depth: 0-1-2-...-9
+    got = _comps(spark, [(i, i + 1) for i in range(9)])
+    assert set(got.values()) == {0}
+    assert len(got) == 10
+
+
+def test_star_and_self_loop(spark):
+    got = _comps(spark, [(5, 1), (5, 2), (5, 3), (7, 7)])
+    assert got[1] == got[2] == got[3] == got[5] == 1
+    assert got[7] == 7
+
+
+def test_dedup_survivors_on_minhash_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = q_llm_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    survivors = dedup_survivors(docs, "doc_id", pairs)
+    n_docs = docs.count()
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_docs
+    # every dropped doc is the non-minimum member of some pair component
+    dropped = n_docs - n_surv
+    distinct_in_pairs = (
+        pairs.select("doc_a").union(pairs.select("doc_b")).distinct().count()
+    )
+    assert dropped < distinct_in_pairs  # at least one survivor per component

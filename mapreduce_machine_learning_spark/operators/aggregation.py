@@ -336,3 +336,20 @@ def q_agg_collect(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+@query("q_agg_approx_percentile")  # rows-only: sketch is engine-specific
+def q_agg_approx_percentile(spark, sf_dir):
+    """percentile_approx — the 100 TB twin of q_agg_percentile: a mergeable
+    quantile sketch (Greenwald-Khanna) instead of a per-group sort, so it
+    composes with partial aggregation like any algebraic function. Sketch
+    internals are engine-specific → rows-only check (like q_agg_approx)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            r6(
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
+            ).alias("p50_approx"),
+        )
+    )

@@ -74,18 +74,24 @@ def _signatures(spark, sf_dir):
 
 def _bands(spark, sf_dir):
     """(doc_id, band_id, band_key): band key = md5 of its 4 concatenated
-    signature rows."""
+    signature rows. One posexplode over an array of the 4 band keys — a
+    single pass over the signature aggregate (the earlier 4-way union of
+    projections made Spark re-run the 16-min aggregation once per band)."""
     sigs = _signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(c) for c in cols])).alias("band_key"),
+    band_keys = [
+        F.md5(
+            F.concat(
+                *[
+                    F.col(f"sig{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ]
+            )
         )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key")
+    )
 
 
 _SIG_SQL = ",\n               ".join(

@@ -353,3 +353,36 @@ def q_agg_approx_percentile(spark, sf_dir):
             ).alias("p50_approx"),
         )
     )
+
+
+@query(
+    "q_agg_unpivot",
+    oracle="""
+    SELECT l_returnflag, measure, ROUND(SUM(val), 0) AS total
+    FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+)
+def q_agg_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): wide measures become (measure, value) rows —
+    DataFrame.unpivot generates the rows in one Expand pass over a single
+    scan, where the oracle's UNION ALL formulation scans three times."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .unpivot(
+            "l_returnflag",
+            ["l_quantity", "l_extendedprice", "l_tax"],
+            "measure",
+            "val",
+        )
+        .withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+        .groupBy("l_returnflag", "measure")
+        .agg(r0(F.sum("val")).alias("total"))
+    )

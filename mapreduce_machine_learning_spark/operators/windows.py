@@ -57,31 +57,40 @@ def q_win_rank(spark, sf_dir):
         SELECT user_id,
                date_diff('microsecond',
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                         ts) / 1000000.0 AS gap_s
+                         ts) / 1000000.0 AS gap_s,
+               date_diff('microsecond', ts,
+                         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         ) / 1000000.0 AS next_s
         FROM events
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS events,
            CAST(COUNT(gap_s) AS BIGINT) AS gaps,
-           ROUND(AVG(gap_s), 6) AS avg_gap_s
+           ROUND(AVG(gap_s), 6) AS avg_gap_s,
+           ROUND(AVG(next_s), 6) AS avg_next_s
     FROM g GROUP BY user_id
     """,
 )
 def q_win_lag(spark, sf_dir):
-    """lag(): per-user inter-event gaps; the first event of each user has a
-    NULL gap (counted via the events-vs-gaps difference)."""
+    """lag()/lead(): per-user gap to the previous and next event; the first
+    event of each user has a NULL lag gap (counted via the events-vs-gaps
+    difference), the last a NULL lead gap."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = (
         F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     ) / 1000000.0
+    next_s = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ) / 1000000.0
     return (
         T(spark, sf_dir, "events")
-        .select("user_id", gap_s.alias("gap_s"))
+        .select("user_id", gap_s.alias("gap_s"), next_s.alias("next_s"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("events"),
             F.count("gap_s").alias("gaps"),
             r6(F.avg("gap_s")).alias("avg_gap_s"),
+            r6(F.avg("next_s")).alias("avg_next_s"),
         )
     )
 

@@ -337,3 +337,64 @@ def q_map_json(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         r6(F.avg(k)).alias("avg_k"),
     )
+
+
+@query(
+    "q_str_fuzzy",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT substr(a.p_name, 1, 1) AS block,
+           CAST(COUNT(*) AS BIGINT) AS close_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+    FROM names a JOIN names b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY block
+    """,
+)
+def q_str_fuzzy(spark, sf_dir):
+    """Fuzzy string matching: name pairs within edit distance 3, blocked on
+    the first character — string-level near-dup detection (catches typo
+    variants that hash-based dedup misses). The blocking key is the same
+    candidate-pruning idea as LSH banding: compare within blocks, never all
+    pairs. Spark and DuckDB implement the same Levenshtein metric."""
+    names = T(spark, sf_dir, "part").select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    an, bn = F.col("a.p_name"), F.col("b.p_name")
+    dist = F.levenshtein(an, bn)
+    return (
+        a.join(
+            b,
+            (F.substring(an, 1, 1) == F.substring(bn, 1, 1)) & (an < bn),
+        )
+        .filter(dist <= 3)
+        .groupBy(F.substring(an, 1, 1).alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("close_pairs"),
+            F.min(dist).cast("bigint").alias("min_dist"),
+        )
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.08) AS any_big_discount,
+           CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates + filtered count: every/any/count-where — the
+    predicate-summary idioms (data-quality assertions at scale are exactly
+    these, pushed into one aggregation pass)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.08).alias("any_big_discount"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("tax_free"),
+    )

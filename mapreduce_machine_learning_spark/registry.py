@@ -52,6 +52,38 @@ def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
 
+_SQL_KEYWORDS = {
+    "JOIN", "CROSS", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "WHERE",
+    "GROUP", "ORDER", "ON", "UNION", "LIMIT", "HAVING", "WINDOW", "USING",
+    "AND", "OR", "SELECT", "FROM", "AS",
+}
+
+_EVENTS_WRAPPED = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)"
+
+
+def _harden_events_ts(sql: str) -> str:
+    """Wrap every ``events`` table reference in an inline ns→µs cast.
+
+    The engine-side loader truncates events.ts to microseconds
+    (``ts DIV 1000`` — SURVEY §1.2). The oracle must see the same instants,
+    but whether the *driver's* pre-registered DuckDB view already casts
+    ``ts::TIMESTAMP`` is outside our control: if it does, this wrapper is a
+    no-op; if the view keeps TIMESTAMP_NS, the wrapper restores parity
+    (sub-µs residue otherwise flips gap/range/session boundary
+    comparisons). Applied uniformly at the oracle_sql() boundary so query
+    modules stay readable."""
+    import re
+
+    def repl(m: re.Match) -> str:
+        kw, alias = m.group(1), m.group(2)
+        if alias and alias.upper() not in _SQL_KEYWORDS:
+            return f"{kw} {_EVENTS_WRAPPED} AS {alias}"
+        tail = f" {alias}" if alias else ""
+        return f"{kw} {_EVENTS_WRAPPED} AS events{tail}"
+
+    return re.sub(r"\b(FROM|JOIN)\s+events\b(?:\s+(?:AS\s+)?(\w+))?", repl, sql)
+
+
 def all_oracles() -> dict[str, str]:
     _load_operator_modules()
-    return dict(_ORACLES)
+    return {name: _harden_events_ts(sql) for name, sql in _ORACLES.items()}

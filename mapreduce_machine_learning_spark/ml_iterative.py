@@ -247,3 +247,93 @@ def mllib_tfidf_top_terms(df: DataFrame, num_features: int = 1 << 14) -> DataFra
     words = tf.transform(tok.transform(df))
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(words)
     return idf.transform(words).select("doc_id", "tfidf")
+
+
+# ------------------------------------------------------------ inference side
+def logreg_predict(df: DataFrame, w: "np.ndarray", feature_cols: list[str]) -> DataFrame:
+    """Score rows with fitted logistic weights: adds p (σ(wᵀx)) and pred
+    (p >= 0.5). Weights fold into the plan as literals — pure codegen, no
+    Python per row."""
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    z = sum(float(wi) * fi for wi, fi in zip(w, feats))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn("p", p).withColumn("pred", (p >= 0.5).cast("int"))
+
+
+def gaussian_nb_predict(
+    df: DataFrame, params: dict, feature_col: str, out_col: str = "pred"
+) -> DataFrame:
+    """Classify rows with fitted Gaussian NB parameters: argmax over classes
+    of log prior + log N(x; μ, σ²), built as a greatest-of-expressions chain
+    (ties → lexicographically smallest class for determinism)."""
+    x = F.col(feature_col).cast("double")
+    scores = {}
+    for cls in sorted(params):
+        prior, mu, var = params[cls]
+        scores[cls] = (
+            F.lit(math.log(prior))
+            - F.lit(0.5 * math.log(2 * math.pi * var))
+            - F.pow(x - mu, 2) / (2.0 * var)
+        )
+    classes = sorted(scores)
+    pred = F.lit(classes[0])
+    best = scores[classes[0]]
+    for cls in classes[1:]:
+        pred = F.when(scores[cls] > best, cls).otherwise(pred)
+        best = F.when(scores[cls] > best, scores[cls]).otherwise(best)
+    return df.withColumn(out_col, pred)
+
+
+def kmeans_assign(
+    df: DataFrame, feature_cols: list[str], centroids: list[tuple[float, ...]]
+) -> DataFrame:
+    """Assign each row to its nearest centroid (lowest id wins ties) — the
+    transform step of kmeans_fit, reusable on unseen data."""
+    dists = [
+        sum(
+            (F.col(c).cast("double") - ci) * (F.col(c).cast("double") - ci)
+            for c, ci in zip(feature_cols, cent)
+        )
+        for cent in centroids
+    ]
+    assign = F.lit(0)
+    best = dists[0]
+    for i in range(1, len(dists)):
+        assign = F.when(dists[i] < best, i).otherwise(assign)
+        best = F.when(dists[i] < best, dists[i]).otherwise(best)
+    return df.withColumn("cluster", assign)
+
+
+def accuracy(df: DataFrame, label_col: str, pred_col: str) -> float:
+    """Fraction of rows where prediction equals label — one aggregation."""
+    row = df.agg(
+        F.avg((F.col(label_col) == F.col(pred_col)).cast("double")).alias("acc")
+    ).collect()[0]
+    return float(row["acc"])
+
+
+# ---------------------------------------------------------- model persistence
+def save_model(params: dict, path: str) -> None:
+    """Persist fitted parameters as JSON — the engine's analogue of the
+    reference writing model files to HDFS between jobs. numpy arrays and
+    tuples serialize as lists."""
+    import json
+
+    def conv(v):
+        if isinstance(v, np.ndarray):
+            return list(map(float, v))
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        if isinstance(v, dict):
+            return {str(k): conv(x) for k, x in v.items()}
+        return v
+
+    with open(path, "w") as f:
+        json.dump(conv(params), f)
+
+
+def load_model(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return json.load(f)

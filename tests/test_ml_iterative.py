@@ -126,3 +126,65 @@ def test_mllib_tfidf_pipeline(spark):
     v = rows[0]["tfidf"]
     assert v.numNonzeros() > 0
     assert all(x >= 0 for x in v.values)
+
+
+def test_logreg_predict_and_accuracy(spark):
+    df = load_table(spark, SF_DIR, "events").select(
+        (F.col("value") / 100.0).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = mli.logreg_gd(df, ["x"], "y", lr=0.5, iters=5)
+    scored = mli.logreg_predict(df, w, ["x"])
+    acc = mli.accuracy(scored, "y", "pred")
+    base_rate = df.agg(F.avg("y")).collect()[0][0]
+    # purchase is ~20% of events; predicting majority class achieves 1-rate,
+    # the fitted model must do at least that well
+    assert acc >= 1.0 - base_rate - 1e-9
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_gaussian_nb_predict_matches_numpy(spark, events_pdf):
+    df = load_table(spark, SF_DIR, "events")
+    params = mli.gaussian_nb_fit(df, "event_type", "value")
+    scored = mli.gaussian_nb_predict(df.select("event_type", "value"), params, "value")
+    got = [(r["value"], r["pred"]) for r in scored.collect()]
+
+    import math as m
+
+    classes = sorted(params)
+    def np_pred(x):
+        best, best_s = None, None
+        for cls in classes:
+            prior, mu, var = params[cls]
+            s = m.log(prior) - 0.5 * m.log(2 * m.pi * var) - (x - mu) ** 2 / (2 * var)
+            if best_s is None or s > best_s:
+                best, best_s = cls, s
+        return best
+    for x, pred in got[:500]:
+        assert pred == np_pred(x)
+
+
+def test_kmeans_assign_partitions_all_rows(spark):
+    init = [(50.0, 6.0), (100.0, 12.0), (150.0, 18.0)]
+    df = load_table(spark, SF_DIR, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    cents, _ = mli.kmeans_fit(df, ["value", "hr"], init, iters=3)
+    assigned = mli.kmeans_assign(df, ["value", "hr"], cents)
+    counts = {r["cluster"]: r["count"] for r in assigned.groupBy("cluster").count().collect()}
+    assert sum(counts.values()) == df.count()
+    assert set(counts) <= {0, 1, 2}
+
+
+def test_model_save_load_roundtrip(tmp_path, spark):
+    df = load_table(spark, SF_DIR, "events")
+    params = mli.gaussian_nb_fit(df, "event_type", "value")
+    p = str(tmp_path / "nb.json")
+    mli.save_model(params, p)
+    back = mli.load_model(p)
+    assert set(back) == set(params)
+    for cls in params:
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(params[cls], back[cls])
+        )

@@ -55,21 +55,40 @@ def q_llm_dedup_exact(spark, sf_dir):
 
 
 def _doc_tokens(spark, sf_dir):
-    """Distinct (doc_id, token) pairs — the shingle set for MinHash."""
+    """Distinct (doc_id, token) pairs — the shingle set for Jaccard.
+    Repartitioned up front for the same single-input-split reason as
+    _signatures: the downstream token-equality joins are the expensive part
+    and must not run on one core."""
     return (
         T(spark, sf_dir, "documents")
+        .repartition(64, F.col("doc_id"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
 
 
 def _signatures(spark, sf_dir):
-    """doc_id → 16 MinHash signatures: sig_i = MIN(md5('sNN|' || token))."""
+    """doc_id → 16 MinHash signatures: sig_i = MIN(md5('sNN|' || token)).
+
+    Deliberately aggregates RAW exploded tokens, not the distinct set: MIN is
+    idempotent under duplicates, so the result is identical and the
+    (doc, token) distinct — a full extra shuffle — is skipped. The Jaccard
+    path (_doc_tokens) still deduplicates, since set sizes matter there."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(s + "|"), F.col("token")))).alias(f"sig{i}")
         for i, s in enumerate(SEEDS)
     ]
-    return _doc_tokens(spark, sf_dir).groupBy("doc_id").agg(*aggs)
+    # repartition by doc_id BEFORE the hash work: the documents file is small
+    # enough to arrive as one input split, which would serialize ~16·tokens
+    # md5 computations onto one core. The shuffle moves only the raw docs,
+    # spreads the md5-heavy explode across the cluster, and already satisfies
+    # the groupBy(doc_id) partitioning (no second exchange).
+    raw = (
+        T(spark, sf_dir, "documents")
+        .repartition(64, F.col("doc_id"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    return raw.groupBy("doc_id").agg(*aggs)
 
 
 def _bands(spark, sf_dir):

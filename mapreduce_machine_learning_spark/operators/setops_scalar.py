@@ -398,3 +398,39 @@ def q_agg_bool(spark, sf_dir):
         F.bool_or(F.col("l_discount") > 0.08).alias("any_big_discount"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("tax_free"),
     )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT lang,
+           ROUND(AVG(len(list_filter(string_split(text, ' '),
+                                     t -> length(t) > 4))), 6)
+               AS avg_long_tokens,
+           ROUND(AVG(list_sum(list_transform(string_split(text, ' '),
+                                             t -> CAST(length(t) AS BIGINT)))),
+                 6) AS avg_token_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_array_hof(spark, sf_dir):
+    """Higher-order array functions with lambdas: filter (long tokens),
+    transform+aggregate (total token chars) — all JVM-side codegen over the
+    array column, the pattern every vector/text kernel in this engine builds
+    on. Both engines execute structurally identical lambda expressions."""
+    toks = F.split("text", " ")
+    long_tokens = F.size(F.filter(toks, lambda t: F.length(t) > 4))
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            r6(F.avg(long_tokens)).alias("avg_long_tokens"),
+            r6(F.avg(token_chars)).alias("avg_token_chars"),
+        )
+    )

@@ -101,3 +101,35 @@ def test_running_sum_last_equals_group_total(spark, data):
     j = {r["k"]: r["final"] for r in last.collect()}
     for r in totals.collect():
         assert j[r["k"]] == r["total"]
+
+
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    drop=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_minhash_signature_monotone_under_token_removal(spark, tokens, drop):
+    # removing tokens from a document can only raise (or keep) each MinHash
+    # signature: min over a subset >= min over the superset, element-wise.
+    from mapreduce_machine_learning_spark.operators.llm import SEEDS
+
+    keep = tokens[: max(1, len(tokens) - drop)]
+    df = spark.createDataFrame(
+        [(0, " ".join(tokens)), (1, " ".join(keep))], "doc_id long, text string"
+    )
+    toks = df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s + "|"), F.col("token")))).alias(f"sig{i}")
+        for i, s in enumerate(SEEDS)
+    ]
+    sigs = {r["doc_id"]: r for r in toks.groupBy("doc_id").agg(*aggs).collect()}
+    full, sub = sigs[0], sigs[1]
+    for i in range(len(SEEDS)):
+        assert sub[f"sig{i}"] >= full[f"sig{i}"]

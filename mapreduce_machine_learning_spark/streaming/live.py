@@ -100,3 +100,34 @@ def run_foreach_batch(spark: SparkSession, sdf: DataFrame) -> list[tuple[int, in
     )
     q.awaitTermination()
     return seen
+
+
+def range_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join: pairs of events of the same user within 5
+    minutes — the live twin of q_join_range. Both sides carry watermarks so
+    the join state is bounded: a left row can be evicted once the right
+    watermark passes its ts + 5 minutes (Spark derives the state cleanup
+    bound from the interval condition)."""
+    left = (
+        events_stream(spark, sf_dir)
+        .select(F.col("user_id").alias("u1"), F.col("ts").alias("ts1"))
+        .withWatermark("ts1", "10 minutes")
+    )
+    right = (
+        events_stream(spark, sf_dir)
+        .select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"))
+        .withWatermark("ts2", "10 minutes")
+    )
+    return left.join(
+        right,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES")),
+    )
+
+
+def dedup_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first event per user survives
+    (dropDuplicates on the key — state holds one entry per distinct user;
+    in production bound it with dropDuplicatesWithinWatermark)."""
+    return events_stream(spark, sf_dir).dropDuplicates(["user_id"])

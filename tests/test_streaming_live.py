@@ -104,3 +104,50 @@ def test_sliding_window_live_equals_batch(spark):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert _rows(live) == _rows(batch)
+
+
+def test_stream_stream_range_join_equals_batch(spark):
+    from mapreduce_machine_learning_spark.streaming.live import range_join_stream
+
+    # stream-stream joins emit only in append mode; fold counts driver-side
+    live_pairs = run_to_memory(
+        spark,
+        range_join_stream(spark, SF_DIR),
+        "range_join_live",
+        "append",
+    )
+    from collections import Counter
+
+    live_counts = Counter(r["u1"] for r in live_pairs.collect())
+    ev = load_table(spark, SF_DIR, "events")
+    e1 = ev.select(F.col("user_id").alias("u1"), F.col("ts").alias("ts1"))
+    e2 = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"))
+    batch = (
+        e1.join(
+            e2,
+            (F.col("u1") == F.col("u2"))
+            & (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy("u1")
+        .count()
+    )
+    batch_counts = {r["u1"]: r["count"] for r in batch.collect()}
+    assert dict(live_counts) == batch_counts
+
+
+def test_streaming_dedup_keeps_one_row_per_user(spark):
+    from mapreduce_machine_learning_spark.streaming.live import dedup_users_stream
+
+    live = run_to_memory(
+        spark,
+        dedup_users_stream(spark, SF_DIR).select("user_id"),
+        "dedup_live",
+        "append",
+    )
+    got = sorted(r["user_id"] for r in live.collect())
+    want = sorted(
+        r["user_id"]
+        for r in load_table(spark, SF_DIR, "events").select("user_id").distinct().collect()
+    )
+    assert got == want

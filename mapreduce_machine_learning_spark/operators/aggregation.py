@@ -386,3 +386,27 @@ def q_agg_unpivot(spark, sf_dir):
         .groupBy("l_returnflag", "measure")
         .agg(r0(F.sum("val")).alias("total"))
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest,
+           ROUND(MAX(c_acctbal), 6) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """max_by/min_by (argmax aggregates) — fetch the witness row's column in
+    the same pass instead of a self-join back on the max. Account balances
+    are distinct at this scale, so the witness is unique and deterministic;
+    with ties you'd add a tie-break column to the ordering value."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        r6(F.max("c_acctbal")).alias("max_bal"),
+    )

@@ -446,3 +446,28 @@ def q_join_corr_subquery(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, top_s.s_name, ROUND(top_s.s_acctbal, 6) AS s_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT s_name, s_acctbal
+        FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name
+        LIMIT 1
+    ) AS top_s
+"""
+
+
+@query("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark, sf_dir):
+    """LATERAL join: for each nation, its top supplier by balance — a
+    correlated per-row subquery that Catalyst decorrelates into a window
+    rank + join (no per-row re-execution). Identical SQL both engines;
+    nations without suppliers drop out (inner lateral)."""
+    from mapreduce_machine_learning_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

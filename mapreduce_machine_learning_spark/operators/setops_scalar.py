@@ -434,3 +434,40 @@ def q_array_hof(spark, sf_dir):
             r6(F.avg(token_chars)).alias("avg_token_chars"),
         )
     )
+
+
+@query(
+    "q_str_funcs2",
+    oracle="""
+    SELECT split_part(p_name, ' ', 1) AS adjective,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(lpad(p_brand, 10, '_')) AS min_lpad,
+           MAX(rpad(p_type, 12, '.')) AS max_rpad,
+           MIN(reverse(p_name)) AS min_reversed,
+           MIN(left(p_name, 3)) AS min_left3,
+           MAX(right(p_name, 3)) AS max_right3
+    FROM part
+    GROUP BY adjective
+    """,
+)
+def q_str_funcs2(spark, sf_dir):
+    """Second string sweep: split_part / lpad / rpad / reverse / left /
+    right — same 1-based, same padding semantics on both engines."""
+    p = T(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adjective"),
+            "p_name",
+            "p_brand",
+            "p_type",
+        )
+        .groupBy("adjective")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.lpad("p_brand", 10, "_")).alias("min_lpad"),
+            F.max(F.rpad("p_type", 12, ".")).alias("max_rpad"),
+            F.min(F.reverse("p_name")).alias("min_reversed"),
+            F.min(F.substring("p_name", 1, 3)).alias("min_left3"),
+            F.max(F.substring(F.col("p_name"), -3, 3)).alias("max_right3"),
+        )
+    )

@@ -304,3 +304,39 @@ def q_topk_pergroup(spark, sf_dir):
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           LAG(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+               AS lag2_key
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_nth(spark, sf_dir):
+    """nth_value over the full-partition frame (the 2nd-biggest order per
+    customer) alongside an offset lag — DISTINCT folds the per-row window
+    results to one row per (custkey, second, lag2) combination."""
+    order = (F.desc("o_totalprice"), "o_orderkey")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(*order)
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+            F.lag("o_orderkey", 2).over(w_seq).alias("lag2_key"),
+        )
+        .distinct()
+    )

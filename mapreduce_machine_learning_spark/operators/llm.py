@@ -511,3 +511,46 @@ def q_graph_components(spark, sf_dir):
     return sizes.groupBy("component_size").agg(
         F.count(F.lit(1)).alias("num_components")
     )
+
+
+@query(
+    "q_llm_mixture",
+    oracle="""
+    WITH thresholds AS (
+        SELECT lang, doc_id,
+               CASE lang WHEN 'en' THEN '80000000'
+                         WHEN 'zh' THEN 'g'
+                         ELSE 'c0000000' END AS thr,
+               substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+           ROUND(AVG(CASE WHEN u < thr THEN 1.0 ELSE 0.0 END), 6) AS rate
+    FROM thresholds
+    GROUP BY lang
+    """,
+)
+def q_llm_mixture(spark, sf_dir):
+    """Deterministic training-mixture sampling: keep a doc iff the first 8
+    hex chars of md5('mix|' || doc_id) sort below a per-language threshold —
+    en downsampled to 50%, zh kept at 100% ('g' upper-bounds every hex
+    string), the rest at 75%. Fixed-width lowercase hex compares
+    lexicographically as numerically, so the uniform draw needs no numeric
+    conversion and is identical on any engine — the rand()-free way to
+    reweight a 100 TB corpus reproducibly (resampling a shard gives the
+    same selection)."""
+    d = T(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", "80000000")
+        .when(F.col("lang") == "zh", "g")
+        .otherwise("c0000000")
+    )
+    u = F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8)
+    keep = (u < thr).cast("double")
+    return d.select("lang", keep.alias("keep")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("keep").cast("bigint")).alias("sampled"),
+        r6(F.avg("keep")).alias("rate"),
+    )

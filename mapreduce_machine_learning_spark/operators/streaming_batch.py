@@ -179,3 +179,59 @@ def q_stream_latedata(spark, sf_dir):
         .groupBy(bucket.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("dropped"))
     )
+
+
+@query(
+    "q_stream_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL '1 hour')) AS window_start
+        FROM bounds
+    ),
+    actual AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY window_start
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS hours,
+           CAST(SUM(CASE WHEN a.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS empty_hours,
+           CAST(SUM(COALESCE(a.cnt, 0)) AS BIGINT) AS purchases
+    FROM grid g LEFT JOIN actual a ON g.window_start = a.window_start
+    """,
+)
+def q_stream_gapfill(spark, sf_dir):
+    """Gap filling: generate the complete hourly grid between the first and
+    last event (sequence + explode), left-join actual per-hour purchase
+    counts, and report how many hours had none — time-series densification,
+    the step dashboards and forecasting inputs need because absent rows are
+    not zero rows. The grid generates from one aggregated row, so the only
+    real cost is the left join against the hourly aggregate."""
+    ev = T(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    g = grid.join(actual, "window_start", "left")
+    return g.agg(
+        F.count(F.lit(1)).alias("hours"),
+        F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("empty_hours"),
+        F.sum(F.coalesce("cnt", F.lit(0))).alias("purchases"),
+    )

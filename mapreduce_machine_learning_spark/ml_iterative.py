@@ -337,3 +337,36 @@ def load_model(path: str) -> dict:
 
     with open(path) as f:
         return json.load(f)
+
+
+def knn_classify(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """k-NN classification: majority label among the k nearest neighbours by
+    cosine similarity (ties → smallest label). The reference's k-NN job:
+    map computes distances, reduce keeps the k best — here TakeOrdered keeps
+    per-partition top-k heaps and the driver tallies k rows. Returns
+    (predicted_label, [(id, label, cos), ...])."""
+    from collections import Counter
+
+    from mapreduce_machine_learning_spark.functions import cosine
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    top = (
+        emb.select(
+            id_col,
+            label_col,
+            cosine(vec_col, q).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+        .collect()
+    )
+    votes = Counter(r[label_col] for r in top)
+    best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    return best, [(r[id_col], r[label_col], r["cos"]) for r in top]

@@ -188,3 +188,27 @@ def test_model_save_load_roundtrip(tmp_path, spark):
         assert all(
             abs(a - b) < 1e-12 for a, b in zip(params[cls], back[cls])
         )
+
+
+def test_knn_classify_matches_numpy(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    query = list(rows[7]["embedding"])
+
+    pred, neighbours = mli.knn_classify(emb, query, k=10)
+    assert len(neighbours) == 10
+
+    # numpy mirror
+    import numpy as np
+    from collections import Counter
+
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    qv = np.array(query, dtype=np.float64)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:10]
+    votes = Counter(labels[i] for i in order)
+    want = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert pred == want
+    assert [n[0] for n in neighbours] == [int(ids[i]) for i in order]

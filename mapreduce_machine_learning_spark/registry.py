@@ -42,6 +42,7 @@ def _load_operator_modules() -> None:
         setops_scalar,
         streaming_batch,
         text_analysis,
+        tpch,
         udf,
         windows,
     )

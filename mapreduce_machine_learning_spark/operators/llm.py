@@ -514,6 +514,100 @@ def q_graph_components(spark, sf_dir):
 
 
 @query(
+    "q_llm_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 60)
+        WHERE len(toks) >= 3
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_sh
+        FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS DOUBLE) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+    ORDER BY ROUND(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) DESC,
+             i.doc_a, i.doc_b
+    LIMIT 500
+    """,
+)
+def q_llm_ngram_jaccard(spark, sf_dir):
+    """Word-trigram (shingle) Jaccard near-dup — the n-gram flavor of dedup,
+    stricter than token-set Jaccard because shingles encode local word ORDER
+    (two docs with the same vocabulary but shuffled sentences share tokens
+    but few trigrams). Shingling is a pure JVM higher-order expression
+    (transform over sequence — no explode-then-window shuffle, no Python).
+
+    EXPLICIT BLOCK: exact all-pairs over the doc_id<60 block (~1.7k pairs) —
+    the exact baseline twin; the scale path applies the same shingle sets
+    through the MinHash/LSH banding of q_llm_minhash (signatures over
+    shingles instead of tokens, identical plan shape)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = docs.withColumn("toks", F.split("text", " ")).filter(
+        F.size("toks") >= 3
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(500)
+    )
+
+
+@query(
     "q_llm_mixture",
     oracle="""
     WITH thresholds AS (

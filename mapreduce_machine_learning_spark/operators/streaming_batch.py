@@ -235,3 +235,47 @@ def q_stream_gapfill(spark, sf_dir):
         F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("empty_hours"),
         F.sum(F.coalesce("cnt", F.lit(0))).alias("purchases"),
     )
+
+
+@query(
+    "q_stream_trending",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY window_start, event_type
+    ),
+    ranked AS (
+        SELECT window_start, event_type, cnt,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+        FROM hourly
+    )
+    SELECT window_start, event_type, cnt, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_stream_trending(spark, sf_dir):
+    """Trending events: top-3 event types per 1-hour window (count DESC,
+    event_type tie-break) — the windowed-aggregate + per-window rank
+    composition behind every "trending now" feed. Both stages key on
+    window_start, so the rank reuses the aggregate's partitioning; in live
+    streaming the same plan runs per micro-batch over the windowed state."""
+    ev = T(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt"
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), "event_type"
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -391,3 +391,106 @@ def q_ann_lsh(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)
     )
+
+
+_COS_SQL = """SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"""
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings WHERE vec_id IN (1, 2, 3, 4)
+    ),
+    vc_pairs AS (
+        SELECT v.vec_id, c.cid,
+               UNNEST(v.embedding) AS x, UNNEST(c.cemb) AS y
+        FROM embeddings v CROSS JOIN cent c
+    ),
+    vc AS (
+        SELECT vec_id, cid, ROUND({_COS_SQL}, 6) AS cos
+        FROM vc_pairs GROUP BY vec_id, cid
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM vc)
+        WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cid FROM (
+            SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid) AS rn
+            FROM vc WHERE vec_id = 0)
+        WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+        WHERE a.vec_id <> 0
+    ),
+    fin_pairs AS (
+        SELECT e.vec_id, UNNEST(e.embedding) AS x, UNNEST(q.embedding) AS y
+        FROM embeddings e
+        JOIN cand USING (vec_id),
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    fin AS (
+        SELECT vec_id, ROUND({_COS_SQL}, 6) AS cos_sim
+        FROM fin_pairs GROUP BY vec_id
+    )
+    SELECT vec_id, cos_sim FROM fin
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: a 4-cell inverted-file index with the embeddings of
+    vec_ids 1-4 as fixed coarse centroids (§2.9-style frozen literals —
+    production would train them with the k-means driver in ml_iterative).
+    Every vector is assigned to its argmax-cosine cell (ties → lowest cid,
+    on round-6 cosine so the assignment can't flip on FP noise); the query
+    probes its 2 nearest cells (nprobe=2) and ranks only those candidates.
+
+    Scale shape: assignment is one broadcast-join map pass; writing the
+    table partitioned by cell turns every later query into partition
+    pruning — a ~(n_cells/nprobe)× scan cut, with brute-force q_ml_knn as
+    the exact-recall baseline."""
+    emb = T(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    vc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", r6(cosine("embedding", "cemb")).alias("cos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    assign = (
+        vc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    w_probe = Window.orderBy(F.desc("cos"), "cid")
+    probe = (
+        vc.filter(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("cid").alias("probe_cid"))
+    )
+    cand = (
+        assign.join(F.broadcast(probe), F.col("cid") == F.col("probe_cid"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", r6(cosine("embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

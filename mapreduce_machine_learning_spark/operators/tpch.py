@@ -446,3 +446,200 @@ def q_tpch_q22(spark, sf_dir):
             r6(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 0) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {REVENUE_SQL} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade between NATION_1 and
+    NATION_2 by ship year. The nation table joins twice under different
+    roles (supplier side, customer side) — both broadcast — and the
+    direction disjunction is evaluated after both role joins, exactly the
+    TPC-H shape."""
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(r0(F.sum(revenue())).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0.0 END) / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {REVENUE_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_3's share of AMERICA-region
+    ECONOMY-part revenue per order year. Eight-table join graph; every
+    dimension broadcasts, so the only shuffle is the 2-key final aggregate.
+    The share is a ratio of co-computed sums (magnitude ~1) → round-6."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = revenue()
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(r6(F.sum(nat_vol) / F.sum(vol)).alias("mkt_share"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, ROUND(SUM({REVENUE_SQL}), 0) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum 1997Q1 revenue.
+    The per-supplier aggregate rounds to integers BEFORE the max comparison,
+    so the winning set is identical across engines even when two suppliers'
+    unrounded sums differ only by FP noise. The 1-row max broadcasts back
+    against the tiny aggregate — the fact table is read once."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        r0(F.sum(revenue())).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 0) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS thr
+          FROM lineitem GROUP BY l_partkey) t ON t.pk = l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < thr
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost by dropping
+    orders below 20% of a part's average quantity. The correlated scalar
+    subquery is decorrelated into a per-part aggregate joined back —
+    Catalyst's own strategy for this shape, written explicitly. Quantities
+    are integral doubles, so SUM/COUNT (and hence the 0.2·avg threshold)
+    are FP-exact and the boundary comparison cannot diverge."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, F.col("pk") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            r0(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )

@@ -128,3 +128,87 @@ def media_stats(features: DataFrame) -> DataFrame:
         F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
         F.round(F.avg(l2), 6).alias("avg_l2"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize slot — image libs are absent in this environment."""
+    raise NotImplementedError(
+        "image codec not available in this container; pipeline runs with "
+        "fake_resize (deterministic md5-derived) instead"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: output bytes = md5(payload | WxH)
+    repeated to a length proportional to the target area. Same input and
+    target → same bytes on any partitioning."""
+    h = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
+    return h * max(1, (width * height) // len(h))
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize stage: images/videos re-encoded to a target
+    geometry, audio passed through untouched. Payload-in/payload-out keeps
+    the column opaque, so resize composes with extract_features /
+    sample_frames in one pipeline without schema churn."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            visual = pdf["kind"] != "audio"
+            out = pdf[["media_id", "kind"]].copy()
+            out["payload"] = [
+                fake_resize(p, width, height) if v else p
+                for p, v in zip(pdf["payload"], visual)
+            ]
+            out["width"] = np.where(visual, width, pdf["width"]).astype("int32")
+            out["height"] = np.where(visual, height, pdf["height"]).astype("int32")
+            yield out
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: each video row fans out to ``n_frames``
+    (media_id, frame_idx, frame_payload) rows — the 1→N batch shape of real
+    frame extraction (ffmpeg would fill frame_payload; the deterministic
+    stand-in derives it as md5(payload | idx)). Non-video rows are dropped,
+    and the fan-out happens inside the Arrow batch, so output partitioning
+    follows input partitioning with no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            if vids.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": vids["media_id"].repeat(n_frames),
+                    "frame_idx": list(range(n_frames)) * len(vids),
+                    "frame_payload": [
+                        hashlib.md5(p + f"|{i}".encode()).digest()
+                        for p in vids["payload"]
+                        for i in range(n_frames)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)

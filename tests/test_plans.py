@@ -74,3 +74,39 @@ def test_no_python_udf_outside_udf_surface(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    """The 6-table Q5 graph must resolve every dimension join to
+    broadcast-hash and never fall back to a cartesian product."""
+    from mapreduce_machine_learning_spark.operators.tpch import q_tpch_q5
+
+    df = q_tpch_q5(spark, SF_DIR)
+    plan = assert_in_plan(df, "BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q6_filters_reach_scan(spark):
+    """Q6's ship-date/discount/quantity predicates must push to parquet."""
+    from mapreduce_machine_learning_spark.operators.tpch import q_tpch_q6
+
+    plan = explain_str(q_tpch_q6(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_tpch_q3_topk_take_ordered(spark):
+    from mapreduce_machine_learning_spark.operators.tpch import q_tpch_q3
+
+    assert_in_plan(q_tpch_q3(spark, SF_DIR), "TakeOrderedAndProject")
+
+
+def test_tpch_q4_semi_q22_anti(spark):
+    from mapreduce_machine_learning_spark.operators.tpch import (
+        q_tpch_q4,
+        q_tpch_q22,
+    )
+
+    assert_in_plan(q_tpch_q4(spark, SF_DIR), "LeftSemi")
+    assert_in_plan(q_tpch_q22(spark, SF_DIR), "LeftAnti")

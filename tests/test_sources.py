@@ -12,6 +12,8 @@ from mapreduce_machine_learning_spark.sources.multimodal import (
     extract_features,
     fake_features,
     media_stats,
+    resize_media,
+    sample_frames,
     synth_media,
 )
 from tests.conftest import SF_DIR
@@ -65,3 +67,39 @@ def test_decode_stub_is_explicit():
         decode_image(b"\x00")
     f = fake_features(b"same-bytes")
     assert list(f) == list(fake_features(b"same-bytes"))
+
+
+def test_resize_media_shapes_and_determinism(spark):
+    media = synth_media(spark, 30)
+    out = resize_media(media, 32, 24)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 30
+    for r in rows.values():
+        if r.kind == "audio":
+            assert r.height == 48 + r.media_id  # untouched
+        else:
+            assert (r.width, r.height) == (32, 24)
+            assert len(r.payload) == (32 * 24 // 16) * 16
+    again = {r.media_id: r for r in resize_media(media, 32, 24).collect()}
+    assert all(bytes(again[i].payload) == bytes(rows[i].payload) for i in rows)
+
+
+def test_sample_frames_fanout(spark):
+    media = synth_media(spark, 30)
+    frames = sample_frames(media, n_frames=3)
+    rows = frames.collect()
+    n_videos = sum(1 for r in media.collect() if r.kind == "video")
+    assert len(rows) == 3 * n_videos
+    assert {r.frame_idx for r in rows} == {0, 1, 2}
+    # frames chain into the declarative plan: count per media over the
+    # binary column works without Python
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
+
+
+def test_resize_then_frames_compose(spark):
+    media = synth_media(spark, 12)
+    frames = sample_frames(resize_media(media, 16, 16), n_frames=2)
+    assert frames.count() == 2 * sum(
+        1 for r in media.collect() if r.kind == "video"
+    )

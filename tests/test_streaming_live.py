@@ -151,3 +151,28 @@ def test_streaming_dedup_keeps_one_row_per_user(spark):
         for r in load_table(spark, SF_DIR, "events").select("user_id").distinct().collect()
     )
     assert got == want
+
+
+def test_trending_live_equals_batch(spark):
+    """q_stream_trending's live twin: windowed counts stream in complete
+    mode, the per-window top-3 rank runs over the materialized state —
+    the foreachBatch/downstream-rank pattern for rank-over-stream."""
+    from pyspark.sql import Window
+
+    from mapreduce_machine_learning_spark.operators.streaming_batch import (
+        q_stream_trending,
+    )
+
+    sdf = (
+        events_stream(spark, SF_DIR)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    live = run_to_memory(spark, sdf, "trending_complete", "complete")
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), "event_type")
+    ranked = (
+        live.select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+    assert _rows(ranked) == _rows(q_stream_trending(spark, SF_DIR))

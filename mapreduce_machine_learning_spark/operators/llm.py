@@ -648,3 +648,95 @@ def q_llm_mixture(spark, sf_dir):
         F.sum(F.col("keep").cast("bigint")).alias("sampled"),
         r6(F.avg("keep")).alias("rate"),
     )
+
+
+@query(
+    "q_llm_dedup_semantic",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
+               UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT ia, ib,
+               ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                   AS cos
+        FROM pairs GROUP BY ia, ib
+    ),
+    hits AS (SELECT ia, ib FROM sims WHERE cos > 0.4),
+    edges AS (
+        SELECT ia AS u, ib AS v FROM hits
+        UNION SELECT ib, ia FROM hits
+        UNION SELECT vec_id, vec_id FROM embeddings
+    ),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY src),
+    labeled AS (
+        SELECT e.label, c.comp
+        FROM embeddings e JOIN comp c ON e.vec_id = c.node
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS vectors,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS survivors,
+           CAST(COUNT(*) - COUNT(DISTINCT comp) AS BIGINT) AS dropped
+    FROM labeled GROUP BY label
+    """,
+)
+def q_llm_dedup_semantic(spark, sf_dir):
+    """Semantic (embedding-cosine) dedup end-to-end: label-blocked pairs
+    above cosine 0.4 become edges, connected components pick one survivor
+    per duplicate cluster (minimum vec_id), singletons survive as their own
+    component — per label: vector/survivor/dropped counts. The threshold
+    compares ROUND(cos, 6) on both engines so edge membership can't flip on
+    FP noise. This is the full shape of production semantic dedup:
+    block (label here, ANN/IVF cells at 100 TB) → pairwise cosine inside
+    blocks → components → survivor policy; the Spark side runs min-label
+    propagation (functions.graph), the oracle a recursive closure CTE."""
+    from mapreduce_machine_learning_spark.functions.graph import (
+        connected_components,
+    )
+
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "norm", l2norm("embedding")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot("a.embedding", "b.embedding") / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            r6(cos).alias("cos"),
+        )
+        .filter(F.col("cos") > 0.4)
+        .select("doc_a", "doc_b")
+    )
+    singletons = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
+    comps = connected_components(hits.unionByName(singletons))
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        e.join(comps, e.vec_id == comps.node)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vectors"),
+            F.countDistinct("comp").alias("survivors"),
+            (F.count(F.lit(1)) - F.countDistinct("comp")).alias("dropped"),
+        )
+    )

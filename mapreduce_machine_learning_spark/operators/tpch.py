@@ -419,23 +419,32 @@ def q_tpch_q19(spark, sf_dir):
            ROUND(SUM(c_acctbal), 6) AS totacctbal
     FROM customer CROSS JOIN avg_bal
     WHERE c_acctbal > thr
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY cntrycode
     """,
 )
 def q_tpch_q22(spark, sf_dir):
-    """TPC-H Q22 (global sales opportunity): well-funded customers who never
-    ordered, bucketed by country code. Adaptation: `c_nationkey % 5` stands
-    in for the missing phone-prefix country code. The global average is a
-    1-row broadcast (rounded to 6 places on both engines so the threshold
-    comparison can't flip on FP noise); the NOT EXISTS is a left-anti join
-    shuffling only custkeys."""
+    """TPC-H Q22 (global sales opportunity): well-funded customers with no
+    RECENT orders (none since 1999 — in this dataset every customer has
+    *some* order, so the literal "never ordered" set is empty at every
+    scale), bucketed by country code. Adaptations: `c_nationkey % 5` stands
+    in for the missing phone-prefix country code; recency bound keeps the
+    query non-degenerate. The global average is a 1-row broadcast (rounded
+    to 6 places on both engines so the threshold comparison can't flip on
+    FP noise); the NOT EXISTS is a left-anti join shuffling only custkeys
+    of recent orders."""
     c = T(spark, sf_dir, "customer")
     thr = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(r6(F.avg("c_acctbal")).alias("thr"))
     )
-    o = T(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1999-01-01 00:00:00"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("thr"))
@@ -463,8 +472,8 @@ def q_tpch_q22(spark, sf_dir):
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+            OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
@@ -472,11 +481,12 @@ def q_tpch_q22(spark, sf_dir):
     """,
 )
 def q_tpch_q7(spark, sf_dir):
-    """TPC-H Q7 (volume shipping): bilateral trade between NATION_1 and
-    NATION_2 by ship year. The nation table joins twice under different
-    roles (supplier side, customer side) — both broadcast — and the
-    direction disjunction is evaluated after both role joins, exactly the
-    TPC-H shape."""
+    """TPC-H Q7 (volume shipping): bilateral trade between NATION_3 and
+    NATION_9 by ship year (the pair is chosen to have suppliers on at least
+    one side at every test scale, so the query is non-degenerate). The
+    nation table joins twice under different roles (supplier side, customer
+    side) — both broadcast — and the direction disjunction is evaluated
+    after both role joins, exactly the TPC-H shape."""
     s = T(spark, sf_dir, "supplier")
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
@@ -491,9 +501,9 @@ def q_tpch_q7(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9")
     ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -642,4 +652,87 @@ def q_tpch_q17(spark, sf_dir):
             r0(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
             F.count(F.lit(1)).alias("line_count"),
         )
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           CAST(COUNT(*) AS BIGINT) AS late_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY priority_class
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority): 1997 line items that
+    shipped late (>60 days after ordering), split into high/low priority
+    classes. Adaptation: the ship-mode IN-list becomes the priority-class
+    CASE (no l_shipmode column), and lateness is ship-vs-order date (no
+    commit/receipt dates). The orderkey equi-join carries the lateness
+    predicate as a post-join filter; two output groups → map-side partials
+    do all the counting."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = T(spark, sf_dir, "orders")
+    cls = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(cls.alias("priority_class"))
+        .agg(F.count(F.lit(1)).alias("late_lines"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH vol AS (
+        SELECT l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+    )
+    SELECT s_suppkey, s_name, ROUND(qty, 6) AS promo_qty
+    FROM supplier JOIN vol ON s_suppkey = l_suppkey
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): suppliers who moved >100 units
+    of PROMO parts in 1997 — candidates for the promotion. Adaptation: the
+    partsupp availability check becomes shipped volume (no partsupp table).
+    The fact side collapses to a per-supplier aggregate BEFORE touching
+    supplier, so the join input is bounded by supplier cardinality no matter
+    how large lineitem grows; quantity sums are integral doubles (exact)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        vol.join(F.broadcast(s), vol.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", r6(F.col("qty")).alias("promo_qty"))
     )

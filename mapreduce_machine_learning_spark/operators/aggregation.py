@@ -410,3 +410,75 @@ def q_agg_argmax(spark, sf_dir):
         F.min_by("c_name", "c_acctbal").alias("poorest"),
         r6(F.max("c_acctbal")).alias("max_bal"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS top_priority,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic mode: the most frequent order priority per status.
+    Built as count + row_number instead of the engines' native mode()
+    aggregates, whose tie-breaking is unspecified — here ties resolve to the
+    lexicographically smallest value on both sides. The window runs over the
+    tiny (status, priority) aggregate, not the fact table, so the sort input
+    is bounded by the key-combination count no matter how large orders is."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), "o_orderpriority"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("top_priority"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 0) AS qty_price_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_unit
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    """Bivariate statistics per return flag: Pearson correlation, sample
+    covariance, and the OLS slope of price on quantity — the same moment
+    sums (Σx, Σy, Σxy, Σxx) the §2.6 ML kernels accumulate, here via the
+    engines' native one-pass aggregates. Rounding policy: corr and slope are
+    ratio-normalized (round-6 safe); the raw covariance reaches ~1e4 with
+    cross-engine FP noise above 1e-6, so it rounds to integers (r0)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        r0(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+            "qty_price_covar"
+        ),
+        r6(F.regr_slope("l_extendedprice", "l_quantity")).alias(
+            "price_per_unit"
+        ),
+    )

@@ -1,0 +1,116 @@
+"""Product/behavioral analytics over the ``events`` stream table.
+
+Classic event-analytics operators a warehouse user expects alongside the
+relational core: staged conversion funnels and cohort retention. Both are
+expressed as pure DataFrame aggregations/joins (no UDFs, no window state),
+so at 100 TB they reduce to shuffles on ``user_id`` — the natural
+partitioning key for behavioral data. If events were bucketed by user_id at
+rest, every join below becomes shuffle-free.
+
+Timestamp handling follows SURVEY §1.2: the loader truncates events.ts to
+microseconds identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS stage_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS stage_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS stage_purchase
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: users counted at a
+    stage only if the stage event happened strictly after their entry into
+    the previous stage (first view, then first click after that view, then
+    first purchase after that click). Each stage is a per-user MIN aggregate
+    joined forward — three shuffles on user_id, each input strictly smaller
+    than the last; the final three 1-row counts cross-join on the driver."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase")))
+    )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted as
+    retained on each of the following 7 days they return. The cohort table
+    is one row per user (a user_id-keyed aggregate); joining it back to
+    events co-partitions on user_id, then the distinct-count shuffles on the
+    small (cohort_day, day_offset) key space. day_offset cast to BIGINT to
+    match DuckDB's date_diff type."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint"),
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

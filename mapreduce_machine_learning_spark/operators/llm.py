@@ -738,3 +738,43 @@ def q_llm_dedup_semantic(spark, sf_dir):
             (F.count(F.lit(1)) - F.countDistinct("comp")).alias("dropped"),
         )
     )
+
+
+@query(
+    "q_llm_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM((ntok + 31) // 32) AS BIGINT) AS n_chunks,
+           CAST(SUM(ntok // 32) AS BIGINT) AS full_chunks,
+           ROUND(SUM(ntok)::DOUBLE / SUM((ntok + 31) // 32), 6)
+               AS avg_chunk_len
+    FROM d GROUP BY lang
+    """,
+)
+def q_llm_chunks(spark, sf_dir):
+    """Document chunking for training pipelines: split each document into
+    32-token chunks (`chunk_id = pos DIV 32` over posexplode'd tokens) and
+    report per-language chunk counts, full-chunk counts, and mean chunk
+    length. The Spark side materializes the real chunk rows — the shape a
+    tokenize-and-pack pipeline feeds downstream — while the oracle uses the
+    closed form (ceil(ntok/32) chunks per doc), pinning the explode path to
+    arithmetic truth. The explode is a JVM generator (no UDF); the per-chunk
+    count groups on (doc_id, chunk_id), which is perfectly spreadable — no
+    skew since chunk keys are unique per doc."""
+    toks = T(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    chunks = toks.groupBy(
+        "lang", "doc_id", F.expr("pos DIV 32").alias("chunk_id")
+    ).agg(F.count(F.lit(1)).alias("chunk_len"))
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("chunk_len") == 32, 1)).alias("full_chunks"),
+        r6(F.sum("chunk_len") / F.count(F.lit(1))).alias("avg_chunk_len"),
+    )

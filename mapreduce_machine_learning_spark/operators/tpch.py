@@ -697,6 +697,151 @@ def q_tpch_q12(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year, ROUND(SUM(volume), 0) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {REVENUE_SQL} AS volume
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%ar%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): profit on '%ar%'-named parts by
+    supplier nation and order year. Adaptation: with no partsupp table there
+    is no ps_supplycost, so "profit" is gross revenue — the join graph
+    (part⋈lineitem⋈supplier⋈orders⋈nation, part filtered by name pattern)
+    is the full Q9 shape. part/supplier/nation broadcast; the one fact-side
+    shuffle is orders⋈lineitem on orderkey, then a 25×7-key aggregate whose
+    partials collapse map-side."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%ar%"))
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(r0(F.sum(revenue())).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): histogram of customers by how many
+    qualifying orders they placed, keeping zero-order customers via the
+    LEFT JOIN with the filter in the join condition (a WHERE would silently
+    drop them — the classic Q13 trap). Adaptation: the excluded-comment
+    pattern becomes excluding 1-URGENT orders (no o_comment column). Two
+    cascaded aggregates; the second one's input is |customer| rows and its
+    key space is tiny, so partial aggregation absorbs nearly everything."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished orders,
+    count late line items of the *sole* late supplier on multi-supplier
+    orders. Adaptation: "late" is shipped >60 days after the order date
+    (no commit/receipt dates). The EXISTS / NOT EXISTS pair is decorrelated
+    into one per-order aggregate — distinct suppliers, distinct late
+    suppliers, late-line count, and the (unique when n_late=1) late
+    suppkey — so the fact table is scanned once instead of three times;
+    at 100 TB that single groupBy(orderkey) replaces two correlated
+    self-joins. Orders with >1 supplier and exactly 1 late supplier
+    qualify; their late-line counts roll up to that supplier."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.count(F.when(late, F.lit(1))).alias("late_lines"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    qual = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        qual.join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
     "q_tpch_q20",
     oracle="""
     WITH vol AS (

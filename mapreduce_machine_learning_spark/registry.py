@@ -36,6 +36,7 @@ def _load_operator_modules() -> None:
     # import for side effect: each module registers its queries
     from mapreduce_machine_learning_spark.operators import (  # noqa: F401
         aggregation,
+        analytics,
         llm,
         ml,
         relational,

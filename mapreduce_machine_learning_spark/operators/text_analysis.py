@@ -494,3 +494,146 @@ def q_ann_ivf(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_llm_contamination",
+    oracle="""
+    WITH tr AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents WHERE source <> 'src0'
+    ),
+    evs AS (
+        SELECT DISTINCT
+               UNNEST(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+        FROM (SELECT string_split(text, ' ') AS toks
+              FROM documents WHERE source = 'src0')
+        WHERE len(toks) >= 5
+    ),
+    trs AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+        FROM tr WHERE len(toks) >= 5
+    ),
+    cont AS (
+        SELECT DISTINCT doc_id FROM trs
+        WHERE shingle IN (SELECT shingle FROM evs)
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS contamination_rate
+    FROM tr t LEFT JOIN cont c ON t.doc_id = c.doc_id
+    GROUP BY t.lang
+    """,
+)
+def q_llm_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram shingle with the held-out set (source='src0' plays the benchmark
+    role). Shingling is a JVM higher-order transform (no explode-then-window,
+    no Python); the overlap test is a LEFT SEMI join against the benchmark
+    shingle set, which is small by nature (benchmarks are KB-MB while the
+    corpus is TB), so at scale it broadcasts and the training side is never
+    widened or paired — the quadratic doc×doc blowup of naive contamination
+    checks never materializes."""
+    docs = T(spark, sf_dir, "documents")
+    five_gram = F.explode(
+        F.expr(
+            "transform(sequence(0, size(toks) - 5), "
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', "
+            "toks[i+3], ' ', toks[i+4]))"
+        )
+    ).alias("shingle")
+
+    def shingles(df):
+        return (
+            df.withColumn("toks", F.split("text", " "))
+            .filter(F.size("toks") >= 5)
+            .select("doc_id", five_gram)
+            .distinct()
+        )
+
+    tr = docs.filter(F.col("source") != "src0")
+    ev_sh = shingles(docs.filter(F.col("source") == "src0")).select("shingle").distinct()
+    contaminated = (
+        shingles(tr)
+        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.select("doc_id", "lang")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+            r6(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH per_tok AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, lang, tok
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, SUM(c) AS ntok, MAX(c) AS maxc,
+               COUNT(*) AS ndist
+        FROM per_tok GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           ROUND(AVG(maxc::DOUBLE / ntok), 6) AS avg_top_share,
+           ROUND(AVG(ndist::DOUBLE / ntok), 6) AS avg_distinct_ratio,
+           CAST(SUM(CASE WHEN maxc::DOUBLE / ntok > 0.12 THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition-based quality filter: per document, the share of the most
+    frequent token (boilerplate/spam detector) and the distinct-token ratio
+    (a cheap compression-ratio proxy); documents whose top token exceeds 12%
+    of all tokens are flagged (the corpus median top-share is ~0.10, so the
+    threshold actually discriminates). Two cascaded aggregates over the exploded
+    tokens — the (doc, token) key is high-cardinality and skew-free, and the
+    per-doc rollup input is bounded by vocabulary, so the plan is two clean
+    partial+final hash-agg exchanges."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("ntok"),
+        F.max("c").alias("maxc"),
+        F.count(F.lit(1)).alias("ndist"),
+    )
+    share = F.col("maxc") / F.col("ntok")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        r6(F.avg(share)).alias("avg_top_share"),
+        r6(F.avg(F.col("ndist") / F.col("ntok"))).alias(
+            "avg_distinct_ratio"
+        ),
+        F.sum(F.when(share > 0.12, 1).otherwise(0)).alias("flagged"),
+    )

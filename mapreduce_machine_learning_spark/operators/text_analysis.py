@@ -637,3 +637,40 @@ def q_text_repetition(spark, sf_dir):
         ),
         F.sum(F.when(share > 0.12, 1).otherwise(0)).alias("flagged"),
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, COUNT(*)::DOUBLE AS c
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS lang_entropy
+    FROM per GROUP BY source
+    """,
+)
+def q_text_entropy(spark, sf_dir):
+    """Data-mixture diagnostics: per source, the Shannon entropy (nats) of
+    its language distribution — the health metric a training-mixture pipeline
+    watches to catch a crawl source collapsing to one language. Uses the
+    algebraic form H = ln(n) − Σc·ln(c)/n so the whole thing is ONE pair of
+    cascaded hash aggregates — no per-source total joined back, no window;
+    both stages are partial+final, so at 100 TB each scan partition emits at
+    most |sources|×|langs| rows into the only shuffle."""
+    per = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c")
+    return per.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        r6(F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias(
+            "lang_entropy"
+        ),
+    )

@@ -881,3 +881,47 @@ def q_tpch_q20(spark, sf_dir):
         vol.join(F.broadcast(s), vol.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", r6(F.col("qty")).alias("promo_qty"))
     )
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1, complete (the flagship q_agg_group carries 5 of Q1's 8
+    aggregates; this is the full pricing summary incl. sum_charge and the
+    three averages). Unmodified shape: single-table scan with the shipdate
+    predicate pushed to parquet, 4-group hash aggregate — partial aggregation
+    reduces each scan partition to ≤4 rows before the one shuffle, so the
+    plan is scan-bound at any scale. Money sums over FP products round to
+    integers (r0), averages round-6 (ARCHITECTURE.md rounding policy)."""
+    li = T(spark, sf_dir, "lineitem")
+    charge = revenue() * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r0(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r0(F.sum(revenue())).alias("sum_disc_price"),
+            r0(F.sum(charge)).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -340,3 +340,36 @@ def q_win_nth(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@query(
+    "q_win_range_time",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_10min,
+           ROUND(SUM(value) OVER w, 6) AS sum_10min
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_time(spark, sf_dir):
+    """Time-based RANGE frame: per user, count and value-sum of their events
+    in the trailing 10 minutes — the sliding-lookback primitive behind rate
+    limiting and burst detection. Ordering key is epoch MICROSECONDS as a
+    long on BOTH engines (Spark `unix_micros` ↔ DuckDB `epoch_us`) so the
+    frame boundary is bit-identical; ordering by the raw timestamp would pit
+    Spark's second-cast against DuckDB's µs-precise INTERVAL arithmetic and
+    disagree on boundary events. One shuffle on user_id; per-user partitions
+    are bounded, and at 100 TB the same query becomes the watermarked
+    sliding-window aggregate (q_stream_sliding) instead of a sort."""
+    ev = T(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY us "
+        "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        F.expr(f"count(*) {frame}").alias("n_10min"),
+        r6(F.expr(f"sum(value) {frame}")).alias("sum_10min"),
+    )

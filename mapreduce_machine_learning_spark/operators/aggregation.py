@@ -482,3 +482,56 @@ def q_agg_corr(spark, sf_dir):
             "price_per_unit"
         ),
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*)::DOUBLE AS n,
+               SUM(value) AS s1,
+               SUM(value * value) AS s2,
+               SUM(value * value * value) AS s3
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS cnt,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND((s2 / n) - (s1 / n) * (s1 / n), 6) AS var_pop,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6) AS skewness
+    FROM s
+    """,
+)
+def q_agg_moments(spark, sf_dir):
+    """Higher moments in SUMMATION FORM — the Chu et al. pattern the
+    reference's every algorithm follows: accumulate power sums (n, Σx, Σx²,
+    Σx³) in one partial+final hash-agg pass, derive mean / population
+    variance / skewness g1 from them afterward. Deliberately NOT the engines'
+    native skewness(): Spark and DuckDB apply different bias corrections, so
+    parity comes from both sides computing the identical raw-moment formula.
+    The derived expressions are ratio-normalized (each power sum divided by
+    n before combining), which keeps magnitudes ~1e2 and round-6 stable."""
+    ev = T(spark, sf_dir, "events")
+    v = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    var_pop = m2 - m1 * m1
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("cnt"),
+        r6(m1).alias("mean"),
+        r6(var_pop).alias("var_pop"),
+        r6((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5)).alias(
+            "skewness"
+        ),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
 
@@ -113,4 +114,45 @@ def q_events_retention(spark, sf_dir):
         .filter(F.col("day_offset").between(0, 7))
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sigma) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sigma)), 6) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_anomaly(spark, sf_dir):
+    """Z-score outlier screen — the per-class anomaly filter a training
+    pipeline runs before ingesting metric-bearing events. Two passes over
+    the fact table: a 5-row stats aggregate, then the stats BROADCAST back
+    onto the stream for per-row scoring (never a shuffle of the fact side on
+    a 5-key join — at 100 TB the second pass stays map-side and pipelined
+    into the final per-class count). The z threshold sits at 2 with values
+    ~O(1) and cross-engine noise ~1e-12 relative, so the boundary is stable;
+    max|z| is ratio-normalized and round-6 safe."""
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_outliers"),
+            r6(F.max(z)).alias("max_abs_z"),
+        )
     )

@@ -535,3 +535,45 @@ def q_agg_moments(spark, sf_dir):
             "skewness"
         ),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) AS BIGINT)
+                   AS bin
+        FROM lineitem
+    )
+    SELECT bin,
+           -- CAST: bare literals are DECIMAL in DuckDB; keep DOUBLE
+           ROUND(bin * CAST(5000.0 AS DOUBLE), 6) AS bin_lo,
+           ROUND((bin + 1) * CAST(5000.0 AS DOUBLE), 6) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY bin
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Fixed-width histogram of l_extendedprice (20 bins of 5000, top bin
+    open) — the column-profiling pass a data pipeline runs before choosing
+    normalization or outlier bounds. Binning is a pure projection (floor of
+    a division by an exact-double constant — identical FP op both engines,
+    no boundary risk), so the whole query is one map-side-combined hash-agg
+    over ≤20 groups: at 100 TB the shuffle carries ~20 rows per partition.
+    DuckDB lacks width_bucket, so both sides use the portable
+    floor-clamp form."""
+    bin_ = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(19)).cast(
+        "bigint"
+    )
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            r6(F.col("bin") * 5000.0).alias("bin_lo"),
+            r6((F.col("bin") + 1) * 5000.0).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -778,3 +778,49 @@ def q_llm_chunks(spark, sf_dir):
         F.count(F.when(F.col("chunk_len") == 32, 1)).alias("full_chunks"),
         r6(F.sum("chunk_len") / F.count(F.lit(1))).alias("avg_chunk_len"),
     )
+
+
+@query(
+    "q_llm_split",
+    oracle="""
+    WITH h AS (
+        SELECT lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM h GROUP BY split, lang
+    """,
+)
+def q_llm_split(spark, sf_dir):
+    """Deterministic 80/20 train/test split by keyed hash — md5(doc_id),
+    first 8 hex digits mod 100 — the split every training pipeline needs to
+    be REPRODUCIBLE across engines, reruns and data relayouts (a rand()
+    split is none of those). Reported per (split, lang) with doc counts and
+    mean length, i.e. the stratification audit that catches a skewed split.
+    The hash is a pure projection (no shuffle added beyond the 2×lang-group
+    agg); at 100 TB the same expression also drives WHERE-clause partition
+    assignment for writing the two corpora out. md5 text parity between
+    Spark and DuckDB is verified in SURVEY §8."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.select(
+            F.when(bucket < 80, "train").otherwise("test").alias("split"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        )
+    )

@@ -355,3 +355,282 @@ def q_ml_knn(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+def _km_case_sql_dyn() -> str:
+    d = [
+        f"(POW(value - c{i}v, 2) + POW(hr - c{i}h, 2))" for i in range(3)
+    ]
+    return (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END"
+    )
+
+
+@query(
+    "q_ml_kmeans_iter2",
+    oracle=f"""
+    WITH pts AS (
+        SELECT value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr FROM events
+    ),
+    a1 AS (SELECT value, hr, {_km_case_sql()} AS cluster FROM pts),
+    c1 AS (
+        SELECT cluster, ROUND(AVG(value), 6) AS mv, ROUND(AVG(hr), 6) AS mh
+        FROM a1 GROUP BY cluster
+    ),
+    cp AS (
+        SELECT
+            COALESCE(MAX(CASE WHEN cluster = 0 THEN mv END), {_KM_CENTROIDS[0][0]}) AS c0v,
+            COALESCE(MAX(CASE WHEN cluster = 0 THEN mh END), {_KM_CENTROIDS[0][1]}) AS c0h,
+            COALESCE(MAX(CASE WHEN cluster = 1 THEN mv END), {_KM_CENTROIDS[1][0]}) AS c1v,
+            COALESCE(MAX(CASE WHEN cluster = 1 THEN mh END), {_KM_CENTROIDS[1][1]}) AS c1h,
+            COALESCE(MAX(CASE WHEN cluster = 2 THEN mv END), {_KM_CENTROIDS[2][0]}) AS c2v,
+            COALESCE(MAX(CASE WHEN cluster = 2 THEN mh END), {_KM_CENTROIDS[2][1]}) AS c2h
+        FROM c1
+    ),
+    a2 AS (
+        SELECT p.value, p.hr, {_km_case_sql_dyn()} AS cluster
+        FROM pts p CROSS JOIN cp
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(value), 6) AS mean_value,
+           ROUND(AVG(hr), 6) AS mean_hour
+    FROM a2 GROUP BY cluster
+    """,
+)
+def q_ml_kmeans_iter2(spark, sf_dir):
+    """TWO Lloyd iterations entirely in-plan — the reference re-submits a
+    MapReduce job per iteration with centroids shipped through the job conf;
+    here iteration 1's M-step (a 3-row aggregate) is pivoted to a single row
+    and CROSS-JOINED back (Spark: broadcast of one row = the conf shipment,
+    zero shuffle of the fact side), so iteration 2's assignment runs in the
+    same Catalyst plan with no driver round-trip. Updated centroids are
+    ROUNDED to 6 places on both engines before re-assignment, making the
+    iteration-2 decision boundary bitwise identical cross-engine (raw AVG
+    noise ~1e-13 would otherwise sit exactly on argmin ties). Empty clusters
+    fall back to their seed centroid via COALESCE on both sides."""
+    pts = T(spark, sf_dir, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    d0 = [
+        F.pow(F.col("value") - v, 2) + F.pow(F.col("hr") - h, 2)
+        for v, h in _KM_CENTROIDS
+    ]
+    assign1 = (
+        F.when((d0[0] <= d0[1]) & (d0[0] <= d0[2]), 0)
+        .when(d0[1] <= d0[2], 1)
+        .otherwise(2)
+    )
+    c1 = (
+        pts.withColumn("cluster", assign1)
+        .groupBy("cluster")
+        .agg(r6(F.avg("value")).alias("mv"), r6(F.avg("hr")).alias("mh"))
+    )
+
+    def pick(i, col, seed):
+        return F.coalesce(
+            F.max(F.when(F.col("cluster") == i, F.col(col))), F.lit(seed)
+        ).alias(f"c{i}{'v' if col == 'mv' else 'h'}")
+
+    cp = c1.agg(
+        *[
+            pick(i, col, seed[0] if col == "mv" else seed[1])
+            for i, seed in enumerate(_KM_CENTROIDS)
+            for col in ("mv", "mh")
+        ]
+    )
+    d1 = [
+        F.pow(F.col("value") - F.col(f"c{i}v"), 2)
+        + F.pow(F.col("hr") - F.col(f"c{i}h"), 2)
+        for i in range(3)
+    ]
+    assign2 = (
+        F.when((d1[0] <= d1[1]) & (d1[0] <= d1[2]), 0)
+        .when(d1[1] <= d1[2], 1)
+        .otherwise(2)
+    )
+    return (
+        pts.crossJoin(F.broadcast(cp))
+        .withColumn("cluster", assign2)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r6(F.avg("value")).alias("mean_value"),
+            r6(F.avg("hr")).alias("mean_hour"),
+        )
+    )
+
+
+@query(
+    "q_ml_gnb_predict",
+    oracle="""
+    WITH pts AS (
+        SELECT value AS v, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    cls AS (
+        SELECT y, CAST(COUNT(*) AS DOUBLE) AS n,
+               ROUND(AVG(v), 6) AS mu_v, ROUND(VAR_SAMP(v), 6) AS var_v,
+               ROUND(AVG(hr), 6) AS mu_h, ROUND(VAR_SAMP(hr), 6) AS var_h
+        FROM pts GROUP BY y
+    ),
+    prm AS (
+        SELECT
+            ROUND(MAX(CASE WHEN y = 1 THEN n END)
+                  / SUM(n), 6) AS p1,
+            MAX(CASE WHEN y = 1 THEN mu_v END) AS mu_v1,
+            MAX(CASE WHEN y = 1 THEN var_v END) AS var_v1,
+            MAX(CASE WHEN y = 1 THEN mu_h END) AS mu_h1,
+            MAX(CASE WHEN y = 1 THEN var_h END) AS var_h1,
+            MAX(CASE WHEN y = 0 THEN mu_v END) AS mu_v0,
+            MAX(CASE WHEN y = 0 THEN var_v END) AS var_v0,
+            MAX(CASE WHEN y = 0 THEN mu_h END) AS mu_h0,
+            MAX(CASE WHEN y = 0 THEN var_h END) AS var_h0
+        FROM cls
+    ),
+    scored AS (
+        SELECT y,
+               CASE WHEN
+                   (LN(p1) - 0.5 * LN(var_v1) - POW(v - mu_v1, 2) / (2 * var_v1)
+                            - 0.5 * LN(var_h1) - POW(hr - mu_h1, 2) / (2 * var_h1))
+                   >
+                   (LN(1 - p1) - 0.5 * LN(var_v0) - POW(v - mu_v0, 2) / (2 * var_v0)
+                            - 0.5 * LN(var_h0) - POW(hr - mu_h0, 2) / (2 * var_h0))
+                   THEN 1 ELSE 0 END AS pred
+        FROM pts CROSS JOIN prm
+    )
+    SELECT y AS actual, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM scored GROUP BY y, pred
+    """,
+)
+def q_ml_gnb_predict(spark, sf_dir):
+    """Gaussian naive Bayes TRAIN + PREDICT in one plan: fit per-class
+    (prior, mean, variance) for features (value, hour) on the binary label
+    [event_type = 'purchase'], pivot the 2-class parameter table to one row,
+    broadcast it back over the events, score both class log-likelihoods
+    per row, and report the confusion matrix. This closes the loop the
+    reference leaves to a separate prediction job after its NB parameter
+    job. All learned parameters are rounded to 6 places on both engines
+    before scoring, so the per-row decision expression is evaluated on
+    bitwise-identical inputs — the argmax boundary cannot flip cross-engine.
+    Fact table is never shuffled: train is one hash-agg, predict is a
+    broadcast of one row, confusion is a 4-group hash-agg."""
+    pts = T(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.hour("ts").cast("double").alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cls = pts.groupBy("y").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        r6(F.avg("v")).alias("mu_v"),
+        r6(F.var_samp("v")).alias("var_v"),
+        r6(F.avg("hr")).alias("mu_h"),
+        r6(F.var_samp("hr")).alias("var_h"),
+    )
+
+    def pk(y, col):
+        return F.max(F.when(F.col("y") == y, F.col(col))).alias(f"{col}{y}")
+
+    prm = cls.agg(
+        r6(
+            F.max(F.when(F.col("y") == 1, F.col("n"))) / F.sum("n")
+        ).alias("p1"),
+        pk(1, "mu_v"), pk(1, "var_v"), pk(1, "mu_h"), pk(1, "var_h"),
+        pk(0, "mu_v"), pk(0, "var_v"), pk(0, "mu_h"), pk(0, "var_h"),
+    )
+
+    def loglik(prior, s):
+        return (
+            F.log(prior)
+            - 0.5 * F.log(F.col(f"var_v{s}"))
+            - F.pow(F.col("v") - F.col(f"mu_v{s}"), 2)
+            / (2 * F.col(f"var_v{s}"))
+            - 0.5 * F.log(F.col(f"var_h{s}"))
+            - F.pow(F.col("hr") - F.col(f"mu_h{s}"), 2)
+            / (2 * F.col(f"var_h{s}"))
+        )
+
+    scored = pts.crossJoin(F.broadcast(prm)).select(
+        F.col("y").alias("actual"),
+        F.when(
+            loglik(F.col("p1"), 1) > loglik(1 - F.col("p1"), 0), 1
+        ).otherwise(0).alias("pred"),
+    )
+    return scored.groupBy("actual", "pred").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "q_ml_gda_params",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, value AS v,
+               CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr
+        FROM events
+    ),
+    mu AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+               ROUND(AVG(v), 6) AS mu_v, ROUND(AVG(hr), 6) AS mu_h
+        FROM pts GROUP BY event_type
+    ),
+    cent AS (
+        SELECT p.event_type, m.n, m.mu_v, m.mu_h,
+               (p.v - m.mu_v) AS dv, (p.hr - m.mu_h) AS dh
+        FROM pts p JOIN mu m ON p.event_type = m.event_type
+    ),
+    pooled AS (
+        SELECT SUM(dv * dv) AS svv, SUM(dv * dh) AS svh, SUM(dh * dh) AS shh,
+               CAST(COUNT(*) AS DOUBLE) AS n_total
+        FROM cent
+    )
+    SELECT m.event_type,
+           ROUND(m.n / p.n_total, 6) AS prior,
+           m.mu_v, m.mu_h,
+           ROUND(p.svv / (p.n_total - 5), 6) AS cov_vv,
+           ROUND(p.svh / (p.n_total - 5), 6) AS cov_vh,
+           ROUND(p.shh / (p.n_total - 5), 6) AS cov_hh
+    FROM mu m CROSS JOIN pooled p
+    """,
+)
+def q_ml_gda_params(spark, sf_dir):
+    """Gaussian discriminant analysis parameter pass: per-class priors and
+    2-D means (value, hour) PLUS the pooled within-class covariance shared
+    by all classes — the piece that distinguishes GDA from naive Bayes in
+    the reference's lineup. Computed in two-pass CENTERED form: class means
+    first (rounded to 6 on both engines, then broadcast back), then
+    Σ(x−μ_c)(x−μ_c)ᵀ accumulated globally and divided by N−K. The centered
+    sums stay at magnitude ~n·var (~1e7 at sf0.1, noise ~1e-9 absolute), so
+    round-6 holds — the one-pass E[x²]−E[x]² form would cancel two ~1e10
+    sums and lose the grid. K=5 event classes."""
+    pts = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.hour("ts").cast("double").alias("hr"),
+    )
+    mu = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        r6(F.avg("v")).alias("mu_v"),
+        r6(F.avg("hr")).alias("mu_h"),
+    )
+    cent = pts.join(F.broadcast(mu), "event_type").select(
+        "event_type", "n", "mu_v", "mu_h",
+        (F.col("v") - F.col("mu_v")).alias("dv"),
+        (F.col("hr") - F.col("mu_h")).alias("dh"),
+    )
+    pooled = cent.agg(
+        F.sum(F.col("dv") * F.col("dv")).alias("svv"),
+        F.sum(F.col("dv") * F.col("dh")).alias("svh"),
+        F.sum(F.col("dh") * F.col("dh")).alias("shh"),
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+    )
+    return mu.crossJoin(F.broadcast(pooled)).select(
+        "event_type",
+        r6(F.col("n") / F.col("n_total")).alias("prior"),
+        "mu_v", "mu_h",
+        r6(F.col("svv") / (F.col("n_total") - 5)).alias("cov_vv"),
+        r6(F.col("svh") / (F.col("n_total") - 5)).alias("cov_vh"),
+        r6(F.col("shh") / (F.col("n_total") - 5)).alias("cov_hh"),
+    )

@@ -22,32 +22,52 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    small_graph: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected pairs → (node, component) with component = the
-    minimum node id reachable. Converges early when labels stop changing."""
+    minimum node id reachable. Converges early when labels stop changing.
+
+    ``small_graph=True`` declares the edge list driver-broadcastable (e.g.
+    a top-k-capped pair list): every per-round join then uses broadcast
+    hints and a single partition, turning each iteration into shuffle-free
+    narrow jobs — label propagation on a bounded graph costs job-scheduling
+    overhead, not data movement. Leave False for unbounded edge lists,
+    where the joins must shuffle on node id."""
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
     )
+    if small_graph:
+        sym = sym.coalesce(1)
+    sym = sym.cache()
+    labels = sym.select(F.col("u").alias("node")).distinct()
+    if small_graph:
+        labels = labels.coalesce(1)
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        labels.withColumn("comp", F.col("node"))
         .localCheckpoint()  # truncates lineage: each round replans from here,
         # not from the full history of prior rounds (which overflows the
         # planner stack after ~10 iterations)
     )
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
+            sym.join(_hint(labels), sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            labels.join(
+                _hint(neighbor_min), labels.node == neighbor_min.u, "left"
+            )
             .select(
                 "node",
                 F.least(
@@ -58,7 +78,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .join(_hint(labels.alias("o")), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )

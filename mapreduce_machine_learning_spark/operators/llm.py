@@ -502,7 +502,8 @@ def q_graph_components(spark, sf_dir):
     )
 
     pairs = q_llm_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comps = connected_components(pairs)
+    # the pair list is top-1000-capped by construction → broadcastable graph
+    comps = connected_components(pairs, small_graph=True)
     sizes = comps.groupBy("comp").agg(
         F.count(F.lit(1)).alias("component_size")
     )

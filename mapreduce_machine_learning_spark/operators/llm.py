@@ -825,3 +825,125 @@ def q_llm_split(spark, sf_dir):
             r6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q_llm_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM v),
+    doc AS (
+        SELECT t.doc_id, t.source,
+               SUM(LN(v.cnt / tot.total)) / COUNT(*) AS lp
+        FROM tok t JOIN v USING (tok) CROSS JOIN tot
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(lp), 6) AS avg_logprob,
+           ROUND(MIN(lp), 6) AS min_logprob,
+           ROUND(MAX(lp), 6) AS max_logprob
+    FROM doc GROUP BY source
+    """,
+)
+def q_llm_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring — the KenLM-shaped perplexity filter in
+    its simplest exact form: fit p(tok) = freq/total on the corpus itself,
+    score each document by its mean token log-probability, roll up per
+    source. Two aggregations and one join: vocab build (tok→count), then
+    counts joined back onto the exploded token stream. The vocab is
+    BROADCAST here (this corpus shares one small vocabulary); at 100 TB the
+    frequency table gets heavy-hitter truncation (top-M tokens + an OOV
+    floor) precisely so it stays broadcastable — rare-token mass, not the
+    join strategy, is the accuracy knob. Per-doc means are O(-10) with
+    ~1e-14 summation noise: round-6 safe."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    v = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    tot = v.agg(F.sum("cnt").alias("total"))
+    doc = (
+        tok.join(F.broadcast(v), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.sum(F.log(F.col("cnt") / F.col("total")))
+                / F.count(F.lit(1))
+            ).alias("lp")
+        )
+    )
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("lp")).alias("avg_logprob"),
+        r6(F.min("lp")).alias("min_logprob"),
+        r6(F.max("lp")).alias("max_logprob"),
+    )
+
+
+@query(
+    "q_llm_packing",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ntok,
+               SUM(ntok) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    ),
+    span AS (
+        SELECT ntok,
+               (cum - ntok) // 2048 AS first_pack,
+               (cum - 1) // 2048 AS last_pack
+        FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST((SUM(ntok) + 2047) // 2048 AS BIGINT) AS n_packs,
+           CAST(SUM(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddlers,
+           ROUND(AVG(CAST(last_pack - first_pack + 1 AS DOUBLE)), 6)
+               AS avg_packs_per_doc
+    FROM span
+    """,
+)
+def q_llm_packing(spark, sf_dir):
+    """Sequence packing audit — pretraining concatenates the token stream
+    and cuts every 2048 tokens; this computes, per document, which packs it
+    lands in (first/last pack from the running token offset) and reports
+    pack count, boundary-straddling docs, and mean packs per doc. The
+    running sum is a window over ONE global ordering (doc_id), which is a
+    single-partition window — correct for the semantics, hostile at 100 TB;
+    the scale path packs within hash shards (window PARTITION BY shard) and
+    offsets each shard by a precomputed per-shard total (two tiny passes),
+    which this operator's arithmetic transfers to unchanged. Everything is
+    integer until the final ratio: no FP risk."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("ntok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("ntok").over(w))
+    span = c.select(
+        "ntok",
+        F.expr("(cum - ntok) DIV 2048").alias("first_pack"),
+        F.expr("(cum - 1) DIV 2048").alias("last_pack"),
+    )
+    return span.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.expr("(SUM(ntok) + 2047) DIV 2048").alias("n_packs"),
+        F.sum(
+            F.when(F.col("last_pack") > F.col("first_pack"), 1).otherwise(0)
+        ).alias("n_straddlers"),
+        r6(
+            F.avg((F.col("last_pack") - F.col("first_pack") + 1).cast("double"))
+        ).alias("avg_packs_per_doc"),
+    )

@@ -64,28 +64,28 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # carry a per-node "did my label shrink" flag through the checkpoint
+        # so change detection is a filter-count on the materialized frame,
+        # not a third join — one action per round instead of two
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+        )
         new_labels = (
             labels.join(
                 _hint(neighbor_min), labels.node == neighbor_min.u, "left"
             )
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("comp")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(_hint(labels.alias("o")), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "comp")
 
 
 def dedup_survivors(

@@ -55,13 +55,7 @@ def q_llm_dedup_exact(spark, sf_dir):
 
 
 def _signatures(spark, sf_dir):
-    """doc_id → 16 MinHash signatures: sig_i = MIN(md5('sNN|' || token)).
-
-    Deliberately aggregates RAW exploded tokens, not the distinct set: MIN is
-    idempotent under duplicates, so the result is identical and the
-    (doc, token) distinct — a full extra shuffle — is skipped. The Jaccard
-    path (q_llm_neardup_pairs) still deduplicates via array_distinct, since
-    set sizes matter there."""
+    """doc_id → 16 MinHash signatures: sig_i = MIN(md5('sNN|' || token))."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(s + "|"), F.col("token")))).alias(f"sig{i}")
         for i, s in enumerate(SEEDS)
@@ -71,10 +65,17 @@ def _signatures(spark, sf_dir):
     # md5 computations onto one core. The shuffle moves only the raw docs,
     # spreads the md5-heavy explode across the cluster, and already satisfies
     # the groupBy(doc_id) partitioning (no second exchange).
+    #
+    # dropDuplicates BEFORE the 16 md5s: hash partitioning on doc_id
+    # satisfies the (doc_id, token) clustering, so the dedup aggregate is
+    # exchange-free — it costs one partition-local hash-agg and repays it by
+    # shrinking the md5 workload by the token repetition factor (the min-agg
+    # result is identical either way, MIN being idempotent under dups).
     raw = (
         T(spark, sf_dir, "documents")
         .repartition(64, F.col("doc_id"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .dropDuplicates(["doc_id", "token"])
     )
     return raw.groupBy("doc_id").agg(*aggs)
 
@@ -193,7 +194,11 @@ def q_llm_neardup_pairs(spark, sf_dir):
     pairs grow quadratically (65k at sf0.01, 6.2M at sf0.1) — an unbounded
     pair listing is the wrong deliverable at any scale; real pipelines fold
     pairs into connected components and keep one survivor per component."""
-    bands = _bands(spark, sf_dir)
+    # materialize the band table before the self-join: Catalyst plans a
+    # self-join as two full scans of the subtree, so without this the
+    # explode + 16-way md5 min-agg signature pipeline runs TWICE. The
+    # materialized frame is 4 rows/doc of (id, band, 32-char key) — tiny.
+    bands = _bands(spark, sf_dir).localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -217,10 +222,21 @@ def q_llm_neardup_pairs(spark, sf_dir):
     # arrays side is semi-join-restricted to candidates first, and if even
     # that outgrows a broadcast the exploded-join form (git history) is the
     # shuffle-based fallback — same values either way.
+    # Token sets as xxhash64 INT arrays, not strings: array_intersect only
+    # feeds Jaccard through |A∩B| and |A|, |B| — any injective token→int64
+    # map preserves those counts, and the engine-internal hash never crosses
+    # to the oracle (which intersects the raw strings). Integer hash-set
+    # probes measured ~1.5× faster end-to-end than string probes on the
+    # 6.7M-pair stream. Collision risk (would shrink a count by 1):
+    # ~|vocab|²/2⁶⁵ per doc ≈ 1e-15, ~2e-11 corpus-wide.
     tok_arrays = (
         T(spark, sf_dir, "documents")
         .select(
-            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split("text", " ")),
+                lambda t: F.xxhash64(t),
+            ).alias("toks"),
         )
         .withColumn("n_tok", F.size("toks").cast("double"))
     )

@@ -634,3 +634,209 @@ def q_ml_gda_params(spark, sf_dir):
         r6(F.col("svh") / (F.col("n_total") - 5)).alias("cov_vh"),
         r6(F.col("shh") / (F.col("n_total") - 5)).alias("cov_hh"),
     )
+
+
+@query(
+    "q_ml_gmm_mstep",
+    oracle=f"""
+    WITH r AS (
+        SELECT value,
+               ({_GMM["pi1"]} * EXP(-POW((value - {_GMM["mu1"]}) / {_GMM["s1"]}, 2) / 2.0)
+                    / ({_GMM["s1"]} * CAST({SQRT_2PI!r} AS DOUBLE))) AS p1,
+               ({_GMM["pi2"]} * EXP(-POW((value - {_GMM["mu2"]}) / {_GMM["s2"]}, 2) / 2.0)
+                    / ({_GMM["s2"]} * CAST({SQRT_2PI!r} AS DOUBLE))) AS p2
+        FROM events
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(p1 / (p1 + p2)) AS r1,
+               SUM(p1 / (p1 + p2) * value) AS r1x,
+               SUM(p1 / (p1 + p2) * value * value) AS r1xx,
+               SUM(p2 / (p1 + p2)) AS r2,
+               SUM(p2 / (p1 + p2) * value) AS r2x,
+               SUM(p2 / (p1 + p2) * value * value) AS r2xx
+        FROM r
+    )
+    SELECT ROUND(r1 / n, 6) AS pi1_next,
+           ROUND(r1x / r1, 6) AS mu1_next,
+           ROUND(SQRT(r1xx / r1 - (r1x / r1) * (r1x / r1)), 6) AS sigma1_next,
+           ROUND(r2 / n, 6) AS pi2_next,
+           ROUND(r2x / r2, 6) AS mu2_next,
+           ROUND(SQRT(r2xx / r2 - (r2x / r2) * (r2x / r2)), 6) AS sigma2_next
+    FROM s
+    """,
+)
+def q_ml_gmm_mstep(spark, sf_dir):
+    """The full EM iteration the reference's GMM job performs: E-step
+    responsibilities (fixed SURVEY §2.9 params) feed weighted power sums
+    (Σr, Σrx, Σrx²) per component, and the M-step update
+    π' = Σr/n, μ' = Σrx/Σr, σ' = √(Σrx²/Σr − μ'²) is scalar arithmetic on
+    the single aggregated row — mapper/reducer/driver collapsed into one
+    agg + projection. The σ' expression cancels two same-magnitude ratios
+    (both ~1e3–1e4 from values ~1e2): ratio-normalized first, so the
+    difference keeps ~9 significant digits — round-6 safe, unlike raw
+    Σrx² − (Σrx)²/Σr at 1e10 scale."""
+    v = F.col("value")
+
+    def pdf(pi, mu, s):
+        return pi * F.exp(-F.pow((v - mu) / s, 2) / 2.0) / (s * SQRT_2PI)
+
+    p1 = pdf(_GMM["pi1"], _GMM["mu1"], _GMM["s1"])
+    p2 = pdf(_GMM["pi2"], _GMM["mu2"], _GMM["s2"])
+    r1 = p1 / (p1 + p2)
+    r2 = p2 / (p1 + p2)
+    s = T(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(r1).alias("r1"),
+        F.sum(r1 * v).alias("r1x"),
+        F.sum(r1 * v * v).alias("r1xx"),
+        F.sum(r2).alias("r2"),
+        F.sum(r2 * v).alias("r2x"),
+        F.sum(r2 * v * v).alias("r2xx"),
+    )
+    mu1 = F.col("r1x") / F.col("r1")
+    mu2 = F.col("r2x") / F.col("r2")
+    return s.select(
+        r6(F.col("r1") / F.col("n")).alias("pi1_next"),
+        r6(mu1).alias("mu1_next"),
+        r6(F.sqrt(F.col("r1xx") / F.col("r1") - mu1 * mu1)).alias(
+            "sigma1_next"
+        ),
+        r6(F.col("r2") / F.col("n")).alias("pi2_next"),
+        r6(mu2).alias("mu2_next"),
+        r6(F.sqrt(F.col("r2xx") / F.col("r2") - mu2 * mu2)).alias(
+            "sigma2_next"
+        ),
+    )
+
+
+@query(
+    "q_ml_logreg_iter2",
+    oracle="""
+    WITH g1 AS (
+        SELECT SUM(CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   AS grad0,
+               SUM((CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   * (value / 100.0)) AS grad1
+        FROM events
+    ),
+    w AS (
+        SELECT ROUND(-0.1 * grad0, 6) AS w0, ROUND(-0.1 * grad1, 6) AS w1
+        FROM g1
+    ),
+    g2 AS (
+        SELECT w.w0, w.w1,
+               SUM(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * (value / 100.0))))
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   AS grad0,
+               SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * (value / 100.0))))
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   * (value / 100.0)) AS grad1
+        FROM events CROSS JOIN w
+        GROUP BY w.w0, w.w1
+    )
+    SELECT ROUND(grad0, 6) AS grad_0,
+           ROUND(grad1, 6) AS grad_1,
+           ROUND(w0 - 0.1 * grad0, 6) AS w0_next,
+           ROUND(w1 - 0.1 * grad1, 6) AS w1_next
+    FROM g2
+    """,
+)
+def q_ml_logreg_iter2(spark, sf_dir):
+    """TWO full-batch logistic-regression GD steps in one plan — the
+    iterative twin of q_ml_logreg_grad, same shape as q_ml_kmeans_iter2:
+    step 1's weights (a 1-row aggregate, ROUNDED to 6 on both engines so
+    step 2's sigmoid sees bitwise-identical w) are cross-joined back over
+    the events as a broadcast, and step 2's gradient Σ(σ(wᵀx) − y)·x runs
+    in the same Catalyst plan with no driver round-trip. The reference
+    resubmits one MapReduce job per step with weights in the job conf —
+    this is that loop, fused. Gradient magnitudes ~1e3 over n~1e5 rows:
+    summation noise ~1e-10, round-6 safe."""
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    x1 = F.col("value") / 100.0
+    ev = T(spark, sf_dir, "events")
+    g1 = ev.agg(
+        F.sum(0.5 - y).alias("grad0"),
+        F.sum((0.5 - y) * x1).alias("grad1"),
+    )
+    w = g1.select(
+        r6(-0.1 * F.col("grad0")).alias("w0"),
+        r6(-0.1 * F.col("grad1")).alias("w1"),
+    )
+    sig = 1.0 / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * x1)))
+    g2 = (
+        ev.crossJoin(F.broadcast(w))
+        .groupBy("w0", "w1")
+        .agg(
+            F.sum(sig - y).alias("grad0"),
+            F.sum((sig - y) * x1).alias("grad1"),
+        )
+    )
+    return g2.select(
+        r6(F.col("grad0")).alias("grad_0"),
+        r6(F.col("grad1")).alias("grad_1"),
+        r6(F.col("w0") - 0.1 * F.col("grad0")).alias("w0_next"),
+        r6(F.col("w1") - 0.1 * F.col("grad1")).alias("w1_next"),
+    )
+
+
+@query(
+    "q_ml_knn_classify",
+    oracle="""
+    WITH pairs AS (
+        SELECT e.vec_id, e.label,
+               UNNEST(e.embedding) AS x,
+               UNNEST(q.embedding) AS y
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    ),
+    sims AS (
+        SELECT vec_id, label,
+               ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                   AS cos
+        FROM pairs GROUP BY vec_id, label
+    ),
+    topk AS (
+        SELECT label FROM sims ORDER BY cos DESC, vec_id LIMIT 10
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS votes,
+           ROUND(COUNT(*) / CAST(10.0 AS DOUBLE), 6) AS weight
+    FROM topk GROUP BY label
+    ORDER BY votes DESC, label
+    """,
+)
+def q_ml_knn_classify(spark, sf_dir):
+    """k-NN CLASSIFICATION — the vote the reference's kNN job takes after
+    finding neighbours: the k=10 nearest embeddings to vec_id=0 (by rounded
+    cosine with vec_id tie-break, so the neighbour SET is cross-engine
+    stable) vote with their labels; output is the vote tally, whose top row
+    is the prediction. Same brute-force top-k core as q_ml_knn (broadcast
+    query vector, TakeOrdered — no shuffle of the embedding side), plus a
+    10-row reduce for the tally."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    pairs = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = cosine("embedding", "q_embedding")
+    topk = (
+        pairs.select("vec_id", "label", r6(cos).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+    return (
+        topk.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .select(
+            "label",
+            "votes",
+            r6(F.col("votes") / 10.0).alias("weight"),
+        )
+        .orderBy(F.desc("votes"), "label")
+    )

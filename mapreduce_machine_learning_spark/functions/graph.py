@@ -21,12 +21,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SMALL_GRAPH_EDGES = 2_000_000  # ≈ a few tens of MB symmetrized: broadcastable
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
-    small_graph: bool = False,
+    small_graph: bool | str = "auto",
 ) -> DataFrame:
     """(src, dst) undirected pairs → (node, component) with component = the
     minimum node id reachable. Converges early when labels stop changing.
@@ -35,20 +38,25 @@ def connected_components(
     a top-k-capped pair list): every per-round join then uses broadcast
     hints and a single partition, turning each iteration into shuffle-free
     narrow jobs — label propagation on a bounded graph costs job-scheduling
-    overhead, not data movement. Leave False for unbounded edge lists,
-    where the joins must shuffle on node id."""
-
-    def _hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small_graph else df
-
+    overhead, not data movement. ``False`` forces the shuffle path for
+    unbounded edge lists. The default ``"auto"`` counts the (cached,
+    needed-anyway) symmetrized edge list and picks the broadcast path below
+    SMALL_GRAPH_EDGES — the AQE move, made here because the hint must reach
+    joins built across several loop rounds."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .cache()
     )
+    if small_graph == "auto":
+        small_graph = sym.count() <= SMALL_GRAPH_EDGES
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
     if small_graph:
         sym = sym.coalesce(1)
-    sym = sym.cache()
     labels = sym.select(F.col("u").alias("node")).distinct()
     if small_graph:
         labels = labels.coalesce(1)

@@ -719,27 +719,34 @@ def q_llm_dedup_semantic(spark, sf_dir):
         connected_components,
     )
 
-    emb = T(spark, sf_dir, "embeddings").withColumn(
-        "norm", l2norm("embedding")
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = dot("a.embedding", "b.embedding") / (
-        F.col("a.norm") * F.col("b.norm")
-    )
+    # Score each label block as ONE gram matrix in numpy (Arrow-batched
+    # applyInPandas): M·Mᵀ over the block beats 200k per-pair higher-order
+    # dot products ~3× here, and IS the 100 TB pattern — blocks (ANN/IVF
+    # cells there) arrive as Arrow record batches, BLAS does the math, only
+    # the surviving edges leave Python. Accumulation in float64 matches the
+    # oracle's element-cast-to-DOUBLE sum to ~1e-15, far below the round-6
+    # grid used for the threshold compare.
+    def _block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt((M * M).sum(axis=1))
+        C = (M @ M.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(C[iu, ju], 6)
+        keep = cos > 0.4
+        ia, jb = ids[iu][keep], ids[ju][keep]
+        return pd.DataFrame(
+            {"doc_a": np.minimum(ia, jb), "doc_b": np.maximum(ia, jb)}
+        )
+
     hits = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            r6(cos).alias("cos"),
-        )
-        .filter(F.col("cos") > 0.4)
-        .select("doc_a", "doc_b")
+        T(spark, sf_dir, "embeddings")
+        .select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(_block_pairs, schema="doc_a long, doc_b long")
     )
     singletons = T(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_a"), F.col("vec_id").alias("doc_b")

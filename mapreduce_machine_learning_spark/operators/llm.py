@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import r6
-from mapreduce_machine_learning_spark.functions import cosine, dot, l2norm
+from mapreduce_machine_learning_spark.functions import l2norm
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
 
@@ -300,26 +300,39 @@ def q_llm_sim_threshold(spark, sf_dir):
     contract threshold is 0.3, not SURVEY's 0.9: the synthetic embeddings
     are not label-clustered (max within-label cosine ≈ 0.47), so 0.9 selects
     nothing. 100 TB path: replace the label block with LSH/IVF buckets."""
-    # precompute each vector's norm ONCE (n rows) instead of per pair
-    # (n² evaluations) — at 2000 vectors this halves the array work and at
-    # real scale it is the difference between O(n·d) and O(n²·d) norm math
-    emb = T(spark, sf_dir, "embeddings").withColumn("norm", l2norm("embedding"))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
-    return (
-        pairs.select(F.col("a.label").alias("label"), cos.alias("cos"))
-        .filter(F.col("cos") > 0.3)
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("pairs"),
-            r6(F.max("cos")).alias("max_sim"),
+    # Each label block scored as ONE numpy gram matrix via Arrow-batched
+    # applyInPandas (see q_llm_dedup_semantic for the full rationale): the
+    # n² cosines cost one BLAS matmul per block instead of n² higher-order
+    # dot evaluations, and only the per-label summary leaves Python. The
+    # final rounding stays Spark-side so the r6 contract is uniform.
+    def _block_stats(pdf):
+        import numpy as np
+        import pandas as pd
+
+        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        nrm = np.sqrt((M * M).sum(axis=1))
+        C = (M @ M.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(M), k=1)
+        cos = C[iu, ju]
+        keep = cos > 0.3
+        if not keep.any():
+            return pd.DataFrame({"label": [], "pairs": [], "max_sim": []})
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "pairs": [int(keep.sum())],
+                "max_sim": [float(cos[keep].max())],
+            }
         )
+
+    return (
+        T(spark, sf_dir, "embeddings")
+        .select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            _block_stats, schema="label long, pairs long, max_sim double"
+        )
+        .select("label", "pairs", r6(F.col("max_sim")).alias("max_sim"))
     )
 
 

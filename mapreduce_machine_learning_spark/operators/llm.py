@@ -983,3 +983,155 @@ def q_llm_packing(spark, sf_dir):
             F.avg((F.col("last_pack") - F.col("first_pack") + 1).cast("double"))
         ).alias("avg_packs_per_doc"),
     )
+
+
+def _quality_sql_cte() -> str:
+    from mapreduce_machine_learning_spark.operators.text_analysis import (
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return f"""
+    q AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   AS n_dist,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                       {_sql_list(STOPWORDS)})) AS DOUBLE)
+                   AS n_stop,
+               CAST(n_chars AS DOUBLE) AS nc
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, doc_id,
+               0.4 * (n_dist / n_tok)
+             + 0.3 * (1.0 - n_stop / n_dist)
+             + 0.3 * LEAST(((nc - (n_tok - 1)) / n_tok) / 8.0, 1.0) AS score,
+               CAST(('0x' || substr(md5('qs|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM q
+    )"""
+
+
+@query(
+    "q_llm_qsample",
+    oracle=f"""
+    WITH {_quality_sql_cte()}
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN u < score THEN 1 ELSE 0 END) AS BIGINT)
+               AS sampled,
+           ROUND(AVG(CASE WHEN u < score THEN score END), 6)
+               AS avg_kept_score,
+           ROUND(AVG(CASE WHEN u < score THEN 1.0 ELSE 0.0 END), 6) AS rate
+    FROM s GROUP BY lang
+    """,
+)
+def q_llm_qsample(spark, sf_dir):
+    """Quality-weighted Bernoulli sampling — keep each document with
+    probability equal to its quality score (the q_text_quality features),
+    using a KEYED-HASH uniform u = md5('qs|'||doc_id)/2³² instead of
+    rand(): the sample is reproducible across engines, reruns, retries and
+    repartitions, which rand() can never be (a failed task would resample
+    on retry). Per language: input/kept counts, mean kept score, effective
+    rate. Pure map + one small agg — the decision column also serves as
+    the write-side partition filter at 100 TB. Both engines evaluate the
+    identical score and u expressions on exact-integer inputs, so the
+    u < score boundary is bitwise-reproducible."""
+    from mapreduce_machine_learning_spark.operators.text_analysis import (
+        STOPWORDS,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_dist = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])
+        )
+    ).cast("double")
+    avg_tok_len = (F.col("n_chars").cast("double") - (n_tok - 1)) / n_tok
+    score = (
+        0.4 * (n_dist / n_tok)
+        + 0.3 * (1.0 - n_stop / n_dist)
+        + 0.3 * F.least(avg_tok_len / 8.0, F.lit(1.0))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qs|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 4294967296.0
+    )
+    kept = F.col("u") < F.col("score")
+    return (
+        d.select("lang", score.alias("score"), u.alias("u"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("sampled"),
+            r6(F.avg(F.when(kept, F.col("score")))).alias("avg_kept_score"),
+            r6(F.avg(F.when(kept, 1.0).otherwise(0.0))).alias("rate"),
+        )
+    )
+
+
+@query(
+    "q_llm_mixweights",
+    oracle="""
+    WITH t AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS toks
+        FROM documents GROUP BY source
+    )
+    SELECT source, docs,
+           CAST(toks AS BIGINT) AS tokens,
+           ROUND(toks / SUM(toks) OVER (), 6) AS token_share,
+           ROUND((CAST(1.0 AS DOUBLE) / 20) / (toks / SUM(toks) OVER ()), 6)
+               AS weight,
+           ROUND(LEAST((CAST(1.0 AS DOUBLE) / 20)
+                       / (toks / SUM(toks) OVER ()),
+                       CAST(4.0 AS DOUBLE)), 6) AS repeat_factor
+    FROM t
+    """,
+)
+def q_llm_mixweights(spark, sf_dir):
+    """Domain-mixture reweighting — the pass that turns measured corpus
+    composition into per-source sampling weights: census each source's
+    TOKEN share (docs alone mislead when lengths differ), target a uniform
+    1/20 token mixture, weight = target/actual, and cap the upsampling
+    repeat factor at 4 epochs (unbounded repetition of a small source
+    degrades models faster than under-representing it). One groupBy to 20
+    rows plus an unpartitioned window over those 20 — the window is on the
+    post-aggregation side, so the global exchange moves 20 rows regardless
+    of corpus size."""
+    from pyspark.sql import Window
+
+    t = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("double")
+            .alias("toks"),
+        )
+    )
+    total = F.sum("toks").over(Window.partitionBy())
+    share = F.col("toks") / total
+    weight = (1.0 / 20) / share
+    return t.select(
+        "source",
+        "docs",
+        F.col("toks").cast("bigint").alias("tokens"),
+        r6(share).alias("token_share"),
+        r6(weight).alias("weight"),
+        r6(F.least(weight, F.lit(4.0))).alias("repeat_factor"),
+    )

@@ -1135,3 +1135,67 @@ def q_llm_mixweights(spark, sf_dir):
         r6(weight).alias("weight"),
         r6(F.least(weight, F.lit(4.0))).alias("repeat_factor"),
     )
+
+
+@query(
+    "q_llm_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_QUERIES_NEARDUP_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_a, doc_a FROM pairs
+        UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS node, MIN(dst) AS comp FROM reach GROUP BY src),
+    dropped AS (SELECT node FROM comp WHERE node <> comp)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS survivors,
+           CAST(SUM(CASE WHEN dr.node IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS dropped
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+    GROUP BY d.lang
+    """,
+)
+def q_llm_dedup_survivors(spark, sf_dir):
+    """Survivor SELECTION — the step after q_graph_components that real
+    dedup pipelines actually ship: fold verified near-dup pairs into
+    components (functions.graph), keep the minimum doc_id per component,
+    pass every unpaired document through, and report per-language
+    docs/survivors/dropped. The exclusion join runs against the DROPPED id
+    set — bounded by the pair cap, hence broadcastable at any corpus size
+    (the survivor set is corpus-sized and must never be the join's build
+    side). Oracle: recursive closure CTE + LEFT JOIN against the dropped
+    nodes."""
+    from mapreduce_machine_learning_spark.functions.graph import (
+        connected_components,
+    )
+
+    pairs = q_llm_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, small_graph=True)
+    dropped = (
+        comps.filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("is_dropped", F.lit(1))
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
+                "survivors"
+            ),
+            F.sum(
+                F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)
+            ).alias("dropped"),
+        )
+    )

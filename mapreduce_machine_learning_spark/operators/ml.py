@@ -840,3 +840,135 @@ def q_ml_knn_classify(spark, sf_dir):
         )
         .orderBy(F.desc("votes"), "label")
     )
+
+
+@query(
+    "q_ml_linreg_eval",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS sx,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS sxx,
+               SUM(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+    ),
+    w AS (
+        SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept
+        FROM s
+    ),
+    r AS (
+        SELECT l_extendedprice AS y,
+               w.slope * l_quantity + w.intercept AS yhat,
+               w.slope AS slope, w.intercept AS intercept
+        FROM lineitem CROSS JOIN w
+    ),
+    m AS (SELECT AVG(y) AS ybar FROM r)
+    SELECT MAX(r.slope) AS slope,
+           MAX(r.intercept) AS intercept,
+           ROUND(SQRT(SUM((r.y - r.yhat) * (r.y - r.yhat))
+                      / COUNT(*)), 6) AS rmse,
+           ROUND(1.0 - SUM((r.y - r.yhat) * (r.y - r.yhat))
+                       / SUM((r.y - m.ybar) * (r.y - m.ybar)), 6) AS r2
+    FROM r CROSS JOIN m
+    """,
+)
+def q_ml_linreg_eval(spark, sf_dir):
+    """TRAIN + EVALUATE simple OLS in one plan: the summation-form fit of
+    q_ml_linreg_stats becomes a one-row weight aggregate (ROUNDED to 6 on
+    both engines, the iter2 pattern), broadcast back over lineitem, and
+    scored — RMSE and R² from centered residual sums. Residuals are
+    O(1e3-1e4) per row, their squared sums ~1e12 but both RMSE and R² are
+    RATIOS of same-order sums, restoring round-6 stability (the raw SSE
+    would need rmil). Three passes over the fact, zero fact-side shuffles:
+    fit agg, mean agg, residual agg."""
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    li = T(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    w = s.select(
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+    )
+    ybar = li.agg(F.avg(y).alias("ybar"))
+    resid = y - (F.col("slope") * x + F.col("intercept"))
+    dev = y - F.col("ybar")
+    return (
+        li.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(ybar))
+        .agg(
+            F.max("slope").alias("slope"),
+            F.max("intercept").alias("intercept"),
+            r6(
+                F.sqrt(F.sum(resid * resid) / F.count(F.lit(1)))
+            ).alias("rmse"),
+            r6(1.0 - F.sum(resid * resid) / F.sum(dev * dev)).alias("r2"),
+        )
+    )
+
+
+@query(
+    "q_ml_logreg_predict",
+    oracle="""
+    WITH g1 AS (
+        SELECT SUM(CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   AS grad0,
+               SUM((CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   * (value / 100.0)) AS grad1
+        FROM events
+    ),
+    w AS (
+        SELECT ROUND(-0.1 * grad0, 6) AS w0, ROUND(-0.1 * grad1, 6) AS w1
+        FROM g1
+    ),
+    p AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS actual,
+               CASE WHEN 1.0 / (1.0 + EXP(-(w.w0 + w.w1 * (value / 100.0))))
+                    > 0.5 THEN 1 ELSE 0 END AS pred
+        FROM events CROSS JOIN w
+    )
+    SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY actual, pred
+    """,
+)
+def q_ml_logreg_predict(spark, sf_dir):
+    """Logistic-regression PREDICTION after one GD step: the step-1 weights
+    (rounded, broadcast — the same in-plan parameter shipment as
+    q_ml_logreg_iter2) score every event with σ(wᵀx) > 0.5 and the
+    confusion matrix comes back as a 4-group aggregate. Together with
+    q_ml_gnb_predict this closes the reference's train-then-classify loop
+    for both of its classifier families. The 0.5 decision boundary on
+    bitwise-identical weights and inputs cannot flip cross-engine."""
+    yb = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    y = yb.cast("double")
+    x1 = F.col("value") / 100.0
+    ev = T(spark, sf_dir, "events")
+    g1 = ev.agg(
+        F.sum(0.5 - y).alias("grad0"),
+        F.sum((0.5 - y) * x1).alias("grad1"),
+    )
+    w = g1.select(
+        r6(-0.1 * F.col("grad0")).alias("w0"),
+        r6(-0.1 * F.col("grad1")).alias("w1"),
+    )
+    sig = 1.0 / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * x1)))
+    return (
+        ev.crossJoin(F.broadcast(w))
+        .select(
+            yb.alias("actual"),
+            F.when(sig > 0.5, 1).otherwise(0).alias("pred"),
+        )
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -43,13 +43,27 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# ``spark.read.parquet`` pays ~150 ms of driver-side file listing + footer
+# schema inference PER CALL (measured at sf0.1) — pure plan-building overhead,
+# re-paid by every query invocation. DataFrames are immutable, so handing every
+# caller the same base relation is semantics-free; this is the moral equivalent
+# of resolving a catalog table once instead of re-inferring an anonymous path.
+# Keyed by applicationId so a new session (new JVM state, new confs) never sees
+# a stale handle.
+_TABLE_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with schema fixes applied (events.ts ns→µs)."""
-    prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # integer DIV is mandatory — see module docstring
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        prepare(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # integer DIV is mandatory — see module docstring
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        _TABLE_MEMO[key] = df
     return df
 
 

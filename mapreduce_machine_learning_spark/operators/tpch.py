@@ -925,3 +925,145 @@ def q_tpch_q1(spark, sf_dir):
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT ps.*, s_acctbal, s_name, n_name
+        FROM ps
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_name,
+           ROUND(unit_cost, 6) AS supply_cost
+    FROM eu
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 15
+    QUALIFY unit_cost = MIN(unit_cost) OVER (PARTITION BY l_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for each size-15 part, the
+    EUROPE supplier(s) offering it at the lowest unit cost. Adaptation: the
+    missing partsupp table is derived from lineitem — a supplier "offers" a
+    part it has shipped, at supply cost MIN(l_extendedprice/l_quantity)
+    (MIN of identical per-row IEEE divisions is FP-exact cross-engine,
+    unlike an avg). The correlated min-cost subquery becomes a window MIN
+    over partkey — one extra shuffle-free pass over the already-partkey-
+    clustered aggregate instead of a self-join. At scale: the derived ps
+    aggregates map-side before its one shuffle on (partkey, suppkey); the
+    supplier→nation→region dimension chain and part are broadcast, so the
+    region filter prunes ps rows before the window."""
+    li = T(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.join(F.broadcast(dim), ps.l_suppkey == dim.s_suppkey)
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            r6(F.col("unit_cost")).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH natsupp AS (
+        SELECT s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ),
+    val AS (
+        SELECT l_partkey AS ps_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+        GROUP BY l_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM val,
+         (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                 CAST(COUNT(*) AS BIGINT) AS part_cnt FROM val)
+    WHERE value_cents * part_cnt > 2 * total_cents
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): parts whose shipped value
+    from NATION_3 suppliers exceeds 2× the average per-part value (TPC-H's
+    fixed fraction degenerates as part count grows — the spec itself scales
+    it by 1/SF; an average-relative threshold is scale-free). Adaptations:
+    partsupp value (supplycost×availqty) becomes shipped value
+    price×quantity from lineitem; the value is computed in integer CENTS
+    (round(price*100) as bigint × qty as bigint) so both the per-part sums
+    and the global-total threshold comparison are exact integer arithmetic —
+    no FP accumulation-order noise can flip a row near the threshold.
+    At scale: the national supplier list is a broadcast semi join (no fact
+    shuffle), the per-part sum map-side-aggregates before its one shuffle,
+    and the global total is a second tiny agg over the per-part rows,
+    rejoined as a broadcast 1-row scalar — the fact table is scanned once."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natsupp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    val = (
+        li.join(F.broadcast(natsupp), li.l_suppkey == natsupp.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("part_cnt"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.col("part_cnt") > 2 * F.col("total_cents")
+        )
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )

@@ -156,3 +156,95 @@ def q_events_anomaly(spark, sf_dir):
             r6(F.max(z)).alias("max_abs_z"),
         )
     )
+
+
+@query(
+    "q_events_cooccur",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+        FROM events
+    ),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_t
+        FROM basket GROUP BY event_type
+    ),
+    nb AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets
+        FROM (SELECT DISTINCT user_id, date_trunc('day', ts) FROM events)
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS DOUBLE) AS n_ab
+        FROM basket a
+        JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+                     AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(n_ab AS BIGINT) AS baskets_both,
+           ROUND(n_ab * n_baskets / (ta.n_t * tb.n_t), 6) AS lift
+    FROM pairs
+    JOIN tot ta ON ta.event_type = type_a
+    JOIN tot tb ON tb.event_type = type_b
+    CROSS JOIN nb
+    ORDER BY type_a, type_b
+    """,
+)
+def q_events_cooccur(spark, sf_dir):
+    """Market-basket co-occurrence with basket = (user, day): for every
+    event-type pair, how many baskets contain both, and the lift
+    P(a,b)/(P(a)P(b)) — the co-occurrence/association kernel behind
+    item-item recommenders, at user-day granularity so baskets are sparse
+    and lift is informative. The self-join runs on the DISTINCT basket
+    frame (|users|·|days|·|types| ≪ events) and joins on the basket key,
+    so the pair blow-up is per-basket (≤ types²), not per-event; totals are
+    broadcast scalars. Counts exact, lift a round-6 ratio of exact counts."""
+    ev = T(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    tot = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_t")
+    )
+    nb = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("ta_type"), F.col("n_t").alias("ta_n")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("tb_type"), F.col("n_t").alias("tb_n")
+    )
+    return (
+        pairs.join(F.broadcast(ta), F.col("type_a") == F.col("ta_type"))
+        .join(F.broadcast(tb), F.col("type_b") == F.col("tb_type"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint").alias("baskets_both"),
+            r6(
+                F.col("n_ab") * F.col("n_baskets")
+                / (F.col("ta_n") * F.col("tb_n"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

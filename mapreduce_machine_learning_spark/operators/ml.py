@@ -972,3 +972,215 @@ def q_ml_logreg_predict(spark, sf_dir):
         .groupBy("actual", "pred")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "q_ml_pca",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS sx,
+               SUM(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)) AS sy,
+               SUM(value * value) AS sxx,
+               SUM(value * CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)) AS sxy,
+               SUM(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)
+                   * CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)) AS syy
+        FROM events
+    ),
+    c AS (
+        SELECT (sxx - sx * sx / n) / (n - 1) AS cxx,
+               (sxy - sx * sy / n) / (n - 1) AS cxy,
+               (syy - sy * sy / n) / (n - 1) AS cyy
+        FROM s
+    ),
+    e AS (
+        SELECT cxx, cxy, cyy,
+               (cxx + cyy) / 2
+                   + SQRT(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy)
+                   AS l1,
+               (cxx + cyy) / 2
+                   - SQRT(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy)
+                   AS l2
+        FROM c
+    )
+    SELECT ROUND(cxx, 6) AS var_value,
+           ROUND(cyy, 6) AS var_hour,
+           ROUND(cxy, 6) AS cov,
+           ROUND(l1, 6) AS lambda1,
+           ROUND(l2, 6) AS lambda2,
+           ROUND(l1 / (l1 + l2), 6) AS explained1,
+           ROUND(DEGREES(ATAN2(l1 - cxx, cxy)), 6) AS pc1_angle_deg
+    FROM e
+    """,
+)
+def q_ml_pca(spark, sf_dir):
+    """PCA on the 2-D feature matrix (value, hour(ts)): sample covariance
+    from ONE summation-form pass (n, Σx, Σy, Σxx, Σxy, Σyy — the Chu et
+    al. '06 pattern again), then the 2×2 symmetric eigenproblem solved in
+    CLOSED FORM inside the plan (λ = mean ± sqrt(gap² + cov²), principal
+    axis angle from atan2) — no iteration, no driver math, no collect. At
+    100 TB the only distributed work is the single map-side-combined
+    aggregate; everything after is constant-time scalar expressions on a
+    1-row frame. Dividing the raw sums by n shrinks the ~2e-6 cross-engine
+    accumulation noise by the row count, so round-6 is stable for every
+    output (ARCHITECTURE.md rounding policy). For d ≫ 2 the same pass
+    yields the Gram matrix and the eigensolve moves to numpy on the driver
+    — d², not n, sized."""
+    ev = T(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    cxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    cyy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    c = s.select(cxx.alias("cxx"), cxy.alias("cxy"), cyy.alias("cyy"))
+    mean = (F.col("cxx") + F.col("cyy")) / 2
+    root = F.sqrt(
+        ((F.col("cxx") - F.col("cyy")) / 2) ** 2 + F.col("cxy") ** 2
+    )
+    e = c.select(
+        "cxx", "cxy", "cyy",
+        (mean + root).alias("l1"),
+        (mean - root).alias("l2"),
+    )
+    return e.select(
+        r6(F.col("cxx")).alias("var_value"),
+        r6(F.col("cyy")).alias("var_hour"),
+        r6(F.col("cxy")).alias("cov"),
+        r6(F.col("l1")).alias("lambda1"),
+        r6(F.col("l2")).alias("lambda2"),
+        r6(F.col("l1") / (F.col("l1") + F.col("l2"))).alias("explained1"),
+        r6(
+            F.degrees(F.atan2(F.col("l1") - F.col("cxx"), F.col("cxy")))
+        ).alias("pc1_angle_deg"),
+    )
+
+
+@query(
+    "q_ml_auc",
+    oracle="""
+    WITH g1 AS (
+        SELECT SUM(CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   AS grad0,
+               SUM((CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   * (value / 100.0)) AS grad1
+        FROM events
+    ),
+    w AS (
+        SELECT ROUND(-0.1 * grad0, 6) AS w0, ROUND(-0.1 * grad1, 6) AS w1
+        FROM g1
+    ),
+    scored AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+               1.0 / (1.0 + EXP(-(w.w0 + w.w1 * (value / 100.0)))) AS score,
+               event_id
+        FROM events CROSS JOIN w
+    ),
+    ranked AS (
+        SELECT label,
+               ROW_NUMBER() OVER (ORDER BY score, event_id) AS rnk
+        FROM scored
+    )
+    SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+           ROUND((SUM(CASE WHEN label = 1 THEN CAST(rnk AS DOUBLE) END)
+                  - SUM(label) * (SUM(label) + 1.0) / 2.0)
+                 / (SUM(label) * SUM(1 - label)), 6) AS auc
+    FROM ranked
+    """,
+)
+def q_ml_auc(spark, sf_dir):
+    """ROC AUC of the one-step logistic scores via the Mann-Whitney rank
+    statistic: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻). Ranks come from
+    row_number over (score, event_id) — the explicit unique tie-break makes
+    the statistic a pure function of the data, identical on both engines
+    (bitwise-equal scores from bitwise-equal weights). Rank sums are exact
+    integers; only the final ratio rounds. The global sort is the cost at
+    scale — the production path replaces exact ranks with a fixed-width
+    score histogram (trapezoidal AUC over bins, one aggregate, no sort);
+    this query is the exact baseline for that approximation."""
+    yb = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    y = yb.cast("double")
+    x1 = F.col("value") / 100.0
+    ev = T(spark, sf_dir, "events")
+    g1 = ev.agg(
+        F.sum(0.5 - y).alias("grad0"),
+        F.sum((0.5 - y) * x1).alias("grad1"),
+    )
+    w = g1.select(
+        r6(-0.1 * F.col("grad0")).alias("w0"),
+        r6(-0.1 * F.col("grad1")).alias("w1"),
+    )
+    sig = 1.0 / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * x1)))
+    from pyspark.sql import Window
+
+    scored = ev.crossJoin(F.broadcast(w)).select(
+        yb.alias("label"), sig.alias("score"), "event_id"
+    )
+    ranked = scored.select(
+        "label",
+        F.row_number()
+        .over(Window.orderBy("score", "event_id"))
+        .cast("double")
+        .alias("rnk"),
+    )
+    lbl = F.col("label")
+    npos = F.sum(lbl.cast("double"))
+    nneg = F.sum(1.0 - lbl)
+    return ranked.agg(
+        npos.cast("bigint").alias("n_pos"),
+        nneg.cast("bigint").alias("n_neg"),
+        r6(
+            (F.sum(F.when(lbl == 1, F.col("rnk"))) - npos * (npos + 1.0) / 2.0)
+            / (npos * nneg)
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_ml_perceptron",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(-1.0 AS DOUBLE) END AS y,
+               value / 100.0 AS x1
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_misclassified,
+           ROUND(0.1 * SUM(y), 6) AS delta_w0,
+           ROUND(0.1 * SUM(y * x1), 6) AS delta_w1
+    FROM m
+    WHERE y * (0.05 + 0.1 * x1) <= 0
+    """,
+)
+def q_ml_perceptron(spark, sf_dir):
+    """One perceptron update in summation form: with fixed weights
+    w=(0.05, 0.1) over features (1, value/100), every event with margin
+    y·(wᵀx) ≤ 0 is misclassified and contributes η·y·x to the batch
+    update (η=0.1). One filtered aggregate — the whole step ships three
+    numbers, never rows, exactly how the reference's gradient jobs emit
+    per-mapper partial sums. The margin sign on bitwise-identical inputs
+    cannot flip cross-engine; Σy is integer-exact and Σy·x1 is magnitude
+    ~1e3, far inside round-6 stability."""
+    ev = T(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(-1.0)
+    x1 = F.col("value") / 100.0
+    return (
+        ev.select(y.alias("y"), x1.alias("x1"))
+        .filter(F.col("y") * (0.05 + 0.1 * F.col("x1")) <= 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_misclassified"),
+            r6(0.1 * F.sum("y")).alias("delta_w0"),
+            r6(0.1 * F.sum(F.col("y") * F.col("x1"))).alias("delta_w1"),
+        )
+    )

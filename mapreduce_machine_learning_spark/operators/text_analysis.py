@@ -674,3 +674,77 @@ def q_text_entropy(spark, sf_dir):
             "lang_entropy"
         ),
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH bg AS (
+        SELECT UNNEST(list_transform(
+                   range(1, len(toks)),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+                   AS b
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2
+    ),
+    cnt AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c
+        FROM bg GROUP BY b.w1, b.w2
+    ),
+    tot AS (
+        SELECT w1, w2, c, SUM(c) OVER (PARTITION BY w1) AS c_w1
+        FROM cnt
+    )
+    SELECT w1, w2,
+           CAST(c AS BIGINT) AS bigram_count,
+           CAST(c_w1 AS BIGINT) AS prefix_count,
+           ROUND(CAST(c AS DOUBLE) / CAST(c_w1 AS DOUBLE), 6) AS cond_prob
+    FROM tot
+    WHERE c >= 5
+    ORDER BY cond_prob DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language model over the corpus: P(w₂|w₁) = count(w₁w₂) /
+    count(w₁·), reported for the 20 most-predictable bigrams with support
+    ≥ 5 — the MapReduce-era n-gram-count job (the canonical "word count's
+    big sibling") as two JVM-side passes. Bigram extraction is a pure
+    higher-order expression (transform over sequence — no self-join of
+    exploded positions); the conditional denominator is a window SUM over
+    the already-grouped counts, shuffling |vocab²| count rows, never token
+    occurrences. Counts are exact integers; the probability is a ratio of
+    identical integers on both engines, so round-6 is noise-free. At 100 TB
+    this is the plan you want: one explode-free extraction, one partial+
+    final count agg keyed (w₁,w₂), one |vocab|-keyed window."""
+    docs = T(spark, sf_dir, "documents")
+    bg = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("w1")
+    return (
+        cnt.withColumn("c_w1", F.sum("c").over(w))
+        .filter(F.col("c") >= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("bigram_count"),
+            F.col("c_w1").alias("prefix_count"),
+            r6(F.col("c").cast("double") / F.col("c_w1").cast("double")).alias(
+                "cond_prob"
+            ),
+        )
+        .orderBy(F.desc("cond_prob"), "w1", "w2")
+        .limit(20)
+    )

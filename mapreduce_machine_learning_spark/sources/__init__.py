@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def write_table(
@@ -37,6 +37,8 @@ def write_table(
         w.json(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -53,4 +55,21 @@ def read_table(
         return r.json(path)
     if fmt == "parquet":
         return r.parquet(path)
+    if fmt == "orc":
+        return r.orc(path)
     raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a single-string-column frame as raw lines — the reference's
+    native sink (reducer output = lines on HDFS). The column is renamed to
+    ``value`` as the text writer requires."""
+    (col,) = df.columns
+    df.withColumnRenamed(col, "value").write.mode(mode).text(path)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line-oriented input (one ``value: string`` column) — the
+    reference's native source; parse with split/from_json/from_csv
+    expressions downstream, all JVM-side."""
+    return spark.read.text(path)

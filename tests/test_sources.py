@@ -103,3 +103,18 @@ def test_resize_then_frames_compose(spark):
     assert frames.count() == 2 * sum(
         1 for r in media.collect() if r.kind == "video"
     )
+
+
+def test_lines_roundtrip(spark, tmp_path):
+    from mapreduce_machine_learning_spark.sources import read_lines, write_lines
+
+    src = load_table(spark, SF_DIR, "documents").limit(200).select("text")
+    path = str(tmp_path / "docs_lines")
+    write_lines(src, path)
+    back = read_lines(spark, path)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["text"] for r in src.collect()
+    )
+    # parse back into columns JVM-side (the reference's split-the-line idiom)
+    parsed = back.select(F.split("value", " ").alias("toks"))
+    assert parsed.filter(F.size("toks") < 1).count() == 0

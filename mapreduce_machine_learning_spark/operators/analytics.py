@@ -13,6 +13,7 @@ microseconds identically on both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import r6
@@ -247,4 +248,55 @@ def q_events_cooccur(spark, sf_dir):
             ).alias("lift"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cnt AS (
+        SELECT cur, nxt, COUNT(*) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt,
+           CAST(c AS BIGINT) AS transitions,
+           ROUND(CAST(c AS DOUBLE)
+                 / CAST(SUM(c) OVER (PARTITION BY cur) AS DOUBLE), 6) AS prob
+    FROM cnt
+    ORDER BY cur, nxt
+    """,
+)
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event sequence:
+    P(next | current) from LEAD pairs, ordered by (ts, event_id) — the
+    unique tie-break makes the sequence, and hence every count, identical
+    cross-engine. The per-user window shuffles once on user_id (sequences
+    sort within partitions); the |types|² count matrix then normalizes with
+    a window over 25 rows. Transition counts exact; probabilities are
+    round-6 ratios of exact integers."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("cur")
+    return (
+        cnt.select(
+            "cur",
+            "nxt",
+            F.col("c").alias("transitions"),
+            r6(
+                F.col("c").cast("double")
+                / F.sum("c").over(wn).cast("double")
+            ).alias("prob"),
+        )
+        .orderBy("cur", "nxt")
     )

@@ -748,3 +748,122 @@ def q_text_bigram_lm(spark, sf_dir):
         .orderBy(F.desc("cond_prob"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    ranked AS (
+        SELECT token, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rnk
+        FROM cnt
+    ),
+    pts AS (
+        SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS zipf_intercept
+    FROM s
+    """,
+)
+def q_text_zipf(spark, sf_dir):
+    """Zipf's-law fit: word count (THE canonical MapReduce job) → frequency
+    ranks → OLS of ln(count) on ln(rank), all in one plan. The rank tie-break
+    (count DESC, token) is explicit so both engines rank identically; the
+    regression reuses the summation-form kernel over |vocab| points. At scale
+    only the token count shuffles on token; the ranked frame is |vocab|-sized
+    and the global window sort costs |vocab| log |vocab|, independent of
+    corpus bytes. Log sums are O(vocab·ln(freq)) ~1e4 — round-6 stable."""
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.select(
+        F.log(F.row_number().over(
+            Window.orderBy(F.desc("c"), "token")
+        ).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("vocab"),
+        r6(slope).alias("zipf_slope"),
+        r6((sy - slope * sx) / n).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "q_text_kl",
+    oracle="""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    sc AS (SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM tok GROUP BY source, token),
+    st AS (SELECT source, SUM(c) AS tot FROM sc GROUP BY source),
+    gc AS (SELECT token, SUM(c) AS g FROM sc GROUP BY token),
+    gt AS (SELECT SUM(c) AS gtot FROM sc)
+    SELECT sc.source,
+           CAST(st.tot AS BIGINT) AS tokens,
+           ROUND(SUM((sc.c / st.tot)
+                     * LN((sc.c / st.tot) / (gc.g / gt.gtot))), 6) AS kl_bits
+    FROM sc
+    JOIN st ON st.source = sc.source
+    JOIN gc ON gc.token = sc.token
+    CROSS JOIN gt
+    GROUP BY sc.source, st.tot
+    """,
+)
+def q_text_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution —
+    D(pₛ‖p) = Σ pₛ ln(pₛ/p) — the quantitative "how different is this
+    source's language" mixture diagnostic (pₛ ≪ p holds by construction:
+    every source token is in the corpus). Counts aggregate once keyed
+    (source, token); the global distribution is a second, |vocab|-keyed agg
+    of those counts (never re-reading the corpus) broadcast back by token.
+    Each KL term is O(p·ln ratio) ≤ 1; per-source sums are ≤ ln(vocab) —
+    round-6 stable."""
+    tok = T(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    sc = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    gc = sc.groupBy("token").agg(F.sum("c").alias("g"))
+    gt = sc.agg(F.sum("c").alias("gtot"))
+    ps = F.col("c") / F.col("tot")
+    pg = F.col("g") / F.col("gtot")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "token")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source", "tot")
+        .agg(r6(F.sum(ps * F.log(ps / pg))).alias("kl_bits"))
+        .select(
+            "source",
+            F.col("tot").cast("bigint").alias("tokens"),
+            "kl_bits",
+        )
+    )

@@ -1184,3 +1184,121 @@ def q_ml_perceptron(spark, sf_dir):
             r6(0.1 * F.sum(F.col("y") * F.col("x1"))).alias("delta_w1"),
         )
     )
+
+
+@query(
+    "q_ml_crossval",
+    oracle="""
+    WITH f AS (
+        SELECT l_quantity AS x, l_extendedprice AS y,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 5 AS fold
+        FROM lineitem
+    ),
+    s AS (
+        SELECT fold, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+               SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM f GROUP BY fold
+    ),
+    t AS (
+        SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+               SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+        FROM s
+    ),
+    p AS (
+        SELECT fold,
+               ROUND(((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+                     / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)),
+                     6) AS slope,
+               ROUND(((tsy - sy)
+                      - ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+                        / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))
+                        * (tsx - sx)) / (tn - n), 6) AS intercept
+        FROM s CROSS JOIN t
+    )
+    SELECT f.fold, p.slope, p.intercept,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(SQRT(SUM((f.y - (p.slope * f.x + p.intercept))
+                          * (f.y - (p.slope * f.x + p.intercept)))
+                      / COUNT(*)), 6) AS rmse
+    FROM f JOIN p ON f.fold = p.fold
+    GROUP BY f.fold, p.slope, p.intercept
+    ORDER BY f.fold
+    """,
+)
+def q_ml_crossval(spark, sf_dir):
+    """5-fold cross-validation of the OLS model in ONE plan — the showcase
+    of summation-form composability: per-fold sufficient statistics are
+    computed once (5 rows × 5 numbers), each fold's TRAINING stats are the
+    algebraic complement (total − fold) so no row is ever read twice for
+    training, and the held-out RMSE pass joins 5 broadcast parameter rows
+    back to the fact. Fold assignment is the reproducible md5 bucket of the
+    unique (orderkey, linenumber) row key — rerun- and
+    relayout-stable, like every split in this engine. Two fact passes
+    total (stats + eval), both map-side-combined aggregates; the reference
+    would run 10 MapReduce jobs (5 trains + 5 tests) over the same bytes.
+    Params round-6 before scoring on both engines (the iter2 pattern) so
+    residuals are bitwise-reproducible; RMSE is a ratio-then-sqrt of
+    same-order sums — round-6 stable."""
+    li = T(spark, sf_dir, "lineitem")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    f = li.select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        fold.alias("fold"),
+    )
+    s = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    t = s.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    trn = F.col("tn") - F.col("n")
+    trx = F.col("tsx") - F.col("sx")
+    try_ = F.col("tsy") - F.col("sy")
+    trxx = F.col("tsxx") - F.col("sxx")
+    trxy = F.col("tsxy") - F.col("sxy")
+    slope = (trn * trxy - trx * try_) / (trn * trxx - trx * trx)
+    p = s.crossJoin(F.broadcast(t)).select(
+        "fold",
+        r6(slope).alias("slope"),
+        r6((try_ - slope * trx) / trn).alias("intercept"),
+    )
+    resid = F.col("y") - (F.col("slope") * F.col("x") + F.col("intercept"))
+    return (
+        f.join(F.broadcast(p), "fold")
+        .groupBy("fold", "slope", "intercept")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            r6(F.sqrt(F.sum(resid * resid) / F.count(F.lit(1)))).alias(
+                "rmse"
+            ),
+        )
+        .orderBy("fold")
+    )

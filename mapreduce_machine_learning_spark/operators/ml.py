@@ -1265,13 +1265,17 @@ def q_ml_crossval(spark, sf_dir):
         F.col("l_extendedprice").alias("y"),
         fold.alias("fold"),
     )
+    # materialize the 5-row stats frame: it feeds t, p and (via p) the eval
+    # join, and Catalyst performs no cross-subtree CSE — without this the
+    # physical plan scans the fact table 6×, not the 2 passes the design
+    # promises (pinned by test_crossval_two_fact_scans_and_broadcast_params)
     s = f.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
+    ).localCheckpoint()
     t = s.agg(
         F.sum("n").alias("tn"),
         F.sum("sx").alias("tsx"),

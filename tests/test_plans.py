@@ -119,3 +119,46 @@ def test_tpch_q4_semi_q22_anti(spark):
 
     assert_in_plan(q_tpch_q4(spark, SF_DIR), "LeftSemi")
     assert_in_plan(q_tpch_q22(spark, SF_DIR), "LeftAnti")
+
+
+def test_tpch_q2_q11_broadcast_dims_no_cartesian(spark):
+    for name in ("q_tpch_q2", "q_tpch_q11"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_crossval_two_fact_scans_and_broadcast_params(spark):
+    # the stats pass ran once at plan-build (checkpointed 5-row frame);
+    # the final plan holds exactly ONE fact scan (the eval pass) with the
+    # parameters broadcast. formatted explain lists each node twice
+    # (tree summary + detail), hence count == 2 per physical scan.
+    df = QUERIES["q_ml_crossval"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pca_single_scan_no_shuffle_of_rows(spark):
+    # summation form: one scan (listed twice by formatted explain:
+    # tree summary + detail), partial+final agg, scalar math after
+    df = QUERIES["q_ml_pca"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bigram_lm_no_python_and_single_count_shuffle(spark):
+    df = QUERIES["q_text_bigram_lm"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # extraction is a higher-order expression, not an explode self-join
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_markov_orders_by_unique_key(spark):
+    # the LEAD window must sort by (ts, event_id) for cross-engine determinism
+    df = QUERIES["q_events_markov"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "event_id" in plan and "ts" in plan, plan

@@ -1306,3 +1306,162 @@ def q_ml_crossval(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q_ml_feature_hash",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    b AS (
+        SELECT token,
+               CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16
+                   AS bucket
+        FROM tok
+    ),
+    load AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM b GROUP BY bucket
+    )
+    SELECT n_tokens AS bucket_load,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM load GROUP BY n_tokens
+    ORDER BY bucket_load
+    """,
+)
+def q_ml_feature_hash(spark, sf_dir):
+    """The hashing trick's collision audit: vocabulary → md5 % 16 feature
+    buckets, reported as the bucket-load histogram (how many buckets carry
+    k distinct tokens). This is the kernel that lets a 100 TB text model
+    use a FIXED-width feature vector with no vocabulary dictionary — and
+    the audit tells you the collision rate that width costs. The md5 bucket
+    is the engine's standard reproducible hash (identical hex both
+    engines); work after the distinct-token agg is |vocab|-sized."""
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % 16
+    )
+    load = (
+        tok.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return (
+        load.groupBy(F.col("n_tokens").alias("bucket_load"))
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_load")
+    )
+
+
+@query(
+    "q_ml_auc_binned",
+    oracle="""
+    WITH g1 AS (
+        SELECT SUM(CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   AS grad0,
+               SUM((CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   * (value / 100.0)) AS grad1
+        FROM events
+    ),
+    w AS (
+        SELECT ROUND(-0.1 * grad0, 6) AS w0, ROUND(-0.1 * grad1, 6) AS w1
+        FROM g1
+    ),
+    z AS (
+        SELECT w.w0 + w.w1 * (value / 100.0) AS margin,
+               CASE WHEN event_type = 'purchase' THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS pos
+        FROM events CROSS JOIN w
+    ),
+    rng AS (SELECT MIN(margin) AS lo, MAX(margin) AS hi FROM z),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((z.margin - rng.lo) / (rng.hi - rng.lo)
+                   * 100) AS BIGINT), 99) AS bin,
+               pos
+        FROM z CROSS JOIN rng
+    ),
+    bins AS (
+        SELECT bin, SUM(pos) AS npos, SUM(1 - pos) AS nneg
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, npos, nneg,
+               COALESCE(SUM(nneg) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM bins
+    )
+    SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+           CAST(SUM(nneg) AS BIGINT) AS n_neg,
+           ROUND(SUM(npos * (neg_below + nneg / 2))
+                 / (SUM(npos) * SUM(nneg)), 6) AS auc_binned
+    FROM cum
+    """,
+)
+def q_ml_auc_binned(spark, sf_dir):
+    """The SCALE path for q_ml_auc: decision margins quantized into 100
+    min-max bins, AUC from the bin histogram via the midpoint (trapezoidal)
+    rule — Σ pos_b·(neg_below + neg_b/2) / (n⁺n⁻). The MARGIN is binned,
+    not σ(margin): AUC only uses the ordering, which the sigmoid preserves,
+    and the one-step weights are large enough that σ saturates (every score
+    in one bin) while the margin spreads informatively. No global sort: a
+    min/max scalar pass, one 100-group aggregate (map-side combined) and a
+    window over 100 rows — constant post-scan cost at any corpus size.
+    Margins are bitwise-identical on both engines, so binning cannot
+    disagree; the histogram is exact-integer. Compare q_ml_auc for the
+    exact rank statistic this approximates (~1e-3 apart at 100 bins) —
+    the trade every production evaluator makes."""
+    yb = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    y = yb.cast("double")
+    x1 = F.col("value") / 100.0
+    ev = T(spark, sf_dir, "events")
+    g1 = ev.agg(
+        F.sum(0.5 - y).alias("grad0"),
+        F.sum((0.5 - y) * x1).alias("grad1"),
+    )
+    w = g1.select(
+        r6(-0.1 * F.col("grad0")).alias("w0"),
+        r6(-0.1 * F.col("grad1")).alias("w1"),
+    )
+    z = ev.crossJoin(F.broadcast(w)).select(
+        (F.col("w0") + F.col("w1") * x1).alias("margin"), y.alias("pos")
+    )
+    rng = z.agg(F.min("margin").alias("lo"), F.max("margin").alias("hi"))
+    binned = z.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("margin") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 100
+            ).cast("bigint"),
+            F.lit(99),
+        ).alias("bin"),
+        "pos",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("pos").alias("npos"), F.sum(1.0 - F.col("pos")).alias("nneg")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.withColumn(
+        "neg_below", F.coalesce(F.sum("nneg").over(wcum), F.lit(0.0))
+    )
+    return cum.agg(
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum("nneg").cast("bigint").alias("n_neg"),
+        r6(
+            F.sum(F.col("npos") * (F.col("neg_below") + F.col("nneg") / 2))
+            / (F.sum("npos") * F.sum("nneg"))
+        ).alias("auc_binned"),
+    )

@@ -370,3 +370,37 @@ def knn_classify(
     votes = Counter(r[label_col] for r in top)
     best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
     return best, [(r[id_col], r[label_col], r["cos"]) for r in top]
+
+
+# ------------------------------------------------------------------ PCA
+
+
+def pca_power(
+    df: DataFrame, feature_cols: list[str], iters: int = 100
+) -> tuple[np.ndarray, float, np.ndarray]:
+    """Principal component via the summation form + driver power iteration:
+    ONE distributed pass accumulates n, Σxᵢ and Σxᵢxⱼ (the d² sufficient
+    statistics), the d×d sample covariance assembles on the driver, and
+    power iteration extracts the top eigenpair there — d², never n, sized
+    driver work. The 2-feature closed-form twin is the contract query
+    q_ml_pca; this is the d ≫ 2 path. Returns (eigvec, eigval, cov)."""
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    d = len(feats)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(feats[i]).alias(f"s_{i}") for i in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(feats[i] * feats[j]).alias(f"g_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    s = np.array([row[f"s_{i}"] for i in range(d)])
+    G = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+    cov = (G - np.outer(s, s) / n) / (n - 1.0)
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    return v, float(v @ cov @ v), cov

@@ -212,3 +212,21 @@ def test_knn_classify_matches_numpy(spark):
     want = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
     assert pred == want
     assert [n[0] for n in neighbours] == [int(ids[i]) for i in order]
+
+
+def test_pca_power_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.ml_iterative import pca_power
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    v, lam, cov = pca_power(li, cols)
+    # covariance must equal the numpy covariance of the raw columns
+    X = np.array(li.select(*cols).collect(), dtype="float64")
+    np.testing.assert_allclose(cov, np.cov(X, rowvar=False), rtol=1e-9)
+    # top eigenpair must match eigh (sign-free comparison)
+    w_np, v_np = np.linalg.eigh(cov)
+    assert abs(lam - w_np[-1]) < 1e-9 * max(1.0, abs(w_np[-1]))
+    assert abs(abs(v @ v_np[:, -1]) - 1.0) < 1e-9

@@ -867,3 +867,38 @@ def q_text_kl(spark, sf_dir):
             "kl_bits",
         )
     )
+
+
+@query(
+    "q_text_tokens_regexp",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+               AS re_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT)
+               AS re_pieces
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_text_tokens_regexp(spark, sf_dir):
+    """Regex tokenization next to whitespace splitting: `[a-z]+` word runs
+    (the letters-only core of a GPT-2-style pretokenizer — this corpus has
+    no digits/punctuation classes to match) and `[a-z]{1,4}` max-4-char
+    pieces, a greedy BPE-ish subword segmentation whose piece count is the
+    chars/4 ceiling per word computed by ACTUAL regex splitting rather than
+    q_text_tokens' arithmetic shortcut. Both engines run the same simple
+    character-class patterns (dialect-safe across Java and RE2-style
+    engines); counting stays JVM-side via size(regexp_extract_all) — one
+    scan, one 20-group agg."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))).alias(
+            "re_tokens"
+        ),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), F.lit(0)))
+        ).alias("re_pieces"),
+    )

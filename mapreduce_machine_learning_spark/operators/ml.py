@@ -1465,3 +1465,75 @@ def q_ml_auc_binned(spark, sf_dir):
             / (F.sum("npos") * F.sum("nneg"))
         ).alias("auc_binned"),
     )
+
+
+@query(
+    "q_ml_als_step",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS DOUBLE) AS rating
+        FROM events GROUP BY user_id, event_type
+    ),
+    v0 AS (
+        SELECT event_type,
+               CAST(LENGTH(event_type) AS DOUBLE) / 10 AS v
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    u AS (
+        SELECT user_id,
+               SUM(rating * v) / SUM(v * v) AS u
+        FROM r JOIN v0 USING (event_type)
+        GROUP BY user_id
+    )
+    SELECT event_type,
+           ROUND(MAX(v), 6) AS v_init,
+           ROUND(SUM(rating * u) / SUM(u * u), 6) AS v_next,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM r JOIN v0 USING (event_type) JOIN u USING (user_id)
+    GROUP BY event_type
+    """,
+)
+def q_ml_als_step(spark, sf_dir):
+    """One full alternation of rank-1 ALS on the implicit (user ×
+    event_type) ratings matrix (rating = interaction count): fix
+    deterministic item factors v₀ (name-length seeded — no rand()), solve
+    every user factor in closed form uᵢ = Σⱼrᵢⱼvⱼ / Σⱼvⱼ², then re-solve
+    the item factors vⱼ = Σᵢrᵢⱼuᵢ / Σᵢuᵢ² — the matrix-factorization
+    recommender kernel in its summation form. Plans as: one fact agg keyed
+    (user, type) [the only corpus-sized shuffle], a broadcast 5-row factor
+    join, a user-keyed agg (|users| rows), and a 5-group re-agg — each
+    ALS half-step ships factors, never ratings, exactly how distributed
+    ALS scales. Ratings are exact integers; factors are ratios of
+    identically-accumulated sums, round-6 stable."""
+    ev = T(spark, sf_dir, "events")
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("rating")
+    )
+    v0 = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.length("event_type").cast("double") / 10).alias("v"),
+        )
+    )
+    rv = r.join(F.broadcast(v0), "event_type")
+    u = rv.groupBy("user_id").agg(
+        (
+            F.sum(F.col("rating") * F.col("v"))
+            / F.sum(F.col("v") * F.col("v"))
+        ).alias("u")
+    )
+    return (
+        rv.join(u, "user_id")
+        .groupBy("event_type")
+        .agg(
+            r6(F.max("v")).alias("v_init"),
+            r6(
+                F.sum(F.col("rating") * F.col("u"))
+                / F.sum(F.col("u") * F.col("u"))
+            ).alias("v_next"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    )

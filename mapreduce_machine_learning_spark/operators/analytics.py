@@ -300,3 +300,46 @@ def q_events_markov(spark, sf_dir):
         )
         .orderBy("cur", "nxt")
     )
+
+
+@query(
+    "q_events_interarrival",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               EPOCH(ts - LAG(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS avg_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival-time distribution per event type: LAG gaps within each
+    (user, type) stream — ordered by the unique (ts, event_id) key so both
+    engines difference the same neighbors — then count/mean/median of the
+    gap seconds. Gaps are exact integer-microsecond differences divided by
+    1e6 (identical doubles both engines); the median interpolates
+    identically (the q_agg_percentile-verified pair). One shuffle on the
+    window key, then a 5-group rollup — the arrival-process profile
+    (burstiness, inactivity tails) that sizes streaming watermarks."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).cast("double") / 1e6
+    g = ev.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        r6(F.avg("gap_s")).alias("avg_gap_s"),
+        r6(F.percentile("gap_s", F.lit(0.5))).alias("p50_gap_s"),
+    )

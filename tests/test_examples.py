@@ -14,6 +14,7 @@ EXAMPLES = [
     "dedup_pipeline.py",
     "streaming_monitor.py",
     "decision_support.py",
+    "behavior_analytics.py",
 ]
 
 

@@ -131,3 +131,20 @@ def dedup_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropDuplicates on the key — state holds one entry per distinct user;
     in production bound it with dropDuplicatesWithinWatermark)."""
     return events_stream(spark, sf_dir).dropDuplicates(["user_id"])
+
+
+def dedup_users_stream_bounded(
+    spark: SparkSession, sf_dir: str, within: str = "365 days"
+) -> DataFrame:
+    """Production streaming dedup: ``dropDuplicatesWithinWatermark`` keeps
+    one row per user per watermark horizon, so state is EVICTED once the
+    watermark passes — bounded memory at any stream length, unlike plain
+    dropDuplicates whose key state grows forever. With a horizon covering
+    the whole replayed dataset the output equals the global per-user dedup
+    (asserted live in tests); in production the horizon is the real
+    re-delivery bound (minutes-hours) and state stays tiny."""
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )

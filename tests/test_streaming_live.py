@@ -176,3 +176,28 @@ def test_trending_live_equals_batch(spark):
         .filter(F.col("rnk") <= 3)
     )
     assert _rows(ranked) == _rows(q_stream_trending(spark, SF_DIR))
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark):
+    """dropDuplicatesWithinWatermark: with a horizon covering the replayed
+    dataset, one surviving row per user — same result as unbounded dedup,
+    but with watermark-evicted (bounded) state, the production path."""
+    from mapreduce_machine_learning_spark.streaming.live import (
+        dedup_users_stream_bounded,
+    )
+
+    live = run_to_memory(
+        spark,
+        dedup_users_stream_bounded(spark, SF_DIR).select("user_id"),
+        "dedup_wm_live",
+        "append",
+    )
+    got = sorted(r["user_id"] for r in live.collect())
+    want = sorted(
+        r["user_id"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want

@@ -162,3 +162,15 @@ def test_markov_orders_by_unique_key(spark):
     df = QUERIES["q_events_markov"](spark, SF_DIR)
     plan = explain_str(df)
     assert "event_id" in plan and "ts" in plan, plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Registry-wide gate: no query may plan a CartesianProduct. Scalar
+    cross-joins (1-row parameter frames) must plan as
+    BroadcastNestedLoopJoin; the intentional q_join_cross is
+    dimension×dimension and broadcasts too. A CartesianProduct appearing
+    anywhere means a broadcast hint was dropped — at 100 TB that plan is
+    a cluster-killer, so it fails CI instead."""
+    for name, fn in sorted(QUERIES.items()):
+        plan = explain_str(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name

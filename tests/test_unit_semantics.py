@@ -64,3 +64,54 @@ def test_intersect_is_set_semantics(spark):
     b = spark.createDataFrame([(1,), (1,), (3,)], "v int")
     assert [r["v"] for r in a.intersect(b).collect()] == [1]
     assert a.intersectAll(b).count() == 2  # bag semantics keeps the pair
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """The rows-only HLL query must land within the sketch's documented
+    relative standard deviation of the exact distinct count (default rsd
+    0.05 → assert a generous 4σ = 20% envelope)."""
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    qs = all_queries()
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["q_agg_approx"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.2 * e), (k, approx[k], e)
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000;
+    assert the approximate p50 sits between the exact p45 and p55."""
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    qs = all_queries()
+    approx = {
+        r["o_orderstatus"]: r["p50_approx"]
+        for r in qs["q_agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    bounds = {
+        r["o_orderstatus"]: (r["lo"], r["hi"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.45)).alias("lo"),
+            F.percentile("o_totalprice", F.lit(0.55)).alias("hi"),
+        )
+        .collect()
+    }
+    for k, (lo, hi) in bounds.items():
+        assert lo <= approx[k] <= hi, (k, approx[k], lo, hi)

@@ -343,3 +343,87 @@ def q_events_interarrival(spark, sf_dir):
         r6(F.avg("gap_s")).alias("avg_gap_s"),
         r6(F.percentile("gap_s", F.lit(0.5))).alias("p50_gap_s"),
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    w AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outw AS (SELECT cur, SUM(c) AS tot FROM w GROUP BY cur),
+    p AS (
+        SELECT w.cur, w.nxt, w.c / outw.tot AS prob
+        FROM w JOIN outw USING (cur)
+    ),
+    pr1 AS (
+        SELECT nxt AS node,
+               ROUND(CAST(0.03 AS DOUBLE) + 0.85 * SUM(0.2 * prob), 6) AS pr
+        FROM p GROUP BY nxt
+    ),
+    pr2 AS (
+        SELECT p.nxt AS node,
+               ROUND(CAST(0.03 AS DOUBLE) + 0.85 * SUM(pr1.pr * p.prob), 6)
+                   AS pr
+        FROM p JOIN pr1 ON pr1.node = p.cur
+        GROUP BY p.nxt
+    )
+    SELECT pr1.node AS event_type,
+           pr1.pr AS pr_iter1,
+           pr2.pr AS pr_iter2
+    FROM pr1 JOIN pr2 ON pr1.node = pr2.node
+    ORDER BY event_type
+    """,
+)
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank — THE canonical MapReduce algorithm — over the event-type
+    transition graph (edges = q_events_markov's counts, row-normalized),
+    two power iterations unrolled into one plan from the uniform start:
+    pr'(j) = 0.15/N + 0.85·Σᵢ pr(i)·P(i→j). Each iteration is one
+    |edges|-sized join + |nodes|-keyed agg — the reference would run one
+    full MapReduce job per iteration; here the loop unrolls into a single
+    Catalyst plan (the iter2 pattern), with ranks ROUNDED between
+    iterations on both engines so FP accumulation order can't drift the
+    fixpoint. Every node has out-edges (25/25 transitions present), so no
+    dangling-mass correction is needed. At corpus scale the same plan
+    shape runs on billions of edges: ranks broadcast, edges never move."""
+    ev = T(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(win).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    w = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    outw = w.groupBy("cur").agg(F.sum("c").alias("tot"))
+    p = (
+        w.join(F.broadcast(outw), "cur")
+        .select("cur", "nxt", (F.col("c") / F.col("tot")).alias("prob"))
+        .localCheckpoint()  # 25 rows; reused by both unrolled iterations —
+        # without this Catalyst re-derives the window+agg chain per use
+    )
+    pr1 = p.groupBy(F.col("nxt").alias("node")).agg(
+        r6(0.03 + 0.85 * F.sum(0.2 * F.col("prob"))).alias("pr")
+    )
+    pr2 = (
+        p.join(F.broadcast(pr1), p.cur == pr1.node)
+        .groupBy(F.col("nxt").alias("node2"))
+        .agg(r6(0.03 + 0.85 * F.sum(F.col("pr") * F.col("prob"))).alias("pr2"))
+    )
+    return (
+        pr1.join(pr2, pr1.node == pr2.node2)
+        .select(
+            F.col("node").alias("event_type"),
+            F.col("pr").alias("pr_iter1"),
+            F.col("pr2").alias("pr_iter2"),
+        )
+        .orderBy("event_type")
+    )

@@ -531,15 +531,6 @@ def _register_llm_knn() -> None:
 _register_llm_knn()
 
 
-_NEARDUP_SQL = None  # set lazily below to avoid forward-reference clutter
-
-
-def _neardup_oracle_sql():
-    from mapreduce_machine_learning_spark.registry import _ORACLES
-
-    return _ORACLES["q_llm_neardup_pairs"]
-
-
 @query(
     "q_graph_components",
     oracle=f"""

@@ -24,12 +24,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_machine_learning_spark.io import prepare
+from mapreduce_machine_learning_spark.io import normalize_timestamps, prepare
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet, with the same ns→µs
-    timestamp recipe as the batch loader (io.load_table). The file source
+    """File-source stream over the events parquet, with the same timestamp
+    normalization as the batch loader (io.load_table). The file source
     requires a *directory*, so the read-only parquet file is exposed through
     a symlink in a temp dir (no data copy)."""
     import os
@@ -39,10 +39,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
     static = spark.read.parquet(src)
-    return (
-        spark.readStream.schema(static.schema)
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_timestamps(
+        spark.readStream.schema(static.schema).parquet(stage)
     )
 
 

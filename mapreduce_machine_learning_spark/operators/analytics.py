@@ -427,3 +427,224 @@ def q_graph_pagerank(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_events_sessionpath",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM o
+    ),
+    p AS (
+        SELECT user_id, sess_no,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+                   '>') AS path
+        FROM s GROUP BY user_id, sess_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def q_events_sessionpath(spark, sf_dir):
+    """Session path mining: sessionize each user's stream with the 30-min
+    gap rule (gap strictly > 30 min starts a new session — the
+    q_stream_session convention), serialize the first 8 event types of each
+    session in (ts, event_id) order into a '>'-joined path string, and
+    return the 10 most common paths. The sequence-pattern kernel behind
+    navigation-flow and funnel-discovery dashboards. One shuffle on
+    user_id covers the gap window, the running session counter, and the
+    per-session collect (all same key); the path histogram then shuffles
+    tiny strings. Order inside a session is pinned by sorting (ts,
+    event_id, type) structs — collect_list order is partition-dependent,
+    array_sort makes it canonical. Top-10 is total-ordered by (count DESC,
+    path ASC) over exact integer counts."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1000000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "sess_no").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                8,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "q_events_rfm",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CAST(ts AS DATE)) AS last_day,
+               COUNT(*) AS freq,
+               SUM(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0 END) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    b AS (
+        SELECT NTILE(5) OVER (
+                   ORDER BY date_diff('day', last_day, max_day), user_id
+               ) AS r_bucket,
+               NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_bucket,
+               NTILE(5) OVER (
+                   ORDER BY ROUND(monetary, 6) DESC, user_id
+               ) AS m_bucket,
+               monetary
+        FROM u CROSS JOIN g
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(monetary), 6) AS avg_monetary
+    FROM b GROUP BY r_bucket, f_bucket, m_bucket
+    """,
+)
+def q_events_rfm(spark, sf_dir):
+    """RFM segmentation — recency (days since last activity vs corpus max
+    day), frequency (event count), monetary (purchase value sum) per user,
+    each quintile-bucketed with NTILE(5), then user count and average spend
+    per (R,F,M) cell. The classic CRM segmentation cube. The per-user
+    aggregate shuffles once on user_id; the three NTILEs are global sorts
+    of the (small) per-user frame — at 100 TB the exact NTILE would be
+    replaced by approx-quantile cutpoints broadcast back, trading the
+    single-partition sort for one extra pass. Bucket boundaries are made
+    cross-engine stable by tie-breaking every NTILE order with user_id and
+    pre-rounding the monetary sort key (a per-user double sum) to 6
+    places."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("monetary"),
+    )
+    g = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    b = u.crossJoin(F.broadcast(g)).select(
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.datediff(F.col("max_day"), F.col("last_day")), "user_id"
+            )
+        )
+        .alias("r_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.round("monetary", 6).desc(), "user_id"))
+        .alias("m_bucket"),
+        "monetary",
+    )
+    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r6(F.avg("monetary")).alias("avg_monetary"),
+    )
+
+
+@query(
+    "q_events_scd2",
+    oracle="""
+    WITH chg AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NULL OR prev <> event_type
+    ),
+    iv AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM chg
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           ROUND(AVG((epoch_us(valid_to) - epoch_us(valid_from)) / 1e6), 6)
+               AS avg_duration_s
+    FROM iv GROUP BY event_type
+    """,
+)
+def q_events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into validity intervals of their current event_type — keep only
+    change points (type differs from the previous event), then
+    valid_from = the change's timestamp and valid_to = the next change's
+    (NULL = still current). Output per type: version count, open-interval
+    count, and average closed-interval duration. This is the temporal-
+    modeling kernel behind dimension-table history builds and CDC
+    compaction. Both windows share the (user_id → ts, event_id) sort, so
+    Catalyst plans ONE shuffle + sort and pipelines the change-point filter
+    between the two window operators. Durations are exact integer
+    microsecond differences divided by 1e6 — identical doubles both
+    engines; avg is round-6 over well-bounded magnitudes."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    iv = chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    dur_s = (
+        F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    ).cast("double") / 1e6
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias(
+            "n_current"
+        ),
+        r6(F.avg(dur_s)).alias("avg_duration_s"),
+    )

@@ -1537,3 +1537,135 @@ def q_ml_als_step(spark, sf_dir):
             F.count(F.lit(1)).alias("n_users"),
         )
     )
+
+
+@query(
+    "q_ml_nb_multinomial",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (
+        SELECT lang AS clang, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY clang, tok
+    ),
+    tot AS (
+        SELECT lang AS tlang, CAST(COUNT(*) AS DOUBLE) AS t
+        FROM tok GROUP BY tlang
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tok),
+    prior AS (
+        SELECT lang AS plang, CAST(COUNT(*) AS DOUBLE) AS nd
+        FROM documents GROUP BY plang
+    ),
+    ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    test AS (
+        SELECT doc_id, lang AS actual, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok WHERE doc_id < 100 GROUP BY doc_id, actual, tok
+    ),
+    scored AS (
+        SELECT t.doc_id, t.actual, p.plang AS cand,
+               ROUND(LN(p.nd / ntot.n)
+                     + SUM(t.tf * LN((COALESCE(c.c, 0) + 1.0)
+                                     / (tt.t + vocab.v))), 6) AS score
+        FROM test t
+        CROSS JOIN prior p
+        CROSS JOIN ntot
+        CROSS JOIN vocab
+        JOIN tot tt ON tt.tlang = p.plang
+        LEFT JOIN cnt c ON c.clang = p.plang AND c.tok = t.tok
+        GROUP BY t.doc_id, t.actual, p.plang, p.nd, ntot.n, tt.t, vocab.v
+    ),
+    pred AS (
+        SELECT doc_id, actual, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scored
+    )
+    SELECT actual AS lang, cand AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pred WHERE rn = 1
+    GROUP BY lang, predicted
+    """,
+)
+def q_ml_nb_multinomial(spark, sf_dir):
+    """Multinomial Naive Bayes, trained AND applied in one plan — the
+    token-count variant of the reference's naive-Bayes job [SURVEY §1.1]:
+    train per-language token likelihoods with Laplace smoothing over the
+    whole corpus, score docs 0–99 against all five languages, predict the
+    argmax, and output the language confusion matrix. The sparse-scoring
+    shape is the part that scales: a doc is scored only on tokens it
+    CONTAINS (tf ⋈ per-class counts on (class, token) — never a dense
+    doc × vocab product), while the model side (class priors, totals,
+    vocabulary size, and the |V|·|classes| count table) stays broadcast-
+    small. Unseen-token mass is handled by scoring tf against
+    COALESCE(c,0)+1. All five languages share one 31-token vocabulary in
+    this corpus, so scores separate on frequency profile only — per-doc
+    scores are ROUNDED to 6 places on both engines before the (score DESC,
+    lang) argmax, putting FP summation-order noise (~1e-11 on magnitudes
+    ~1e2) far below the decision grid."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = tok.groupBy(
+        F.col("lang").alias("clang"), "tok"
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = tok.groupBy(F.col("lang").alias("tlang")).agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    vocab = tok.agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    prior = d.groupBy(F.col("lang").alias("plang")).agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    ntot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    test = (
+        tok.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    scored = (
+        test.crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(tot), F.col("tlang") == F.col("plang"))
+        .join(
+            F.broadcast(cnt),
+            (F.col("clang") == F.col("plang")) & (cnt.tok == test.tok),
+            "left",
+        )
+        .groupBy(
+            "doc_id", "actual", F.col("plang").alias("cand"),
+            "nd", "n", "t", "v",
+        )
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0.0)) + 1.0)
+                    / (F.col("t") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            r6(F.log(F.col("nd") / F.col("n")) + F.col("ll")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("actual").alias("lang"),
+            F.col("cand").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

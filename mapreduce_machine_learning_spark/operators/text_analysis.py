@@ -902,3 +902,95 @@ def q_text_tokens_regexp(spark, sf_dir):
             F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), F.lit(0)))
         ).alias("re_pieces"),
     )
+
+
+@query(
+    "q_text_cosine_sparse",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 40)
+        GROUP BY doc_id, tok
+    ),
+    norm AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        FROM tf GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cosine
+    FROM dots
+    JOIN norm na ON na.doc_id = doc_a
+    JOIN norm nb ON nb.doc_id = doc_b
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def q_text_cosine_sparse(spark, sf_dir):
+    """Sparse term-frequency cosine similarity — the inverted-index
+    similarity-join primitive, complementing the dense ``zip_with`` path of
+    q_llm_sim_threshold: docs 0–39 become sparse tf vectors (doc, token,
+    count), pairwise dot products come from a self-join ON THE TOKEN (an
+    inverted-index walk — only token-sharing pairs ever materialize, never
+    the full pair matrix), norms join back per doc, top-20 pairs by cosine.
+    At corpus scale this is the sparse all-pairs-similarity shape (prefix
+    filtering would prune the hottest tokens first); the join shuffles on
+    the token key, so stop-token skew is the thing to salt. Counts, dot
+    products, and squared norms are exact integers on both engines; the
+    cosine is one identical double expression of those integers — bit-equal
+    cross-engine — and the top-20 order is pinned by (rounded cosine DESC,
+    doc_a, doc_b)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norm = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("tok_a") == F.col("tok_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norm.select(
+        F.col("doc_id").alias("na_id"), F.col("n2").alias("na_n2")
+    )
+    nb = norm.select(
+        F.col("doc_id").alias("nb_id"), F.col("n2").alias("nb_n2")
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("doc_a") == F.col("na_id"))
+        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            r6(
+                F.col("dot")
+                / (F.sqrt(F.col("na_n2")) * F.sqrt(F.col("nb_n2")))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

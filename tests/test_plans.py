@@ -163,6 +163,23 @@ def test_markov_orders_by_unique_key(spark):
     plan = explain_str(df)
     assert "event_id" in plan and "ts" in plan, plan
 
+def test_scd2_sessionpath_one_user_shuffle(spark):
+    # both windows (lag-filter + lead, or gap + running-sum + collect) must
+    # share a single user_id exchange — the sort-sharing the docstrings claim
+    for name in ("q_events_scd2", "q_events_sessionpath"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR))
+        assert plan.count("hashpartitioning(user_id") == 1, (name, plan)
+
+
+def test_nb_multinomial_model_side_broadcast(spark):
+    # the NB model tables (priors/totals/vocab/count table) must broadcast
+    # onto the sparse scoring join — a SortMergeJoin here would shuffle the
+    # model for every scored token at corpus scale
+    plan = explain_str(QUERIES["q_ml_nb_multinomial"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 
 def test_no_cartesian_product_anywhere(spark):
     """Registry-wide gate: no query may plan a CartesianProduct. Scalar

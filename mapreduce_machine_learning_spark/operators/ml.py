@@ -1669,3 +1669,212 @@ def q_ml_nb_multinomial(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "q_ml_tree_split",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS pos
+        FROM events GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl,
+               SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS posl
+        FROM h
+    ),
+    tot AS (
+        SELECT SUM(n) AS n_tot, SUM(pos) AS pos_tot, MAX(bin) AS max_bin
+        FROM h
+    ),
+    s AS (
+        SELECT CAST((bin + 1) * 25.0 AS DOUBLE) AS threshold,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(n_tot - nl AS BIGINT) AS n_right,
+               posl / CAST(nl AS DOUBLE) AS pl,
+               (pos_tot - posl) / CAST(n_tot - nl AS DOUBLE) AS pr,
+               nl / CAST(n_tot AS DOUBLE) AS wl,
+               (n_tot - nl) / CAST(n_tot AS DOUBLE) AS wr
+        FROM cum CROSS JOIN tot
+        WHERE bin < max_bin
+    )
+    SELECT threshold, n_left, n_right,
+           ROUND(wl * 2 * pl * (1 - pl) + wr * 2 * pr * (1 - pr), 6)
+               AS gini_split
+    FROM s
+    """,
+)
+def q_ml_tree_split(spark, sf_dir):
+    """Distributed decision-stump split finding — the PLANET pattern
+    (Panda et al., VLDB'09) that scales tree induction: mappers build a
+    per-bin class histogram of the feature (value, 25-wide equal bins,
+    label = purchase), and the split scan runs over the TINY histogram, not
+    the data — cumulative left/right class counts at every bin boundary
+    give the weighted Gini impurity of each candidate threshold. One
+    map-side-combined aggregation over the fact table; then a ~20-row
+    window. At 100 TB the histogram stays ~20 rows per (node, feature) —
+    this is why binned split finding is the scalable formulation. All
+    counts are exact integers; Gini is a round-6 ratio of exact integers.
+    The best split is the row minimizing gini_split; all candidates are
+    returned so the caller (a tree-growing driver loop) picks per node."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.col("value") / 25).cast("bigint").alias("bin"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_pos").alias("pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "bin",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+    )
+    tot = h.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("pos").alias("pos_tot"),
+        F.max("bin").alias("max_bin"),
+    )
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("bin") < F.col("max_bin"))
+        .select(
+            ((F.col("bin") + 1) * 25.0).alias("threshold"),
+            F.col("nl").alias("n_left"),
+            (F.col("n_tot") - F.col("nl")).alias("n_right"),
+            (F.col("posl") / F.col("nl").cast("double")).alias("pl"),
+            (
+                (F.col("pos_tot") - F.col("posl"))
+                / (F.col("n_tot") - F.col("nl")).cast("double")
+            ).alias("pr"),
+            (F.col("nl") / F.col("n_tot").cast("double")).alias("wl"),
+            (
+                (F.col("n_tot") - F.col("nl"))
+                / F.col("n_tot").cast("double")
+            ).alias("wr"),
+        )
+    )
+    return s.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        r6(
+            F.col("wl") * 2 * F.col("pl") * (1 - F.col("pl"))
+            + F.col("wr") * 2 * F.col("pr") * (1 - F.col("pr"))
+        ).alias("gini_split"),
+    )
+
+
+@query(
+    "q_ml_kmeans_init",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id, value AS x,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS y
+        FROM events
+    ),
+    c0 AS (SELECT x, y FROM pts ORDER BY event_id LIMIT 1),
+    d0 AS (
+        SELECT p.event_id, p.x, p.y,
+               (p.x - c0.x) * (p.x - c0.x)
+             + (p.y - c0.y) * (p.y - c0.y) AS dist
+        FROM pts p CROSS JOIN c0
+    ),
+    c1 AS (SELECT x, y FROM d0 ORDER BY dist DESC, event_id LIMIT 1),
+    d1 AS (
+        SELECT d0.event_id, d0.x, d0.y,
+               LEAST(d0.dist,
+                     (d0.x - c1.x) * (d0.x - c1.x)
+                   + (d0.y - c1.y) * (d0.y - c1.y)) AS dist
+        FROM d0 CROSS JOIN c1
+    ),
+    c2 AS (SELECT x, y FROM d1 ORDER BY dist DESC, event_id LIMIT 1)
+    SELECT 0 AS step, ROUND(x, 6) AS cx, ROUND(y, 6) AS cy FROM c0
+    UNION ALL
+    SELECT 1, ROUND(x, 6), ROUND(y, 6) FROM c1
+    UNION ALL
+    SELECT 2, ROUND(x, 6), ROUND(y, 6) FROM c2
+    """,
+)
+def q_ml_kmeans_init(spark, sf_dir):
+    """Deterministic farthest-point (maximin) k-means initialization, k=3,
+    on the (value, hour) plane — the derandomized cousin of k-means++ (and
+    of k-means∥, Bahmani et al., VLDB'12, which samples where this takes
+    the argmax): c0 = the point with the lowest event_id, then each next
+    centroid is the point maximizing its distance to the nearest chosen
+    centroid, ties broken by event_id. Each round is one broadcast of the
+    ≤k chosen centroids + one TakeOrdered pass over the points — k passes
+    total, no shuffle of the fact table, the exact plan shape an iterative
+    driver would run at scale (here unrolled for k=3 into one plan).
+    Distances are identical double expressions of identical inputs on both
+    engines, so the argmax rows match bit-for-bit; output coordinates are
+    round-6."""
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+    )
+    c0 = (
+        pts.orderBy("event_id")
+        .limit(1)
+        .select(F.col("x").alias("c0x"), F.col("y").alias("c0y"))
+    )
+    d0 = pts.crossJoin(F.broadcast(c0)).select(
+        "event_id",
+        "x",
+        "y",
+        (
+            (F.col("x") - F.col("c0x")) * (F.col("x") - F.col("c0x"))
+            + (F.col("y") - F.col("c0y")) * (F.col("y") - F.col("c0y"))
+        ).alias("dist"),
+    )
+    c1 = (
+        d0.orderBy(F.col("dist").desc(), "event_id")
+        .limit(1)
+        .select(F.col("x").alias("c1x"), F.col("y").alias("c1y"))
+    )
+    d1 = d0.crossJoin(F.broadcast(c1)).select(
+        "event_id",
+        "x",
+        "y",
+        F.least(
+            F.col("dist"),
+            (F.col("x") - F.col("c1x")) * (F.col("x") - F.col("c1x"))
+            + (F.col("y") - F.col("c1y")) * (F.col("y") - F.col("c1y")),
+        ).alias("dist"),
+    )
+    c2 = (
+        d1.orderBy(F.col("dist").desc(), "event_id")
+        .limit(1)
+        .select(F.col("x").alias("c2x"), F.col("y").alias("c2y"))
+    )
+    out0 = c0.select(
+        F.lit(0).alias("step"),
+        F.round("c0x", 6).alias("cx"),
+        F.round("c0y", 6).alias("cy"),
+    )
+    out1 = c1.select(
+        F.lit(1).alias("step"),
+        F.round("c1x", 6).alias("cx"),
+        F.round("c1y", 6).alias("cy"),
+    )
+    out2 = c2.select(
+        F.lit(2).alias("step"),
+        F.round("c2x", 6).alias("cx"),
+        F.round("c2y", 6).alias("cy"),
+    )
+    return out0.unionByName(out1).unionByName(out2)

@@ -648,3 +648,60 @@ def q_events_scd2(spark, sf_dir):
         ),
         r6(F.avg(dur_s)).alias("avg_duration_s"),
     )
+
+
+@query(
+    "q_events_skewprofile",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT cnt,
+               NTILE(10) OVER (ORDER BY cnt DESC, user_id) AS decile,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+        FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+           ROUND(AVG(CAST(cnt AS DOUBLE)), 6) AS avg_per_key,
+           ROUND(SUM(CASE WHEN decile = 1 THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS top_decile_share,
+           ROUND(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS top10_share
+    FROM d
+    """,
+)
+def q_events_skewprofile(spark, sf_dir):
+    """Partition-skew profile of the user_id key — the diagnostic that
+    decides whether a 100 TB job needs the salted two-phase aggregation in
+    ``functions/skew.py`` or AQE's skew-join split: key cardinality, events
+    per key (max/avg), and the concentration of work in the hottest decile
+    and hottest 10 keys. One map-side-combined count per key, then window
+    ranking over the (small) per-key frame. Everything derives from exact
+    integer counts with (cnt DESC, user_id) total orders, so shares are
+    round-6 ratios of exact integers."""
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.orderBy(F.col("cnt").desc(), "user_id")
+    d = c.select(
+        "cnt",
+        F.ntile(10).over(wo).alias("decile"),
+        F.row_number().over(wo).alias("rk"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_events"),
+        F.max("cnt").alias("max_per_key"),
+        r6(F.avg(F.col("cnt").cast("double"))).alias("avg_per_key"),
+        r6(
+            F.sum(F.when(F.col("decile") == 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double")
+        ).alias("top_decile_share"),
+        r6(
+            F.sum(F.when(F.col("rk") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt").cast("double")
+        ).alias("top10_share"),
+    )

@@ -1250,3 +1250,54 @@ def q_llm_dedup_survivors(spark, sf_dir):
             ).alias("dropped"),
         )
     )
+
+
+@query(
+    "q_llm_sample_stratified",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE lang WHEN 'de' THEN '20' WHEN 'en' THEN '10'
+                         WHEN 'es' THEN '40' WHEN 'fr' THEN '80'
+                         ELSE 'c0' END AS thr,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           ROUND(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS observed_rate
+    FROM s GROUP BY lang
+    """,
+)
+def q_llm_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the mixture-rebalancing primitive
+    of a pretraining pipeline: each language stratum gets its own target
+    rate (de 1/8, en 1/16, es 1/4, fr 1/2, zh 3/4), applied by comparing
+    the doc's md5 hex against the rate's hex-prefix threshold ('10' = 1/16
+    of the hash space, 'c0' = 3/4, …). No rand(): membership is a pure
+    function of content, so the sample is reproducible across engines,
+    re-runs, AND retries of individual partitions — the property that makes
+    hash-threshold sampling the only safe sampling at 100 TB (rand() +
+    task retry silently changes the sample). Map-side CASE + one tiny
+    aggregate; md5 parity is verified cross-engine (SURVEY §8.4)."""
+    thr = (
+        F.when(F.col("lang") == "de", "20")
+        .when(F.col("lang") == "en", "10")
+        .when(F.col("lang") == "es", "40")
+        .when(F.col("lang") == "fr", "80")
+        .otherwise("c0")
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "lang", thr.alias("thr"), F.md5("text").alias("h")
+    )
+    keep = F.when(F.col("h") < F.col("thr"), 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_sampled"),
+        r6(F.sum(keep) / F.count(F.lit(1)).cast("double")).alias(
+            "observed_rate"
+        ),
+    )

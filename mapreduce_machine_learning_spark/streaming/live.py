@@ -146,3 +146,25 @@ def dedup_users_stream_bounded(
         .withWatermark("ts", within)
         .dropDuplicatesWithinWatermark(["user_id"])
     )
+
+
+def session_agg(ev: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Native ``session_window`` aggregation in STREAMING mode — the live
+    twin of q_stream_session's batch session windows (and the built-in
+    counterpart of the applyInPandasWithState sessionizer in
+    ``streaming/stateful.py``). Sessions merge as events arrive; a session
+    closes — and is emitted in append mode — once the event-time watermark
+    passes its end (last event + gap). State per open session is one
+    (start, end, aggregates) entry, evicted on emission, so memory is
+    bounded by ACTIVE sessions regardless of stream length."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -201,3 +201,38 @@ def test_streaming_dedup_within_watermark_bounded_state(spark):
         .collect()
     )
     assert got == want
+
+
+def test_session_window_live_equals_batch(spark):
+    from mapreduce_machine_learning_spark.streaming.live import session_agg
+
+    live = run_to_memory(
+        spark,
+        session_agg(events_stream(spark, SF_DIR)),
+        "session_append",
+        "append",
+    )
+    # batch twin: same session_window aggregation on the static frame
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    live_rows = _rows(live)
+    batch_rows = _rows(batch)
+    assert set(live_rows) <= set(batch_rows)
+    # append emits exactly the sessions closed by the final watermark
+    # (bounded replay: watermark ends at max(ts) - 30min)
+    import datetime
+
+    max_ts = load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(minutes=30)
+    expected = [r for r in batch_rows if r[1] <= wm]
+    assert live_rows == sorted(expected)
+    assert len(live_rows) > 0

@@ -705,3 +705,61 @@ def q_events_skewprofile(spark, sf_dir):
             / F.sum("cnt").cast("double")
         ).alias("top10_share"),
     )
+
+
+@query(
+    "q_events_wau",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM act)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = d.day
+                                    THEN a.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau,
+           ROUND(COUNT(DISTINCT CASE WHEN a.day = d.day
+                                     THEN a.user_id END)
+                 / CAST(COUNT(DISTINCT a.user_id) AS DOUBLE), 6)
+               AS stickiness
+    FROM days d
+    JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_events_wau(spark, sf_dir):
+    """Rolling active users — DAU, trailing-7-day WAU, and DAU/WAU
+    stickiness per day. Rolling COUNT DISTINCT has no window form (distinct
+    isn't decomposable over sliding frames), so the scalable shape is: dedup
+    events to the (user, day) activity frame ONCE (the only fact-table
+    shuffle), then range-join the tiny day spine onto it — each activity row
+    fans out to ≤7 spine days, and the distinct-count shuffles the
+    (day, user) pairs of an already-deduplicated frame bounded by
+    |users|·|days|, not by event volume. The spine side is broadcast: a
+    BroadcastNestedLoopJoin over ~30 rows, never a shuffle of the activity
+    frame by the join. DAU rides the same join via the matching-day CASE.
+    All counts exact; stickiness is a round-6 ratio of exact integers."""
+    ev = T(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = act.select(F.col("day").alias("d")).distinct()
+    j = act.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("d"), 6))
+        & (F.col("day") <= F.col("d")),
+    )
+    return (
+        j.groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+            r6(
+                F.countDistinct(
+                    F.when(F.col("day") == F.col("d"), F.col("user_id"))
+                )
+                / F.countDistinct("user_id").cast("double")
+            ).alias("stickiness"),
+        )
+        .select(F.col("d").alias("day"), "dau", "wau", "stickiness")
+    )

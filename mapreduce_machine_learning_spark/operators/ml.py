@@ -1878,3 +1878,61 @@ def q_ml_kmeans_init(spark, sf_dir):
         F.round("c2y", 6).alias("cy"),
     )
     return out0.unionByName(out1).unionByName(out2)
+
+
+@query(
+    "q_ml_eval_metrics",
+    oracle="""
+    WITH c AS (
+        SELECT
+            SUM(CASE WHEN value > 100 AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN value > 100 AND event_type <> 'purchase'
+                     THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN value <= 100 AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS fn,
+            SUM(CASE WHEN value <= 100 AND event_type <> 'purchase'
+                     THEN 1 ELSE 0 END) AS tn
+        FROM events
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+               AS accuracy,
+           ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+    FROM c
+    """,
+)
+def q_ml_eval_metrics(spark, sf_dir):
+    """Classifier evaluation — the metric kernel that closes the train →
+    predict → EVALUATE loop around the ML surface (AUC lives in q_ml_auc;
+    this is the thresholded-prediction family): confusion counts for the
+    fixed rule `predict purchase iff value > 100`, then accuracy /
+    precision / recall / F1. The distributed part is ONE conditional-sum
+    aggregate — four integers are the complete sufficient statistics, so at
+    100 TB evaluation costs a single map-side-combined pass regardless of
+    model or data size; the metric algebra is constant-time on those four
+    numbers (kept in-plan here so the oracle checks it too). Counts exact;
+    metrics are round-6 ratios of exact integers."""
+    ev = T(spark, sf_dir, "events")
+    pred = F.col("value") > 100
+    actual = F.col("event_type") == "purchase"
+    c = ev.agg(
+        F.sum(F.when(pred & actual, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~actual, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & actual, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~actual, 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        r6((tp + tn) / (tp + fp + fn + tn).cast("double")).alias("accuracy"),
+        r6(tp / (tp + fp).cast("double")).alias("precision"),
+        r6(tp / (tp + fn).cast("double")).alias("recall"),
+        r6(2.0 * tp / (2 * tp + fp + fn).cast("double")).alias("f1"),
+    )

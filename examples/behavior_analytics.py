@@ -62,6 +62,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     anomalies = qs["q_events_anomaly"](spark, sf_dir).collect()
     n_out = sum(r["n_outliers"] for r in anomalies)
     print(f"z-score outliers (|z|>2) across types: {n_out}")
+
+    print("top session paths:")
+    for r in qs["q_events_sessionpath"](spark, sf_dir).limit(3).collect():
+        print(f"  {r['path']}: {r['n_sessions']} sessions")
+
+    rfm = qs["q_events_rfm"](spark, sf_dir)
+    print(f"RFM cells occupied: {rfm.count()} of 125")
+
+    wau = (
+        qs["q_events_wau"](spark, sf_dir)
+        .orderBy("day", ascending=False)
+        .limit(1)
+        .collect()[0]
+    )
+    print(
+        f"latest day: dau={wau['dau']} wau={wau['wau']} "
+        f"stickiness={wau['stickiness']}"
+    )
+
+    skew = qs["q_events_skewprofile"](spark, sf_dir).collect()[0]
+    print(
+        f"user_id skew: {skew['n_keys']} keys, top decile carries "
+        f"{skew['top_decile_share']:.1%} of events"
+    )
     spark.stop()
 
 

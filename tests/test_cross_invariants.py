@@ -1,0 +1,122 @@
+"""Cross-operator consistency invariants on the fixture data: independent
+queries that measure the same underlying quantity must agree. Cheaper than
+an oracle (no DuckDB) and orthogonal to golden hashes — these survive
+testdata regeneration, so they catch semantic drift the moment it happens.
+"""
+
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.io import load_table
+from mapreduce_machine_learning_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_sessionpath_counts_bounded_by_session_total(spark):
+    total_sessions = sum(
+        r["num_sessions"]
+        for r in QUERIES["q_stream_session"](spark, SF_DIR).collect()
+    )
+    top10 = QUERIES["q_events_sessionpath"](spark, SF_DIR).collect()
+    assert len(top10) == 10
+    assert sum(r["n_sessions"] for r in top10) <= total_sessions
+    assert max(r["n_sessions"] for r in top10) >= 1
+
+
+def test_rfm_partitions_all_users(spark):
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    cells = QUERIES["q_events_rfm"](spark, SF_DIR).collect()
+    assert sum(r["n_users"] for r in cells) == n_users
+    for r in cells:
+        assert 1 <= r["r_bucket"] <= 5
+        assert 1 <= r["f_bucket"] <= 5
+        assert 1 <= r["m_bucket"] <= 5
+
+
+def test_wau_dominates_dau_and_user_count(spark):
+    skew = QUERIES["q_events_skewprofile"](spark, SF_DIR).collect()[0]
+    for r in QUERIES["q_events_wau"](spark, SF_DIR).collect():
+        assert r["dau"] <= r["wau"] <= skew["n_keys"]
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_skewprofile_internally_consistent(spark):
+    r = QUERIES["q_events_skewprofile"](spark, SF_DIR).collect()[0]
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert r["n_events"] == n_events
+    assert r["max_per_key"] >= r["avg_per_key"]
+    assert 0.0 < r["top_decile_share"] <= 1.0
+    assert 0.0 < r["top10_share"] <= 1.0
+
+
+def test_tree_split_partitions_every_row(spark):
+    n_events = load_table(spark, SF_DIR, "events").count()
+    rows = QUERIES["q_ml_tree_split"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_left"] + r["n_right"] == n_events
+        # binary Gini is bounded by 0.5
+        assert 0.0 <= r["gini_split"] <= 0.5
+
+
+def test_nb_confusion_covers_all_scored_docs(spark):
+    n_test = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 100)
+        .count()
+    )
+    cells = QUERIES["q_ml_nb_multinomial"](spark, SF_DIR).collect()
+    assert sum(r["cnt"] for r in cells) == n_test
+
+
+def test_eval_metrics_algebra(spark):
+    m = QUERIES["q_ml_eval_metrics"](spark, SF_DIR).collect()[0]
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == n_events
+    p, r = m["precision"], m["recall"]
+    assert abs(m["f1"] - 2 * p * r / (p + r)) < 1e-4
+
+
+def test_kmeans_init_centroids_distinct(spark):
+    rows = QUERIES["q_ml_kmeans_init"](spark, SF_DIR).collect()
+    assert [r["step"] for r in sorted(rows, key=lambda r: r["step"])] == [0, 1, 2]
+    pts = {(r["cx"], r["cy"]) for r in rows}
+    assert len(pts) == 3  # maximin never re-picks a chosen centroid
+
+
+def test_sparse_cosine_range_and_ordering(spark):
+    rows = QUERIES["q_text_cosine_sparse"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 <= r["cosine"] <= 1.0  # tf vectors are non-negative
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_stratified_sample_within_stratum(spark):
+    for r in QUERIES["q_llm_sample_stratified"](spark, SF_DIR).collect():
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        assert 0.0 <= r["observed_rate"] <= 1.0
+
+
+def test_scd2_versions_bounded_by_events(spark):
+    n_events = load_table(spark, SF_DIR, "events").count()
+    rows = QUERIES["q_events_scd2"](spark, SF_DIR).collect()
+    total_versions = sum(r["n_versions"] for r in rows)
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # at least one version per active user, at most one per event
+    assert n_users <= total_versions <= n_events
+    # exactly one open interval (the current state) per user
+    assert sum(r["n_current"] for r in rows) == n_users

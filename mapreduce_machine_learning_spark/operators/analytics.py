@@ -763,3 +763,65 @@ def q_events_wau(spark, sf_dir):
         )
         .select(F.col("d").alias("day"), "dau", "wau", "stickiness")
     )
+
+
+@query(
+    "q_events_abtest",
+    oracle="""
+    WITH s AS (
+        SELECT
+            COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+            AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+            VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+            COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+            AVG(CASE WHEN event_type = 'view' THEN value END) AS m2,
+            VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS v2
+        FROM events
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_control,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1)
+                    + POW(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df
+    FROM s
+    """,
+)
+def q_events_abtest(spark, sf_dir):
+    """Two-sample Welch's t-test — the experimentation kernel that turns the
+    engine into an A/B-testing backend: treatment = purchase events,
+    control = view events, metric = value. Means and sample variances for
+    both arms come from ONE conditional-aggregate pass (six numbers are the
+    complete sufficient statistics — the same summation-form idea as the
+    reference's ML jobs), then the t statistic and Welch–Satterthwaite
+    degrees of freedom are constant-time algebra kept in-plan so the oracle
+    checks them too. At 100 TB an experiment platform runs thousands of
+    these; each is a map-side-combined scan emitting one row. Stats are
+    round-6; variances/means are well-conditioned (values O(100), n O(10³)+)
+    so cross-engine summation noise sits far below the grid."""
+    ev = T(spark, sf_dir, "events")
+    treat = F.when(F.col("event_type") == "purchase", F.col("value"))
+    ctrl = F.when(F.col("event_type") == "view", F.col("value"))
+    s = ev.agg(
+        F.count(treat).alias("n1"),
+        F.avg(treat).alias("m1"),
+        F.var_samp(treat).alias("v1"),
+        F.count(ctrl).alias("n2"),
+        F.avg(ctrl).alias("m2"),
+        F.var_samp(ctrl).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return s.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        r6(F.col("m1") - F.col("m2")).alias("mean_diff"),
+        r6((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+        r6(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )

@@ -1936,3 +1936,46 @@ def q_ml_eval_metrics(spark, sf_dir):
         r6(tp / (tp + fn).cast("double")).alias("recall"),
         r6(2.0 * tp / (2 * tp + fp + fn).cast("double")).alias("f1"),
     )
+
+
+@query(
+    "q_ml_calibration",
+    oracle="""
+    WITH p AS (
+        SELECT 1.0 / (1.0 + EXP(-(-1.5 + 0.8 * value / 100.0))) AS prob,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events
+    )
+    SELECT CAST(FLOOR(prob * 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(prob), 6) AS avg_predicted,
+           ROUND(AVG(y), 6) AS observed_rate,
+           ROUND(ABS(AVG(prob) - AVG(y)), 6) AS calibration_gap
+    FROM p GROUP BY bin
+    """,
+)
+def q_ml_calibration(spark, sf_dir):
+    """Probability-calibration (reliability) curve — the third leg of the
+    evaluation surface beside ranking (q_ml_auc) and thresholded metrics
+    (q_ml_eval_metrics): score every event with the fixed logistic model
+    σ(−1.5 + 0.8·value/100), bucket predictions into 10 probability bins,
+    and compare mean predicted probability against the observed purchase
+    rate per bin (the per-bin |gap| is what ECE sums). One map-side scoring
+    expression + one tiny aggregate — at 100 TB calibration costs a single
+    pass, like every sufficient-statistics kernel here. The σ formula is
+    textually identical on both engines; bin edges are FLOOR on a smooth
+    double (boundary flips need ~1e-16 coincidences — the accepted
+    q_text_quality pattern); outputs are round-6."""
+    ev = T(spark, sf_dir, "events")
+    prob = 1.0 / (1.0 + F.exp(-(-1.5 + 0.8 * F.col("value") / 100.0)))
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    p = ev.select(prob.alias("prob"), y.alias("y"))
+    return (
+        p.groupBy(F.floor(F.col("prob") * 10).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("prob")).alias("avg_predicted"),
+            r6(F.avg("y")).alias("observed_rate"),
+            r6(F.abs(F.avg("prob") - F.avg("y"))).alias("calibration_gap"),
+        )
+    )

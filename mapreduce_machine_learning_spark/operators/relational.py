@@ -471,3 +471,58 @@ def q_join_lateral(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+    WITH f AS (
+        SELECT event_type,
+               COUNT(*) OVER w AS trailing_cnt,
+               AVG(value) OVER w AS trailing_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(trailing_cnt AS BIGINT) AS trailing_cnt,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(AVG(trailing_avg), 6) AS avg_trailing_value
+    FROM f
+    WHERE event_type = 'purchase'
+    GROUP BY trailing_cnt
+    """,
+)
+def q_join_pit(spark, sf_dir):
+    """Point-in-time feature join — the feature-store kernel that keeps
+    training data leakage-free: for every purchase event, the user's
+    activity count and mean value over the trailing hour STRICTLY BEFORE
+    the event (RANGE frame ending 1 µs back — the event itself and
+    same-instant rows never leak into their own features). Folded to a
+    histogram by trailing count. Spark needs no join at all: a RANGE window
+    over epoch-microseconds computes the per-event features in one shuffle
+    on user_id — contrast with the naive events×events interval self-join
+    this replaces (q_join_range shows that shape); at 100 TB the window
+    form is O(n log n) per user vs O(n²). The frame bound is integer
+    microseconds on both engines, so frame membership is exact; the outer
+    avg is round-6 on O(100) magnitudes."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000000, -1)
+    )
+    f = ev.select(
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+        F.avg("value").over(w).alias("trailing_avg"),
+    )
+    return (
+        f.filter(F.col("event_type") == "purchase")
+        .groupBy("trailing_cnt")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            r6(F.avg("trailing_avg")).alias("avg_trailing_value"),
+        )
+    )

@@ -825,3 +825,115 @@ def q_events_abtest(spark, sf_dir):
             )
         ).alias("welch_df"),
     )
+
+
+@query(
+    "q_events_subsample_se",
+    oracle="""
+    WITH b AS (
+        SELECT event_id % 10 AS rep, AVG(value) AS rep_mean,
+               COUNT(*) AS rep_n
+        FROM events GROUP BY rep
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+           CAST(SUM(rep_n) AS BIGINT) AS n_rows,
+           ROUND(AVG(rep_mean), 6) AS mean_of_means,
+           ROUND(STDDEV_SAMP(rep_mean) / SQRT(COUNT(*)), 6) AS se_mean
+    FROM b
+    """,
+)
+def q_events_subsample_se(spark, sf_dir):
+    """Uncertainty quantification by deterministic subsample replicates —
+    the scalable stand-in for the bootstrap (the Bag-of-Little-Bootstraps
+    shape, Kleiner et al., JRSS-B 2014): partition rows into 10 replicates
+    by ``event_id % 10`` (a pure function of the key — reproducible across
+    engines and task retries, like every sampling op here), compute each
+    replicate's mean of ``value``, and estimate the standard error of the
+    global mean from the spread of replicate means. Two tiny aggregations —
+    the replicate means are 10 rows — versus a true bootstrap's B full
+    resamples; at 100 TB this is the only affordable error bar, and the
+    replicate pass reuses the same map-side-combine plan as any mean.
+    Replicate assignment is exact integer arithmetic; outputs are round-6
+    on O(100)-magnitude, well-conditioned statistics."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy((F.col("event_id") % 10).alias("rep")).agg(
+        F.avg("value").alias("rep_mean"),
+        F.count(F.lit(1)).alias("rep_n"),
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum("rep_n").alias("n_rows"),
+        r6(F.avg("rep_mean")).alias("mean_of_means"),
+        r6(
+            F.stddev_samp("rep_mean") / F.sqrt(F.count(F.lit(1)))
+        ).alias("se_mean"),
+    )
+
+
+@query(
+    "q_events_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day',
+                         (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                         CAST(ts AS DATE)) AS x,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events
+        GROUP BY event_type, x
+    ),
+    fit AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, MAX(x) AS max_x
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (max_x + 1),
+                 6) AS forecast_next
+    FROM fit
+    """,
+)
+def q_events_trend(spark, sf_dir):
+    """Per-type volume trend + one-step forecast: roll events up to daily
+    counts, fit OLS count-vs-day-index per event type (the q_ml_linreg
+    sufficient-statistics kernel applied to an AGGREGATED time series —
+    the two-level rollup every monitoring system runs), and extrapolate one
+    day ahead. The fact-table pass produces |types|·|days| rows; the
+    regression then consumes exact integer sums over ≤ that tiny frame, so
+    slope/intercept are ratios of exact integers — round-6 is safely above
+    any FP noise. The day index anchors to MIN(date) via a broadcast 1-row
+    subquery, not a literal, so the query is stable under testdata
+    regeneration."""
+    ev = T(spark, sf_dir, "events")
+    min_day = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(min_day))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    fit = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max("x").alias("max_x"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return fit.select(
+        "event_type",
+        r6(slope).alias("slope"),
+        r6(intercept).alias("intercept"),
+        r6(intercept + slope * (F.col("max_x") + 1)).alias("forecast_next"),
+    )

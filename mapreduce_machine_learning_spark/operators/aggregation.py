@@ -577,3 +577,69 @@ def q_agg_histogram(spark, sf_dir):
             "cnt",
         )
     )
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, ANY_VALUE(med) AS med,
+               quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.med), 6) AS median,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN ABS(d.value - d.med)
+                              > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_agg_mad(spark, sf_dir):
+    """Robust dispersion — median absolute deviation per event type, with a
+    3σ-equivalent outlier count (MAD·1.4826 is the normal-consistent scale
+    estimate): the robust twin of q_events_anomaly's z-score screen, immune
+    to the outliers it is hunting. Two passes over the fact table by
+    construction (a median cannot be composed with per-row deviations from
+    it in one aggregation); each pass shuffles only per-type percentile
+    state and the 5-row median frame broadcasts back onto the scan —
+    the scan-side work stays map-shaped at any scale. Medians interpolate
+    identically cross-engine (the q_agg_percentile-verified kernel); the
+    outlier threshold compares identical doubles, so counts are exact."""
+    ev = T(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            r6(F.any_value("med")).alias("median"),
+            r6(F.any_value("mad")).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -1301,3 +1301,61 @@ def q_llm_sample_stratified(spark, sf_dir):
             "observed_rate"
         ),
     )
+
+
+@query(
+    "q_llm_pipeline_funnel",
+    oracle="""
+    WITH d AS (
+        SELECT md5(text) AS h,
+               len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.5
+                   AS ok_quality
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN ok_quality THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+           CAST(COUNT(DISTINCT CASE WHEN ok_quality THEN h END) AS BIGINT)
+               AS n_dedup,
+           CAST(COUNT(DISTINCT CASE WHEN ok_quality AND h < '80'
+                                    THEN h END) AS BIGINT) AS n_sampled
+    FROM d
+    """,
+)
+def q_llm_pipeline_funnel(spark, sf_dir):
+    """The pretraining-corpus pipeline as ONE declarative plan — quality
+    filter → exact dedup → hash sample, reported as a survivor funnel
+    (the numbers a data-curation dashboard shows per snapshot). The whole
+    funnel collapses into a single scan: quality is a per-row predicate
+    (distinct-token ratio ≥ 0.5), dedup survivorship is COUNT(DISTINCT
+    md5) over the quality-passing rows, and the 50% content-hash sample
+    reuses the same md5 — three pipeline stages, one aggregation, no joins
+    and no intermediate materialization. This is the payoff of declaring
+    stages as column expressions instead of chained jobs: the reference
+    would run three MapReduce passes; Catalyst fuses the funnel into one
+    map-side-combined distinct-aggregate. All stages are exact integer
+    counts over deterministic predicates (ratios of exact ints, md5
+    thresholds)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ok_q = (
+        F.size(F.array_distinct(toks))
+        / F.size(toks).cast("double")
+        >= 0.5
+    )
+    frame = d.select(
+        F.md5("text").alias("h"), ok_q.alias("ok_quality")
+    )
+    return frame.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("ok_quality"), 1).otherwise(0)).alias(
+            "n_quality"
+        ),
+        F.countDistinct(
+            F.when(F.col("ok_quality"), F.col("h"))
+        ).alias("n_dedup"),
+        F.countDistinct(
+            F.when(F.col("ok_quality") & (F.col("h") < "80"), F.col("h"))
+        ).alias("n_sampled"),
+    )

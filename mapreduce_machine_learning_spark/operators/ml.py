@@ -1979,3 +1979,108 @@ def q_ml_calibration(spark, sf_dir):
             r6(F.abs(F.avg("prob") - F.avg("y"))).alias("calibration_gap"),
         )
     )
+
+
+@query(
+    "q_ml_cluster_quality",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, AVG(val) AS c
+        FROM ex GROUP BY label, dim
+    ),
+    dist_row AS (
+        SELECT ex.vec_id, ex.label,
+               SUM(POW(ex.val - cent.c, 2)) AS d2
+        FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        GROUP BY ex.vec_id, ex.label
+    ),
+    intra AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               AVG(SQRT(d2)) AS mean_intra
+        FROM dist_row GROUP BY label
+    ),
+    cc AS (
+        SELECT a.label AS la, b.label AS lb,
+               SQRT(SUM(POW(a.c - b.c, 2))) AS cdist
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ),
+    nearest AS (
+        SELECT la AS label, MIN(cdist) AS nearest_centroid
+        FROM cc GROUP BY la
+    )
+    SELECT i.label, i.n_vecs,
+           ROUND(i.mean_intra, 6) AS mean_intra,
+           ROUND(n.nearest_centroid, 6) AS nearest_centroid,
+           ROUND(n.nearest_centroid / i.mean_intra, 6) AS separation
+    FROM intra i JOIN nearest n ON i.label = n.label
+    """,
+)
+def q_ml_cluster_quality(spark, sf_dir):
+    """Cluster-separability report over the embedding space — the
+    evaluation companion to the k-means family: per label, the mean L2
+    distance of members to their label centroid (cohesion), the distance to
+    the nearest other centroid (separation), and their ratio (a
+    Dunn-/silhouette-style index; > 1 ⟹ clusters are farther apart than
+    they are wide). The scalable shape is the dimension-exploded form:
+    centroids are a (label, dim)-keyed AVG — a map-side-combined aggregate
+    whose state is |labels|·dim cells regardless of row count — and
+    per-row distances come from joining the BROADCAST centroid table back
+    (at 100 TB the explode is the column-to-row pivot Tungsten handles in
+    codegen; the alternative fold over array columns computes the same sums
+    JVM-side — see q_llm_multimodal — but the exploded form shares the
+    centroid join). Float→double widening is exact on both engines;
+    centroid components differ only by summation-order ulps, washed out by
+    round-6 on O(1) magnitudes."""
+    em = T(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "valf"),
+    ).select("vec_id", "label", "dim", F.col("valf").cast("double").alias("val"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    dist_row = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.pow(F.col("val") - F.col("c"), 2)).alias("d2"))
+    )
+    intra = dist_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(F.sqrt("d2")).alias("mean_intra"),
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("dim").alias("dimb"),
+        F.col("c").alias("cb"),
+    )
+    cc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dimb")) & (F.col("la") != F.col("lb")),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum(F.pow(F.col("ca") - F.col("cb"), 2))).alias("cdist"))
+    )
+    nearest = cc.groupBy(F.col("la").alias("label")).agg(
+        F.min("cdist").alias("nearest_centroid")
+    )
+    return (
+        intra.join(F.broadcast(nearest), "label")
+        .select(
+            "label",
+            "n_vecs",
+            r6("mean_intra").alias("mean_intra"),
+            r6("nearest_centroid").alias("nearest_centroid"),
+            r6(F.col("nearest_centroid") / F.col("mean_intra")).alias(
+                "separation"
+            ),
+        )
+    )

@@ -76,3 +76,22 @@ def assert_parity(spark, name, fn, sql, sf_dir, con=None):
     if sn != on:
         diffs = [(a, b) for a, b in zip(sn, on) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
+
+
+def fingerprint_testdata(sf_dir):
+    """md5 over the bytes of every parquet file in sf_dir — identifies the
+    exact testdata generation. Golden hashes are only meaningful against
+    the data they were frozen on; the driver regenerates testdata between
+    rounds, so test_golden skips (with re-freeze instructions) on mismatch
+    instead of failing every query."""
+    import glob
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        h.update(os.path.basename(path).encode())
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()

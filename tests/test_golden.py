@@ -8,20 +8,30 @@ import os
 import pytest
 
 from mapreduce_machine_learning_spark.registry import all_queries
-from tests.parity import result_hash
+from tests.parity import result_hash, fingerprint_testdata
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden.json")
 SF_DIR = "/root/testdata/sf0.01"
 
 if os.path.exists(GOLDEN_PATH):
     with open(GOLDEN_PATH) as f:
-        GOLDEN = json.load(f)
+        _payload = json.load(f)
+    GOLDEN = _payload.get("queries", {})
+    _FROZEN_FP = _payload.get("fingerprint")
 else:  # pragma: no cover
     GOLDEN = {}
+    _FROZEN_FP = None
 
-pytestmark = pytest.mark.skipif(
-    not GOLDEN, reason="tests/golden.json not frozen yet"
-)
+_SKIP = None
+if not GOLDEN:
+    _SKIP = "tests/golden.json not frozen yet"
+elif _FROZEN_FP and _FROZEN_FP != fingerprint_testdata(SF_DIR):
+    _SKIP = (
+        "testdata regenerated since golden freeze — run the oracle sweep, "
+        "then `python tools/freeze_golden.py`"
+    )
+
+pytestmark = pytest.mark.skipif(_SKIP is not None, reason=str(_SKIP))
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))

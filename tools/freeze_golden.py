@@ -21,7 +21,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from mapreduce_machine_learning_spark.registry import all_queries
-    from tests.parity import result_hash
+    from tests.parity import result_hash, fingerprint_testdata
 
     spark = (
         SparkSession.builder.master("local[*]")
@@ -37,8 +37,9 @@ def main() -> None:
         golden[name] = {"rows": n, "hash": h}
         print(f"{name}: rows={n} hash={h[:12]}")
     out = os.path.join(ROOT, "tests", "golden.json")
+    payload = {"fingerprint": fingerprint_testdata(SF_DIR), "queries": golden}
     with open(out, "w") as f:
-        json.dump(golden, f, indent=1, sort_keys=True)
+        json.dump(payload, f, indent=1, sort_keys=True)
     print(f"wrote {out} ({len(golden)} queries)")
     spark.stop()
 

@@ -1359,3 +1359,72 @@ def q_llm_pipeline_funnel(spark, sf_dir):
             F.when(F.col("ok_quality") & (F.col("h") < "80"), F.col("h"))
         ).alias("n_sampled"),
     )
+
+
+@query(
+    "q_llm_dup_ngrams",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, lang,
+               md5(array_to_string(toks[i:i+7], ' ')) AS shingle
+        FROM tok,
+             UNNEST(range(1, len(toks) - 6)) AS t(i)
+    ),
+    cnt AS (
+        SELECT lang, shingle, COUNT(DISTINCT doc_id) AS nd
+        FROM sh GROUP BY lang, shingle
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+    FROM cnt GROUP BY lang
+    """,
+)
+def q_llm_dup_ngrams(spark, sf_dir):
+    """Corpus-level n-gram duplication rate — the measurement that
+    MOTIVATES the dedup family (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022, measure duplication exactly
+    this way): the share of distinct 8-token shingles per language that
+    occur in more than one document. Shingles are md5'd at explode time so
+    the shuffle moves 32-byte keys instead of raw 8-gram strings — at
+    100 TB the shingle frame is the dominant intermediate and hashing
+    first is the difference between shuffling ~60 bytes and ~32 per
+    shingle with identical grouping semantics (md5 collisions are
+    negligible at any corpus size). Two keyed aggregations: distinct
+    (doc, shingle) then docs-per-shingle. All counts exact; the share is
+    a round-6 ratio."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size(toks) - 8
+                    ),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(toks, i + 1, 8), " ")
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("lang", "shingle").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(dup).alias("n_dup_shingles"),
+        r6(F.sum(dup) / F.count(F.lit(1)).cast("double")).alias("dup_share"),
+    )

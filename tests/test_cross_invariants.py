@@ -120,3 +120,80 @@ def test_scd2_versions_bounded_by_events(spark):
     assert n_users <= total_versions <= n_events
     # exactly one open interval (the current state) per user
     assert sum(r["n_current"] for r in rows) == n_users
+
+
+def test_pipeline_funnel_monotone(spark):
+    r = QUERIES["q_llm_pipeline_funnel"](spark, SF_DIR).collect()[0]
+    assert (
+        r["n_total"] >= r["n_quality"] >= r["n_dedup"] >= r["n_sampled"] >= 0
+    )
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert r["n_total"] == n_docs
+
+
+def test_calibration_bins_cover_all_events(spark):
+    rows = QUERIES["q_ml_calibration"](spark, SF_DIR).collect()
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["avg_predicted"] <= 1.0
+        assert 0.0 <= r["observed_rate"] <= 1.0
+
+
+def test_pit_covers_every_purchase(spark):
+    n_purchases = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    rows = QUERIES["q_join_pit"](spark, SF_DIR).collect()
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+
+
+def test_abtest_arms_partition_two_types(spark):
+    r = QUERIES["q_events_abtest"](spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    assert r["n_treat"] == ev.filter(F.col("event_type") == "purchase").count()
+    assert r["n_control"] == ev.filter(F.col("event_type") == "view").count()
+    assert r["welch_df"] > 0
+
+
+def test_subsample_se_accounts_every_row(spark):
+    r = QUERIES["q_events_subsample_se"](spark, SF_DIR).collect()[0]
+    assert r["n_reps"] == 10
+    assert r["n_rows"] == load_table(spark, SF_DIR, "events").count()
+    assert r["se_mean"] > 0
+
+
+def test_trend_fits_every_event_type(spark):
+    rows = QUERIES["q_events_trend"](spark, SF_DIR).collect()
+    types = {
+        r["event_type"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == types
+
+
+def test_mad_outliers_bounded(spark):
+    for r in QUERIES["q_agg_mad"](spark, SF_DIR).collect():
+        assert r["mad"] >= 0.0
+        assert r["n_outliers"] >= 0
+
+
+def test_cluster_quality_covers_all_labels(spark):
+    rows = QUERIES["q_ml_cluster_quality"](spark, SF_DIR).collect()
+    em = load_table(spark, SF_DIR, "embeddings")
+    assert len(rows) == em.select("label").distinct().count()
+    assert sum(r["n_vecs"] for r in rows) == em.count()
+    for r in rows:
+        assert r["mean_intra"] > 0 and r["nearest_centroid"] > 0
+
+
+def test_dup_ngrams_share_bounded(spark):
+    for r in QUERIES["q_llm_dup_ngrams"](spark, SF_DIR).collect():
+        assert 0 <= r["n_dup_shingles"] <= r["n_shingles"]
+        assert 0.0 <= r["dup_share"] <= 1.0

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import r0, r6
@@ -2083,4 +2084,281 @@ def q_ml_cluster_quality(spark, sf_dir):
                 "separation"
             ),
         )
+    )
+
+
+@query(
+    "q_ml_logreg_newton",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value / 100.0) AS sv,
+               SUM((value / 100.0) * (value / 100.0)) AS svv,
+               SUM(CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   AS g0,
+               SUM((CAST(0.5 AS DOUBLE)
+                   - CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+                   * (value / 100.0)) AS g1
+        FROM events
+    ), h AS (
+        SELECT g0, g1,
+               0.25 * n AS h00, 0.25 * sv AS h01, 0.25 * svv AS h11
+        FROM s
+    )
+    SELECT ROUND(g0, 6) AS grad_0,
+           ROUND(g1, 6) AS grad_1,
+           ROUND(-(h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 6)
+               AS w0_next,
+           ROUND(-(h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 6)
+               AS w1_next
+    FROM h
+    """,
+)
+def q_ml_logreg_newton(spark, sf_dir):
+    """One Newton-Raphson step for logistic regression from w = 0 — the
+    second-order sibling of ``q_ml_logreg_grad``. At w = 0 every σ is 0.5, so
+    the Hessian collapses to 0.25·XᵀX and the step is a closed 2×2 solve:
+    gradient AND Hessian are sufficient statistics accumulated in one partial
+    aggregation (5 doubles per partition regardless of input size — the
+    summation form of Chu et al. NIPS'06, which the reference's GD jobs
+    follow but never extend to second order). At 100 TB the plan is one scan
+    + one 5-double shuffle; the dense solve is O(d³) on the driver and here
+    is inlined as the explicit 2×2 inverse so both engines share the exact
+    formula text."""
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    resid = 0.5 - y
+    v = F.col("value") / 100.0
+    s = T(spark, sf_dir, "events").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+        F.sum(resid).alias("g0"),
+        F.sum(resid * v).alias("g1"),
+    )
+    h00, h01, h11 = 0.25 * F.col("n"), 0.25 * F.col("sv"), 0.25 * F.col("svv")
+    det = h00 * h11 - h01 * h01
+    return s.select(
+        r6(F.col("g0")).alias("grad_0"),
+        r6(F.col("g1")).alias("grad_1"),
+        r6(-(h11 * F.col("g0") - h01 * F.col("g1")) / det).alias("w0_next"),
+        r6(-(h00 * F.col("g1") - h01 * F.col("g0")) / det).alias("w1_next"),
+    )
+
+
+@query(
+    "q_ml_softmax_grad",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+               SUM(value / 100.0) AS sv_all
+        FROM events
+    ), cls AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n_c,
+               SUM(value / 100.0) AS sv_c
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(0.2 * n_all - n_c, 6) AS grad_0,
+           ROUND(0.2 * sv_all - sv_c, 6) AS grad_1,
+           ROUND(-0.1 * (0.2 * n_all - n_c), 6) AS w0_next,
+           ROUND(-0.1 * (0.2 * sv_all - sv_c), 6) AS w1_next
+    FROM cls CROSS JOIN tot
+    """,
+)
+def q_ml_softmax_grad(spark, sf_dir):
+    """One full-batch gradient step of multiclass softmax regression from
+    W = 0 over the 5 event-type classes, features (1, value/100). At W = 0
+    every class probability is exactly 1/5, so the per-class gradient
+    factorizes into (0.2·global − per-class) sufficient statistics: one
+    groupBy(event_type) agg + one global agg, joined by a 1-row broadcast.
+    This is the reference's binary-logreg MapReduce pattern generalized to
+    K classes with zero extra passes — per-class partial sums all come out
+    of the same shuffle. lr = 0.1 per SURVEY §2.9."""
+    ev = T(spark, sf_dir, "events")
+    v = F.col("value") / 100.0
+    tot = ev.agg(
+        F.count("*").cast("double").alias("n_all"),
+        F.sum(v).alias("sv_all"),
+    )
+    cls = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_c"),
+        F.sum(v).alias("sv_c"),
+    )
+    g0 = 0.2 * F.col("n_all") - F.col("n_c")
+    g1 = 0.2 * F.col("sv_all") - F.col("sv_c")
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        r6(g0).alias("grad_0"),
+        r6(g1).alias("grad_1"),
+        r6(-0.1 * g0).alias("w0_next"),
+        r6(-0.1 * g1).alias("w1_next"),
+    )
+
+
+@query(
+    "q_ml_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS hi,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, hi, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY hi) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    )
+    SELECT ROUND(SUM(POW(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT hi) - 1) AS BIGINT) AS dof
+    FROM m
+    """,
+)
+def q_ml_chi2(spark, sf_dir):
+    """Pearson chi-square test of independence between event_type and a
+    value>100 indicator — the feature-selection statistic a Naive-Bayes user
+    (the reference ships NB) runs before training. Contingency cells come
+    from ONE groupBy over the fact table; marginals are window sums over the
+    ≤10-row cell frame, so the heavy shuffle moves only cell counts. At
+    100 TB the post-scan state is K×2 doubles — scale-invariant."""
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.when(F.col("value") > 100.0, 1).otherwise(0).alias("hi"),
+    ).agg(F.count("*").cast("double").alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("hi")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "hi",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        r6(F.sum(F.pow(F.col("o") - e, 2) / e)).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("hi") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+
+
+@query(
+    "q_ml_mutual_info",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n_ls
+        FROM documents GROUP BY 1, 2
+    ), m AS (
+        SELECT n_ls,
+               SUM(n_ls) OVER (PARTITION BY lang) AS n_l,
+               SUM(n_ls) OVER (PARTITION BY source) AS n_s,
+               SUM(n_ls) OVER () AS n
+        FROM cells
+    ), agg AS (
+        SELECT SUM((n_ls / n) * LN(n_ls * n / (n_l * n_s))) AS mi,
+               -SUM((n_ls / n) * LN(n_l / n)) AS h_lang_dup,
+               -SUM((n_ls / n) * LN(n_s / n)) AS h_source_dup
+        FROM m
+    )
+    SELECT ROUND(mi, 6) AS mi_nats,
+           ROUND(h_lang_dup, 6) AS h_lang,
+           ROUND(h_source_dup, 6) AS h_source,
+           ROUND(mi / SQRT(h_lang_dup * h_source_dup), 6) AS nmi
+    FROM agg
+    """,
+)
+def q_ml_mutual_info(spark, sf_dir):
+    """Mutual information MI(lang; source) over documents, in nats, plus the
+    marginal entropies and normalized MI — the dependence screen for
+    categorical features. Joint cells from one groupBy; marginals as window
+    sums over the ≤100-row cell frame (Σ_cells p(l,s)·ln(p(l)/1) telescopes
+    to the marginal entropy, so no second scan). Everything after the first
+    aggregation is O(|lang|·|source|) — independent of corpus size."""
+    docs = T(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("n_ls")
+    )
+    m = cells.select(
+        "n_ls",
+        F.sum("n_ls").over(Window.partitionBy("lang")).alias("n_l"),
+        F.sum("n_ls").over(Window.partitionBy("source")).alias("n_s"),
+        F.sum("n_ls").over(Window.partitionBy()).alias("n"),
+    )
+    p = F.col("n_ls") / F.col("n")
+    agg = m.agg(
+        F.sum(
+            p * F.log(F.col("n_ls") * F.col("n") / (F.col("n_l") * F.col("n_s")))
+        ).alias("mi"),
+        (-F.sum(p * F.log(F.col("n_l") / F.col("n")))).alias("h_lang_dup"),
+        (-F.sum(p * F.log(F.col("n_s") / F.col("n")))).alias("h_source_dup"),
+    )
+    return agg.select(
+        r6(F.col("mi")).alias("mi_nats"),
+        r6(F.col("h_lang_dup")).alias("h_lang"),
+        r6(F.col("h_source_dup")).alias("h_source"),
+        r6(
+            F.col("mi") / F.sqrt(F.col("h_lang_dup") * F.col("h_source_dup"))
+        ).alias("nmi"),
+    )
+
+
+@query(
+    "q_ml_ridge_stats",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS sx,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS sxx,
+               SUM(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+    ), c AS (
+        SELECT n, sx, sy,
+               sxx - sx * sx / n AS cxx,
+               sxy - sx * sy / n AS cxy
+        FROM s
+    )
+    SELECT ROUND(cxy / cxx, 6) AS slope_ols,
+           ROUND(cxy / (cxx + 100.0), 6) AS slope_ridge,
+           ROUND((sy - (cxy / (cxx + 100.0)) * sx) / n, 6) AS intercept_ridge,
+           ROUND((cxy / (cxx + 100.0)) / (cxy / cxx), 6) AS shrink_ratio
+    FROM c
+    """,
+)
+def q_ml_ridge_stats(spark, sf_dir):
+    """Ridge regression (λ = 100, not penalizing the intercept) on
+    x=l_quantity, y=l_extendedprice via centered sufficient statistics —
+    the same 5-double summation-form pass as ``q_ml_linreg_stats`` with the
+    closed-form shrinkage applied at the driver: slope = Sxy/(Sxx+λ).
+    Demonstrates that regularized linear models cost exactly the same single
+    scan as OLS; the OLS slope and shrink ratio are emitted alongside for
+    the cross-check. At 100 TB: one scan, one 5-double shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    x, yv = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * yv).alias("sxy"),
+    )
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    slope_ridge = cxy / (cxx + 100.0)
+    return s.select(
+        r6(cxy / cxx).alias("slope_ols"),
+        r6(slope_ridge).alias("slope_ridge"),
+        r6((F.col("sy") - slope_ridge * F.col("sx")) / F.col("n")).alias(
+            "intercept_ridge"
+        ),
+        r6(slope_ridge / (cxy / cxx)).alias("shrink_ratio"),
     )

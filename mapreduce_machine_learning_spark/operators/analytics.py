@@ -937,3 +937,94 @@ def q_events_trend(spark, sf_dir):
         r6(intercept).alias("intercept"),
         r6(intercept + slope * (F.col("max_x") + 1)).alias("forecast_next"),
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH attr AS (
+        SELECT event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, '(none)') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           ROUND(SUM(value), 6) AS attributed_value
+    FROM attr
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the most recent
+    preceding non-purchase interaction of the same user (deterministic order
+    ts, event_id; '(none)' when the purchase is the user's first event).
+    One window over the user partition — the conditional last-IGNORE-NULLS
+    avoids the self-join a naive attribution query would do, so at 100 TB
+    this is a single shuffle on user_id with no row multiplication. With
+    events bucketed by user_id at rest, shuffle-free."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("(none)")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            r6(F.sum("value")).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "q_events_keep_latest",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS users_ending_here,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def q_events_keep_latest(spark, sf_dir):
+    """CDC-style keep-latest-per-key compaction: collapse the event log to
+    each user's most recent row ((ts, event_id) DESC is a total order), then
+    profile what state users end in. The canonical upsert-materialization of
+    a changelog: one window shuffle on the key, rn=1 filter applied before
+    anything downstream so only one row per key survives the stage. At
+    100 TB prefer this over groupBy(max_by(...)) when the full latest ROW is
+    needed; the plan is identical in shuffle volume (key-partitioned) and
+    AQE-coalesced after the 1-row-per-key filter."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_type", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("users_ending_here"),
+            r6(F.avg("value")).alias("avg_value"),
+        )
+    )

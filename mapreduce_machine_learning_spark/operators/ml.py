@@ -2362,3 +2362,162 @@ def q_ml_ridge_stats(spark, sf_dir):
         ),
         r6(slope_ridge / (cxy / cxx)).alias("shrink_ratio"),
     )
+
+
+@query(
+    "q_ml_svm_step",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE -1.0 END AS y,
+               value / 100.0 AS x1
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(-AVG(y), 6) AS grad_0,
+           ROUND(-AVG(y * x1), 6) AS grad_1,
+           ROUND(0.1 * AVG(y), 6) AS w0_next,
+           ROUND(0.1 * AVG(y * x1), 6) AS w1_next
+    FROM pts
+    """,
+)
+def q_ml_svm_step(spark, sf_dir):
+    """One full-batch subgradient step for a linear SVM (hinge loss,
+    Pegasos-style) from w = 0: at w = 0 every point violates the margin
+    (y·⟨w,x⟩ = 0 < 1), so the subgradient is λw − (1/n)Σy·x = −avg(y·x)
+    and the step-η=0.1 update is w ← η·avg(y·x). Features (1, value/100),
+    label ±1 on event_type='purchase' (the §2.9 feature convention). Like
+    the reference's gradient jobs, the whole step is summation-form: the
+    shuffle carries two partial sums, never rows."""
+    ev = T(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(-1.0)
+    x1 = F.col("value") / 100.0
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(-F.avg(y)).alias("grad_0"),
+        r6(-F.avg(y * x1)).alias("grad_1"),
+        r6(0.1 * F.avg(y)).alias("w0_next"),
+        r6(0.1 * F.avg(y * x1)).alias("w1_next"),
+    )
+
+
+@query(
+    "q_ml_adaboost_stump",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE -1.0 END AS y,
+               CASE WHEN value >= 100.0 THEN 1.0 ELSE -1.0 END AS h
+        FROM events
+    ),
+    e AS (
+        SELECT COUNT(*) AS n,
+               AVG(CASE WHEN h <> y THEN 1.0 ELSE 0.0 END) AS eps
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(eps, 6) AS eps,
+           ROUND(0.5 * ln((1 - eps) / eps), 6) AS alpha,
+           ROUND((1 - eps) * exp(-0.5 * ln((1 - eps) / eps)), 6)
+               AS z_correct,
+           ROUND(eps * exp(0.5 * ln((1 - eps) / eps)), 6) AS z_wrong
+    FROM e
+    """,
+)
+def q_ml_adaboost_stump(spark, sf_dir):
+    """One AdaBoost round with uniform starting weights and the fixed stump
+    h(x) = sign(value ≥ 100): weighted error ε, vote α = ½ln((1−ε)/ε), and
+    the two halves of the re-weighting normalizer Z — correct mass
+    (1−ε)e^{−α} and wrong mass ε·e^{α}, which AdaBoost provably equalizes
+    at √(ε(1−ε)) each, a free cross-engine invariant. ε is a count ratio
+    (integer-exact both sides) and everything downstream is scalar math on
+    one row, so round-6 parity is safe."""
+    ev = T(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(-1.0)
+    h = F.when(F.col("value") >= 100.0, 1.0).otherwise(-1.0)
+    e = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(h != y, 1.0).otherwise(0.0)).alias("eps"),
+    )
+    alpha = 0.5 * F.log((1 - F.col("eps")) / F.col("eps"))
+    return e.select(
+        F.col("n").cast("bigint").alias("n"),
+        r6(F.col("eps")).alias("eps"),
+        r6(alpha).alias("alpha"),
+        r6((1 - F.col("eps")) * F.exp(-alpha)).alias("z_correct"),
+        r6(F.col("eps") * F.exp(alpha)).alias("z_wrong"),
+    )
+
+
+@query(
+    "q_ml_itemcf",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*)::DOUBLE AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    norms AS (
+        SELECT event_type, sqrt(SUM(c * c)) AS nrm
+        FROM cnt GROUP BY event_type
+    ),
+    dots AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               SUM(a.c * b.c) AS dot
+        FROM cnt a JOIN cnt b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT item_a, item_b, n_users,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.event_type = item_a
+    JOIN norms nb ON nb.event_type = item_b
+    """,
+)
+def q_ml_itemcf(spark, sf_dir):
+    """Item-item collaborative filtering: cosine similarity between event
+    types over the user×item interaction-count matrix — the classic
+    Amazon-style item-CF kernel, in summation form. The user-keyed
+    self-join explodes only within a user's item set (≤5 items here; at
+    100 TB cap or sample per-user item lists, the standard guard), then
+    one groupBy(item, item) reduces to |items|² partial sums; norms are an
+    |items|-row broadcast join. No driver-side matrix ever materializes."""
+    ev = T(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    norms = cnt.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a, b = cnt.alias("a"), cnt.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("event_type").alias("item_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("event_type").alias("item_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            r6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )

@@ -398,3 +398,70 @@ def q_sketch_hll(spark, sf_dir):
             (final_est - F.col("true_distinct")) / F.col("true_distinct")
         ).alias("rel_err"),
     )
+
+
+KMV_K = 64  # k-minimum-values sketch size
+
+
+@query(
+    "q_sketch_kmv",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT user_id::VARCHAR || '@' || (ts::DATE)::VARCHAR AS k
+        FROM events
+    ),
+    hashed AS (
+        SELECT ('0x' || substr(md5(k), 1, 12))::BIGINT / 281474976710656.0
+                   AS h
+        FROM keys
+    ),
+    kmin AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_true,
+           ROUND(({KMV_K} - 1) / MAX(h), 6) AS kmv_estimate,
+           ROUND(ABS(({KMV_K} - 1) / MAX(h)
+                     - (SELECT COUNT(*) FROM keys))
+                 / (SELECT COUNT(*) FROM keys), 6) AS rel_error
+    FROM kmin WHERE rn <= {KMV_K}
+    """,
+)
+def q_sketch_kmv(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) over
+    the active user-days in events: hash every key into [0,1) with the
+    engine-portable md5 family, keep the k = 64 smallest hashes, estimate
+    |D| ≈ (k-1)/h_(k). The sketch state is a bounded sorted set — per
+    partition each executor keeps its own k minima (Spark's
+    TakeOrderedAndProject does exactly this for the ORDER BY h LIMIT k
+    plan), and merging partials is just re-taking the k smallest, an
+    associative union — the mrjob combiner pattern with O(k) state. The
+    hash value is an exact integer ≤ 16^12 divided by a constant, so both
+    engines produce bit-identical doubles and the query carries a FULL
+    oracle, unlike engine-internal HLL sketches (q_agg_approx)."""
+    keys = (
+        T(spark, sf_dir, "events")
+        .select(
+            F.concat_ws(
+                "@",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("k")
+        )
+        .distinct()
+    )
+    hashed = keys.select(
+        (
+            F.conv(F.substring(F.md5("k"), 1, 12), 16, 10).cast("long")
+            / F.lit(281474976710656.0)
+        ).alias("h")
+    )
+    kth = hashed.orderBy("h").limit(KMV_K).agg(F.max("h").alias("hk"))
+    n_true = keys.agg(F.count(F.lit(1)).alias("n_true"))
+    est = F.lit(KMV_K - 1) / F.col("hk")
+    return kth.crossJoin(n_true).select(
+        F.col("n_true").cast("bigint").alias("n_true"),
+        r6(est).alias("kmv_estimate"),
+        r6(F.abs(est - F.col("n_true")) / F.col("n_true")).alias(
+            "rel_error"
+        ),
+    )

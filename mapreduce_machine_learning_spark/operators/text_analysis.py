@@ -1042,3 +1042,87 @@ def q_text_hapax(spark, sf_dir):
         ).alias("hapax_ratio"),
         r6(F.count(F.lit(1)) / F.sum("cnt")).alias("type_token_ratio"),
     )
+
+
+@query(
+    "q_text_rouge1",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+               UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 20
+    ),
+    sizes AS (
+        SELECT pair_id,
+               CAST(COUNT(DISTINCT CASE WHEN side = 0 THEN tok END)
+                    AS BIGINT) AS n_ref,
+               CAST(COUNT(DISTINCT CASE WHEN side = 1 THEN tok END)
+                    AS BIGINT) AS n_cand
+        FROM toks GROUP BY pair_id
+    ),
+    ov AS (
+        SELECT pair_id, CAST(COUNT(*) AS BIGINT) AS overlap
+        FROM (
+            SELECT pair_id, tok FROM toks
+            GROUP BY pair_id, tok HAVING COUNT(DISTINCT side) = 2
+        ) GROUP BY pair_id
+    )
+    SELECT s.pair_id, n_ref, n_cand, COALESCE(overlap, 0) AS overlap,
+           ROUND(COALESCE(overlap, 0) / n_cand::DOUBLE, 6) AS precision,
+           ROUND(COALESCE(overlap, 0) / n_ref::DOUBLE, 6) AS recall,
+           ROUND(2.0 * COALESCE(overlap, 0) / (n_ref + n_cand), 6) AS f1
+    FROM sizes s LEFT JOIN ov USING (pair_id)
+    """,
+)
+def q_text_rouge1(spark, sf_dir):
+    """ROUGE-1-style unigram-set overlap for fixed document pairs (doc 2i as
+    reference, doc 2i+1 as candidate, i < 10): distinct-token precision,
+    recall, and F1 — the standard summarization/generation eval metric,
+    where F1 = 2·overlap/(|ref|+|cand|) is the exact harmonic mean of the
+    set precision/recall. The whole computation is keyed by pair_id, so at
+    scale it is one shuffle on (pair_id, token) with O(vocab) state per
+    pair — the same shape as a sharded eval harness scoring millions of
+    generation pairs."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.expr("doc_id DIV 2").alias("pair_id"),
+            (F.col("doc_id") % 2).alias("side"),
+            F.explode(
+                F.array_distinct(F.split("text", " "))
+            ).alias("tok"),
+        )
+    )
+    sizes = toks.groupBy("pair_id").agg(
+        F.countDistinct(
+            F.when(F.col("side") == 0, F.col("tok"))
+        ).alias("n_ref"),
+        F.countDistinct(
+            F.when(F.col("side") == 1, F.col("tok"))
+        ).alias("n_cand"),
+    )
+    ov = (
+        toks.groupBy("pair_id", "tok")
+        .agg(F.countDistinct("side").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .groupBy("pair_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    j = sizes.join(ov, "pair_id", "left").select(
+        "pair_id",
+        "n_ref",
+        "n_cand",
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+    )
+    return j.select(
+        "pair_id",
+        "n_ref",
+        "n_cand",
+        "overlap",
+        r6(F.col("overlap") / F.col("n_cand")).alias("precision"),
+        r6(F.col("overlap") / F.col("n_ref")).alias("recall"),
+        r6(2.0 * F.col("overlap") / (F.col("n_ref") + F.col("n_cand"))).alias(
+            "f1"
+        ),
+    )

@@ -643,3 +643,63 @@ def q_agg_mad(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           MAX(l_quantity) - MIN(l_quantity) AS range_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           MIN(l_discount), MAX(l_discount),
+           MAX(l_discount) - MIN(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+           CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+           MIN(l_tax), MAX(l_tax), MAX(l_tax) - MIN(l_tax)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) - COUNT(l_extendedprice)
+                                   AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           MAX(l_extendedprice) - MIN(l_extendedprice)
+    FROM lineitem
+    """,
+)
+def q_profile_columns(spark, sf_dir):
+    """Column profiler — the data-quality audit every ingestion pipeline
+    runs before training: per numeric column of lineitem, null count,
+    distinct cardinality, min/max/range, emitted in long form (one row per
+    column). Every statistic is EXACT (no FP accumulation), so the output
+    is bit-stable under any partitioning — sums/means at 1e9 magnitude
+    would sit inside cross-engine FP noise (determinism.py r6 caveat) and
+    belong in q_agg_stats-style per-group queries instead. The Spark plan melts the four columns with a stack() generator
+    and profiles them in ONE scan + one hash aggregate keyed by column
+    name — at 100 TB that is 4× cheaper than the naive
+    per-column-pass profiler the oracle SQL spells out, and adding a
+    column to the profile adds zero extra scans."""
+    li = T(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity, 'l_discount', l_discount,"
+            " 'l_tax', l_tax, 'l_extendedprice', l_extendedprice)"
+            " AS (col, v)"
+        )
+    )
+    return melted.groupBy("col").agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        (F.max("v") - F.min("v")).alias("range_v"),
+    )

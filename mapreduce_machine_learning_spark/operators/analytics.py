@@ -1290,3 +1290,104 @@ def q_events_merge_upsert(spark, sf_dir):
             r6(F.avg("final_value")).alias("avg_final_value"),
         )
     )
+
+
+@query(
+    "q_events_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, ts::DATE AS day, value,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                   || lpad(event_id::VARCHAR, 12, '0') AS ord
+        FROM events
+    )
+    SELECT event_type, day,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           ROUND(AVG(value), 6) AS vwap
+    FROM keyed GROUP BY event_type, day
+    """,
+)
+def q_events_ohlc(spark, sf_dir):
+    """OHLC bar aggregation — the canonical time-series downsample: per
+    (event_type, day), the first (open) and last (close) value in
+    (ts, event_id) order plus high/low/volume/mean. open/close use
+    min_by/max_by over a zero-padded ``epoch_us‖event_id`` string key —
+    a totally ordered, engine-portable composite that makes first/last
+    well-defined under timestamp ties without a window pass. Everything is
+    a single hash aggregate: partials carry one candidate row per
+    (bar, side) — O(bars) state, map-side combined, no sort and no
+    shuffle of raw ticks beyond the one groupBy exchange."""
+    ev = T(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            r6(F.avg("value")).alias("vwap"),
+        )
+    )
+
+
+@query(
+    "q_events_twa",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value,
+               epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS time_weighted_avg,
+           ROUND(SUM(dur_us) / 1000000.0 / COUNT(*), 6) AS avg_interval_s
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_twa(spark, sf_dir):
+    """Time-weighted average — the TWAP/monitoring-metric semantics where a
+    value holds until the next observation of the same series: weight each
+    event's value by the microseconds until the series' next event (last
+    event carries no weight) and divide weighted by total duration.
+    Durations come from one lead() window keyed exactly like every other
+    per-series pass (partition event_type, order ts‖event_id), so at scale
+    this shares the series shuffle with the lag/gap family; the aggregate
+    itself is summation-form. The ratio's cross-engine FP noise is ~1e-15
+    relative — far inside round-6."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        r6(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")
+        ).alias("time_weighted_avg"),
+        r6(F.sum("dur_us") / 1000000.0 / F.count(F.lit(1))).alias(
+            "avg_interval_s"
+        ),
+    )

@@ -373,3 +373,66 @@ def q_win_range_time(spark, sf_dir):
         F.expr(f"count(*) {frame}").alias("n_10min"),
         r6(F.expr(f"sum(value) {frame}")).alias("sum_10min"),
     )
+
+
+@query(
+    "q_part_skyline",
+    oracle="""
+    WITH per_price AS (
+        SELECT p_retailprice AS price, MAX(p_size) AS best_size
+        FROM part GROUP BY p_retailprice
+    ),
+    frontier AS (
+        SELECT price, best_size,
+               MAX(best_size) OVER (ORDER BY price
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS best_cheaper
+        FROM per_price
+    ),
+    sky AS (
+        SELECT price, best_size FROM frontier
+        WHERE best_cheaper IS NULL OR best_size > best_cheaper
+    )
+    SELECT p.p_partkey, ROUND(p.p_retailprice, 6) AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p JOIN sky s
+      ON p.p_retailprice = s.price AND p.p_size = s.best_size
+    """,
+)
+def q_part_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) operator: parts not strictly dominated on
+    (minimize p_retailprice, maximize p_size). Computed without the naive
+    O(n²) dominance self-join: collapse to the max size per distinct price
+    (same-price smaller parts are dominated), then a single running-max
+    window ordered by price — a row survives iff its size beats every
+    strictly-cheaper price's best. Equal (price, size) duplicates are
+    mutually non-dominating and all kept. At 100 TB the same plan
+    parallelizes by the standard skyline identity
+    skyline(S) = skyline(∪ᵢ skyline(Sᵢ)): per-partition local frontiers
+    shrink the window input to O(frontier) rows."""
+    part = T(spark, sf_dir, "part")
+    per_price = part.groupBy(
+        F.col("p_retailprice").alias("price")
+    ).agg(F.max("p_size").alias("best_size"))
+    w = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        per_price.withColumn(
+            "best_cheaper", F.max("best_size").over(w)
+        )
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_size") > F.col("best_cheaper"))
+        )
+        .select("price", "best_size")
+    )
+    return part.join(
+        F.broadcast(sky),
+        (F.col("p_retailprice") == F.col("price"))
+        & (F.col("p_size") == F.col("best_size")),
+    ).select(
+        "p_partkey",
+        r6("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )

@@ -301,3 +301,136 @@ def test_hll_small_range_corrected_estimate_close(spark):
     # corrected estimate should land within the sketch's error envelope
     # (1.04/sqrt(64) ≈ 13% standard error; allow 3 sigma)
     assert abs(r["rel_err"]) < 0.4
+
+
+def test_adaboost_reweighting_balances(spark):
+    r = QUERIES["q_ml_adaboost_stump"](spark, SF_DIR).collect()[0]
+    assert 0.0 < r["eps"] < 1.0
+    # AdaBoost identity: after the alpha-step, correct and wrong mass both
+    # equal sqrt(eps*(1-eps))
+    assert abs(r["z_correct"] - r["z_wrong"]) < 2e-6
+    expected = (r["eps"] * (1 - r["eps"])) ** 0.5
+    assert abs(r["z_correct"] - expected) < 2e-6
+
+
+def test_svm_step_matches_perceptron_direction(spark):
+    # both are summation-form updates over (1, value/100) with the same
+    # labels; the SVM-at-w0 gradient is the full-batch mean while the
+    # perceptron only sums violators — signs of the bias component must
+    # agree with the class imbalance (purchase is a minority class)
+    svm = QUERIES["q_ml_svm_step"](spark, SF_DIR).collect()[0]
+    assert svm["grad_0"] > 0  # minority positive class → avg(y) < 0
+    assert svm["w0_next"] == -round(0.1 * svm["grad_0"] / 0.1 * 0.1, 6)
+
+
+def test_itemcf_cosine_in_unit_interval(spark):
+    rows = QUERIES["q_ml_itemcf"](spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert 0.0 <= r["cosine"] <= 1.0
+        assert r["n_users"] >= 1
+
+
+def test_concurrency_bounded_by_type_counts(spark):
+    counts = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in QUERIES["q_events_concurrency"](spark, SF_DIR).collect():
+        assert 1 <= r["max_concurrent"] <= counts[r["event_type"]]
+
+
+def test_trigram_total_matches_sequence_lengths(spark):
+    # sum over all trigram counts (not just top-10) must equal
+    # sum(len(seq)-2) over users with >=3 events
+    per_user = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .agg(F.sum(F.col("n") - 2).alias("total"))
+        .collect()[0]["total"]
+    )
+    top10 = QUERIES["q_events_trigrams"](spark, SF_DIR).collect()
+    assert sum(r["n"] for r in top10) <= per_user
+    assert len(top10) == 10
+
+
+def test_merge_upsert_partitions_all_users(spark):
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["q_events_merge_upsert"](spark, SF_DIR).collect()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert {r["action"] for r in rows} <= {"inserted", "updated", "retained"}
+
+
+def test_kmv_estimate_within_sketch_error(spark):
+    r = QUERIES["q_sketch_kmv"](spark, SF_DIR).collect()[0]
+    # KMV standard error is ~1/sqrt(k-2) ≈ 12.7% at k=64; allow 4 sigma
+    assert r["rel_error"] < 0.51
+    assert r["n_true"] >= 64  # estimator precondition: k-th minimum exists
+
+
+def test_ohlc_bars_internally_ordered(spark):
+    for r in QUERIES["q_events_ohlc"](spark, SF_DIR).collect():
+        assert r["low"] <= min(r["open"], r["close"])
+        assert r["high"] >= max(r["open"], r["close"])
+        assert r["low"] <= r["vwap"] <= r["high"]
+        assert r["volume"] >= 1
+
+
+def test_twa_between_min_and_max(spark):
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in QUERIES["q_events_twa"](spark, SF_DIR).collect():
+        lo, hi = bounds[r["event_type"]]
+        assert lo <= r["time_weighted_avg"] <= hi
+        assert r["avg_interval_s"] > 0
+
+
+def test_profile_distinct_bounded_by_rows(spark):
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    rows = QUERIES["q_profile_columns"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_null"] == 0
+        assert 1 <= r["n_distinct"] <= n
+        assert r["range_v"] == r["max_v"] - r["min_v"]
+        assert r["range_v"] >= 0
+
+
+def test_skyline_is_mutually_nondominating(spark):
+    rows = QUERIES["q_part_skyline"](spark, SF_DIR).collect()
+    assert rows
+    pts = [(r["price"], r["size"]) for r in rows]
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i == j:
+                continue
+            # strict dominance: cheaper-or-equal AND bigger-or-equal,
+            # strictly better in at least one
+            assert not (
+                pb <= pa and sb >= sa and (pb < pa or sb > sa)
+            ), f"{(pb, sb)} dominates {(pa, sa)}"
+
+
+def test_rouge_pairs_consistent(spark):
+    rows = QUERIES["q_text_rouge1"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["overlap"] <= min(r["n_ref"], r["n_cand"])
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["f1"] <= max(r["precision"], r["recall"]) + 1e-9

@@ -239,3 +239,48 @@ def test_runtime_bloom_filter_prunes_fact_probe(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_ohlc_single_hash_aggregate_no_window(spark):
+    # min_by/max_by keep open/close inside ONE hash aggregate — no sort,
+    # no window exchange beyond the groupBy shuffle
+    df = QUERIES["q_events_ohlc"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial→final agg + nothing else
+
+
+def test_concurrency_one_shuffle_per_sweep(spark):
+    # the sweep-line is union → one window on event_type → agg; the union
+    # side stays partition-local (no extra exchange for unionByName)
+    df = QUERIES["q_events_concurrency"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_skyline_broadcasts_frontier(spark):
+    # the frontier is O(skyline) rows — the join back to part must be
+    # broadcast, never a shuffle of the fact side
+    df = QUERIES["q_part_skyline"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_profiler_single_scan(spark):
+    # stack() melts 4 columns in one pass: exactly one parquet scan
+    df = QUERIES["q_profile_columns"](spark, SF_DIR)
+    plan = explain_str(df)
+    # one file-index location → the melt reads lineitem exactly once
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_itemcf_norms_broadcast(spark):
+    df = QUERIES["q_ml_itemcf"](spark, SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_kmv_topk_take_ordered(spark):
+    # the k smallest hashes must plan as per-partition top-k heaps
+    # (TakeOrderedAndProject), never a global sort of all distinct keys
+    df = QUERIES["q_sketch_kmv"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")

@@ -279,3 +279,66 @@ def q_stream_trending(spark, sf_dir):
         hourly.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "q_stream_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, AVG(value) AS m
+        FROM events GROUP BY event_type, ts::DATE
+    ),
+    idx AS (
+        SELECT event_type, day, m,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           ROUND(SUM(CASE WHEN t = 1 THEN POW(0.7, n - 1) * m
+                          ELSE 0.3 * POW(0.7, n - t) * m END), 6) AS ewma,
+           ROUND(MAX(CASE WHEN t = n THEN m END), 6) AS last_daily_mean
+    FROM idx GROUP BY event_type
+    """,
+)
+def q_stream_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (α = 0.3) of each event type's
+    daily-mean series, evaluated at the final day. The recursion
+    s_t = α·x_t + (1−α)·s_{t−1} telescopes to the closed form
+    s_N = (1−α)^{N−1}·x_1 + Σ_{t>1} α(1−α)^{N−t}·x_t — a weighted SUM, so
+    the 'stateful' smoother becomes one stateless aggregate over the tiny
+    (type, day) frame: no sequential scan, no UDF, and at 100 TB the only
+    fact-table work is the daily partial-mean shuffle. pow() feeds a
+    round-6 output of O(100) magnitude — far inside cross-engine libm
+    noise. The live-streaming twin would carry s_t as
+    applyInPandasWithState state; the batch closed form is the oracle for
+    it."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("m"))
+    wp = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "m",
+        F.row_number().over(wp.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    alpha = 0.3
+    w_first = F.pow(F.lit(1 - alpha), F.col("n") - 1) * F.col("m")
+    w_rest = (
+        F.lit(alpha)
+        * F.pow(F.lit(1 - alpha), F.col("n") - F.col("t"))
+        * F.col("m")
+    )
+    return idx.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        r6(
+            F.sum(F.when(F.col("t") == 1, w_first).otherwise(w_rest))
+        ).alias("ewma"),
+        r6(
+            F.max(F.when(F.col("t") == F.col("n"), F.col("m")))
+        ).alias("last_daily_mean"),
+    )

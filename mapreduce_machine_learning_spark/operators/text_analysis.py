@@ -1126,3 +1126,62 @@ def q_text_rouge1(spark, sf_dir):
             "f1"
         ),
     )
+
+
+def _registered_oracle(name: str) -> str:
+    # compose an audit oracle out of already-registered oracle SQL so the
+    # two sides can never drift apart (ml.py loads before this module)
+    from mapreduce_machine_learning_spark.registry import _ORACLES
+
+    return _ORACLES[name]
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH exact AS ({_registered_oracle("q_ml_knn")}),
+         ivf AS ({_registered_oracle("q_ann_ivf")}),
+         lsh AS ({_registered_oracle("q_ann_lsh")})
+    SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 6) AS recall
+    FROM ivf JOIN exact USING (vec_id)
+    UNION ALL
+    SELECT 'lsh', CAST(5 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           ROUND(COUNT(*) / 5.0, 6)
+    FROM lsh JOIN exact USING (vec_id)
+    """,
+)
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit: recall of the two approximate search paths
+    against the exact brute-force top-10 (q_ml_knn) for the same query
+    vector — recall@10 for the IVF path, recall@5 for the LSH-bucket path.
+    Composes the three REGISTERED queries on both engines (the oracle SQL
+    splices the registered oracle texts as CTEs), so the audit can never
+    drift from what it audits. This is the measurement loop an ANN index
+    needs at 100 TB: recall tells you whether nprobe / band count is set
+    right before you pay for the full scan."""
+    from mapreduce_machine_learning_spark.operators import ml as _ml
+
+    exact = _ml.q_ml_knn(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("vec_id")
+    lsh = q_ann_lsh(spark, sf_dir).select("vec_id")
+    ivf_hits = ivf.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    lsh_hits = lsh.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    a = ivf_hits.select(
+        F.lit("ivf").alias("method"),
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        r6(F.col("n_hits") / 10.0).alias("recall"),
+    )
+    b = lsh_hits.select(
+        F.lit("lsh").alias("method"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        r6(F.col("n_hits") / 5.0).alias("recall"),
+    )
+    return a.unionByName(b)

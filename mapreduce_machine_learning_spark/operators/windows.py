@@ -436,3 +436,46 @@ def q_part_skyline(spark, sf_dir):
         r6("p_retailprice").alias("price"),
         F.col("p_size").cast("bigint").alias("size"),
     )
+
+
+@query(
+    "q_win_moving_median",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT month, n_orders,
+           ROUND(quantile_cont(rev, 0.5) OVER (
+               ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 0) AS moving_median_rev
+    FROM monthly
+    """,
+)
+def q_win_moving_median(spark, sf_dir):
+    """3-month moving MEDIAN of monthly order revenue — the robust trend
+    smoother (a moving mean chases outlier months; the median does not).
+    Spark's `percentile` aggregate runs as a window function with linear
+    interpolation, matching DuckDB's quantile_cont: a full 3-row frame
+    picks the middle element exactly, the 1–2-row warm-up frames
+    interpolate identically. The heavy lifting is the monthly pre-
+    aggregate (one fact shuffle to O(months) rows); the window then costs
+    nothing. Median rounded to integer (r0): monthly sums are ~1e8, where
+    cross-engine FP noise exceeds the round-6 grid but is ~1e-5 of r0's."""
+    o = T(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 0).alias(
+            "moving_median_rev"
+        ),
+    )

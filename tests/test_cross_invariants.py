@@ -434,3 +434,41 @@ def test_rouge_pairs_consistent(spark):
         assert 0.0 <= r["precision"] <= 1.0
         assert 0.0 <= r["recall"] <= 1.0
         assert r["f1"] <= max(r["precision"], r["recall"]) + 1e-9
+
+
+def test_ann_recall_consistent_with_components(spark):
+    rows = {r["method"]: r for r in QUERIES["q_ann_recall"](spark, SF_DIR).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for method, r in rows.items():
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert abs(r["recall"] - r["n_hits"] / r["k"]) < 1e-9
+    # recompute the ivf hit count from the two component queries directly
+    exact = {r["vec_id"] for r in QUERIES["q_ml_knn"](spark, SF_DIR).collect()}
+    ivf = {r["vec_id"] for r in QUERIES["q_ann_ivf"](spark, SF_DIR).collect()}
+    assert rows["ivf"]["n_hits"] == len(exact & ivf)
+
+
+def test_ewma_within_daily_mean_range(spark):
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("m"))
+        .groupBy("event_type")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .collect()
+    )
+    bounds = {r["event_type"]: (r["lo"], r["hi"]) for r in daily}
+    for r in QUERIES["q_stream_ewma"](spark, SF_DIR).collect():
+        lo, hi = bounds[r["event_type"]]
+        # convex combination of daily means stays inside their range
+        assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+        assert lo - 1e-6 <= r["last_daily_mean"] <= hi + 1e-6
+
+
+def test_moving_median_within_monthly_range(spark):
+    rows = QUERIES["q_win_moving_median"](spark, SF_DIR).collect()
+    assert rows
+    n_orders_total = sum(r["n_orders"] for r in rows)
+    assert n_orders_total == load_table(spark, SF_DIR, "orders").count()
+    meds = [r["moving_median_rev"] for r in rows]
+    assert all(m > 0 for m in meds)

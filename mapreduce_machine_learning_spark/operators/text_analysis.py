@@ -1185,3 +1185,50 @@ def q_ann_recall(spark, sf_dir):
         r6(F.col("n_hits") / 5.0).alias("recall"),
     )
     return a.unionByName(b)
+
+
+@query(
+    "q_text_bpe_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    pairs AS (
+        SELECT substr(tok, i, 2) AS pair
+        FROM toks, UNNEST(generate_series(1, length(tok) - 1)) AS g(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 10
+    """,
+)
+def q_text_bpe_pairs(spark, sf_dir):
+    """One BPE (byte-pair-encoding) statistics round at the character
+    level: count every adjacent symbol pair inside every token occurrence
+    across the corpus and rank the top merge candidates — exactly the
+    argmax a BPE tokenizer trainer takes per merge iteration (Sennrich et
+    al. 2016). The expansion is explode(split) → explode(sequence) —
+    all JVM generators — and the count is one map-side-combined groupBy on
+    a key space bounded by |alphabet|², so at 100 TB the shuffle carries
+    at most a few thousand partial counts per partition regardless of
+    corpus size. A full trainer = this query in the iterative-driver loop
+    (ml_iterative pattern), re-tokenizing with the merged symbol each
+    round."""
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("tok") - 1)
+            ).alias("i"),
+            "tok",
+        )
+        .select(F.expr("substr(tok, i, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(10)
+    )

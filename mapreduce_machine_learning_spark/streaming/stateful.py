@@ -76,3 +76,42 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = "event_type string, day_us bigint, ewma double"
+EWMA_STATE_SCHEMA = "s double"
+
+
+def ewma_stateful(daily: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming EWMA over a per-key daily series: state is ONE double per
+    key (the running smoothed value s), updated s ← α·x + (1−α)·s as each
+    day's mean arrives, emitting the post-update EWMA per day. This is the
+    live twin of the batch closed form in
+    operators/streaming_batch.q_stream_ewma — the telescoped weighted sum
+    and this recursion are algebraically identical, and the equivalence
+    test pins them to 1e-9. Rows within a microbatch are applied in day
+    order; day ordering ACROSS batches is the caller's replay contract
+    (time-ranged file staging in the test, ordered Kafka partitions in
+    production). O(1) state per key — the smallest possible stateful
+    operator, and the shape (tiny numeric state, order-sensitive update)
+    that Spark's built-in windowed aggs cannot express."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("day_us")
+        s = state.get[0] if state.exists else None
+        out = []
+        for day_us, m in zip(rows["day_us"], rows["m"]):
+            s = float(m) if s is None else alpha * float(m) + (1 - alpha) * s
+            out.append((key[0], int(day_us), s))
+        state.update((s,))
+        yield pd.DataFrame(out, columns=["event_type", "day_us", "ewma"])
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

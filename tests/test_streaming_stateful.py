@@ -83,3 +83,66 @@ def test_stateful_sessions_match_batch(spark):
     expected = sorted(r for r in batch if r != last_per_user[r[0]])
     assert got == expected
     assert len(got) > 0
+
+
+def test_stateful_ewma_matches_batch_closed_form(spark):
+    """The O(1)-state streaming EWMA must reproduce the batch telescoped
+    closed form (q_stream_ewma) exactly: stage the daily-mean series as 3
+    day-ranged files (days strictly ordered across batches — the replay
+    contract), stream them one file per microbatch, and compare each
+    type's final emitted EWMA."""
+    from mapreduce_machine_learning_spark.registry import all_queries
+    from mapreduce_machine_learning_spark.streaming.stateful import ewma_stateful
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("m"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+            "m",
+        )
+    )
+    days = sorted(r["day_us"] for r in daily.select("day_us").distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    stage = tempfile.mkdtemp(prefix="ewma_ranged_")
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = daily
+        if lo is not None:
+            part = part.filter(F.col("day_us") > lo)
+        if hi is not None:
+            part = part.filter(F.col("day_us") <= hi)
+        part.coalesce(1).write.parquet(os.path.join(stage, f"chunk_{i}"))
+        lo = hi
+        time.sleep(1.1)  # file-source orders batches by modification time
+
+    stream = (
+        spark.readStream.schema("event_type string, day_us long, m double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    q = (
+        ewma_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_ewma")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ewma_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("stateful_ewma").collect()
+    assert rows
+    final = {}
+    for r in rows:
+        if r["event_type"] not in final or r["day_us"] > final[r["event_type"]][0]:
+            final[r["event_type"]] = (r["day_us"], r["ewma"])
+    batch = {
+        r["event_type"]: r["ewma"]
+        for r in all_queries()["q_stream_ewma"](spark, SF_DIR).collect()
+    }
+    assert set(final) == set(batch)
+    for et, (_, s) in final.items():
+        assert abs(s - batch[et]) < 1e-6, (et, s, batch[et])

@@ -1391,3 +1391,240 @@ def q_events_twa(spark, sf_dir):
             "avg_interval_s"
         ),
     )
+
+
+@query(
+    "q_events_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', day)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT streak_len, CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY streak_len
+    """,
+)
+def q_events_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks (gaps-and-islands at day grain):
+    collapse each user's activity to distinct days, assign islands by the
+    classic day_number − row_number trick (consecutive days share a
+    constant difference), and histogram the streak lengths. One shuffle on
+    user_id for the distinct+window, then a tiny count-of-counts — the
+    day-grain twin of the 30-minute session windows, and the kernel behind
+    'n-day streak' product metrics. At 100 TB the distinct-day collapse is
+    the big win: the window runs on O(users × active-days), not events."""
+    ev = T(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("streak_len").agg(
+        F.count(F.lit(1)).alias("n_streaks")
+    )
+
+
+@query(
+    "q_events_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, SUM(value) AS v
+        FROM events GROUP BY event_type, ts::DATE
+    ),
+    cumu AS (
+        SELECT event_type, day,
+               SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM daily
+    ),
+    curve AS (
+        SELECT event_type, day, cum,
+               MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM cumu
+    ),
+    dd AS (
+        SELECT event_type, day, ROUND(peak - cum, 6) AS drawdown,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(peak - cum, 6) DESC, day)
+                   AS rn
+        FROM curve
+    )
+    SELECT event_type, day AS worst_day, drawdown AS max_drawdown
+    FROM dd WHERE rn = 1
+    """,
+)
+def q_events_drawdown(spark, sf_dir):
+    """Maximum drawdown of each event type's cumulative daily value curve —
+    the risk metric for any cumulative series (revenue, PnL, error
+    budget): running peak minus current cumulative, maximized over days
+    (ties → earliest day, ranked on the ROUND-6 value so FP noise can't
+    flip the argmax). Both running aggregates share one window spec, so
+    Spark evaluates them in a single Window operator over the tiny
+    (type, day) frame; the fact table is touched once for the daily
+    pre-aggregation."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = daily.select(
+        "event_type",
+        "day",
+        F.sum("v").over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    dd = curve.select(
+        "event_type",
+        "day",
+        F.round(F.col("peak") - F.col("cum"), 6).alias("drawdown"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("drawdown"), "day"
+        )
+    )
+    return (
+        dd.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("worst_day"),
+            F.col("drawdown").alias("max_drawdown"),
+        )
+    )
+
+
+@query(
+    "q_graph_sssp",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    w AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outw AS (SELECT cur, SUM(c) AS tot FROM w GROUP BY cur),
+    e AS (
+        SELECT w.cur, w.nxt, -ln(w.c / outw.tot) AS wgt
+        FROM w JOIN outw USING (cur)
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    d0 AS (
+        SELECT node, CASE WHEN node = 'signup' THEN 0.0 ELSE 1e9 END AS d
+        FROM nodes
+    ),
+    d1 AS (
+        SELECT n.node,
+               LEAST(MIN(d0.d),
+                     COALESCE(MIN(s.d + e.wgt), 1e9)) AS d
+        FROM nodes n
+        JOIN d0 ON d0.node = n.node
+        LEFT JOIN e ON e.nxt = n.node
+        LEFT JOIN d0 s ON s.node = e.cur
+        GROUP BY n.node
+    ),
+    d2 AS (
+        SELECT n.node,
+               LEAST(MIN(d1.d),
+                     COALESCE(MIN(s.d + e.wgt), 1e9)) AS d
+        FROM nodes n
+        JOIN d1 ON d1.node = n.node
+        LEFT JOIN e ON e.nxt = n.node
+        LEFT JOIN d1 s ON s.node = e.cur
+        GROUP BY n.node
+    )
+    SELECT d2.node AS event_type,
+           ROUND(d1.d, 6) AS dist_iter1,
+           ROUND(d2.d, 6) AS dist_iter2
+    FROM d2 JOIN d1 ON d1.node = d2.node
+    """,
+)
+def q_graph_sssp(spark, sf_dir):
+    """Single-source shortest path (two Bellman-Ford relaxation rounds)
+    over the event-type transition graph, edge weight −ln(p) so the
+    shortest path IS the most probable behavioral path from 'signup'.
+    Each relaxation is one join of the frontier against the broadcast
+    edge list + a per-node MIN — the exact message-passing shape of
+    Pregel/GraphX, expressed relationally; the graph (|types|² edges)
+    derives from one lag-window pass over the fact table, the same
+    derivation q_graph_pagerank and q_events_markov share. Unreachable =
+    the 1e9 sentinel on both engines (NULL-vs-infinity semantics differ
+    across engines; a literal does not)."""
+    ev = T(spark, sf_dir, "events")
+    w_lead = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w_lead).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    wt = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    outw = wt.groupBy("cur").agg(F.sum("c").alias("tot"))
+    e = wt.join(outw, "cur").select(
+        "cur", "nxt", (-F.log(F.col("c") / F.col("tot"))).alias("wgt")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    d = nodes.select(
+        "node",
+        F.when(F.col("node") == "signup", 0.0).otherwise(1e9).alias("d"),
+    )
+
+    def relax(dist):
+        relaxed = (
+            dist.alias("s")
+            .join(F.broadcast(e), F.col("s.node") == F.col("cur"))
+            .select(
+                F.col("nxt").alias("node"),
+                (F.col("s.d") + F.col("wgt")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        return (
+            dist.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("d"), F.coalesce(F.col("cand"), F.lit(1e9))
+                ).alias("d"),
+            )
+        )
+
+    d1 = relax(d)
+    d2 = relax(d1)
+    return (
+        d2.alias("b")
+        .join(d1.alias("a"), "node")
+        .select(
+            F.col("node").alias("event_type"),
+            r6(F.col("a.d")).alias("dist_iter1"),
+            r6(F.col("b.d")).alias("dist_iter2"),
+        )
+    )

@@ -479,3 +479,48 @@ def q_win_moving_median(spark, sf_dir):
             "moving_median_rev"
         ),
     )
+
+
+@query(
+    "q_win_share",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               SUM(o_totalprice) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_orders,
+           ROUND(rev, 0) AS revenue,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share
+    FROM seg
+    """,
+)
+def q_win_share(spark, sf_dir):
+    """Ratio-to-report: each market segment's share of total order revenue
+    via an unpartitioned window sum over the pre-aggregated 5-row frame —
+    the percent-of-total idiom. The global window is safe exactly because
+    it runs AFTER the groupBy collapsed the join to O(segments) rows; at
+    100 TB the anti-pattern is windowing the raw fact table, the pattern
+    is aggregate-then-window. Revenue r0 (1e9-scale sum), share r6 (a
+    bounded ratio)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    seg = (
+        c.select("c_custkey", "c_mktsegment")
+        .join(o.select("o_custkey", "o_totalprice"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round("rev", 0).alias("revenue"),
+        r6(F.col("rev") / F.sum("rev").over(w)).alias("share"),
+    )

@@ -472,3 +472,48 @@ def test_moving_median_within_monthly_range(spark):
     assert n_orders_total == load_table(spark, SF_DIR, "orders").count()
     meds = [r["moving_median_rev"] for r in rows]
     assert all(m > 0 for m in meds)
+
+
+def test_streaks_account_all_user_days(spark):
+    n_user_days = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["q_events_streaks"](spark, SF_DIR).collect()
+    # every distinct user-day lives in exactly one streak
+    assert sum(r["streak_len"] * r["n_streaks"] for r in rows) == n_user_days
+    assert all(r["streak_len"] >= 1 for r in rows)
+
+
+def test_drawdown_nonnegative_per_type(spark):
+    rows = QUERIES["q_events_drawdown"](spark, SF_DIR).collect()
+    types = {
+        r["event_type"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == types
+    for r in rows:
+        assert r["max_drawdown"] >= 0.0
+
+
+def test_sssp_monotone_and_consistent_with_markov(spark):
+    rows = QUERIES["q_graph_sssp"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # relaxation can only shrink distances
+        assert r["dist_iter2"] <= r["dist_iter1"] + 1e-9
+        assert r["dist_iter2"] >= 0.0
+        if r["event_type"] == "signup":
+            assert r["dist_iter1"] == 0.0  # source pinned at zero
+
+
+def test_share_sums_to_one(spark):
+    rows = QUERIES["q_win_share"](spark, SF_DIR).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders

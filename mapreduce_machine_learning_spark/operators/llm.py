@@ -1491,3 +1491,58 @@ def q_llm_quantize(spark, sf_dir):
         r6(F.avg("mse") * 1000000.0).alias("avg_mse_x1e6"),
         r6(F.max("mse") * 1000000.0).alias("max_mse_x1e6"),
     )
+
+
+@query(
+    "q_llm_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(
+                   ln((('0x' || substr(md5('ws|' || doc_id), 1, 12))::BIGINT
+                       + 0.5) / 281474976710656.0) / n_chars,
+                   6) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_llm_sample_weighted(spark, sf_dir):
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws a deterministic uniform u from the
+    engine-portable md5 family and competes on key = ln(u)/w with
+    w = n_chars, so longer documents win proportionally more often —
+    the standard trick for quality- or length-weighted corpus sampling.
+    Top-k by key IS the weighted sample, which means the whole operator
+    is one map expression + TakeOrderedAndProject (per-partition k-heaps,
+    merge on the driver) — O(k) state, no shuffle of the corpus, and
+    restart-stable because the randomness is a pure hash of doc_id. Keys
+    are ROUND-6 before ranking (doc_id tie-break) so the selected set
+    cannot flip on last-ULP ln() differences."""
+    d = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(20)
+    )

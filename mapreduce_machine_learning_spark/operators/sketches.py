@@ -465,3 +465,93 @@ def q_sketch_kmv(spark, sf_dir):
             "rel_error"
         ),
     )
+
+
+HIST_BINS = 64
+
+
+@query(
+    "q_sketch_quantile_hist",
+    oracle=f"""
+    WITH ext AS (
+        SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+               COUNT(*)::DOUBLE AS n
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((value - vmin) / (vmax - vmin)
+                                * {HIST_BINS}) AS BIGINT),
+                     {HIST_BINS - 1}) AS bin
+        FROM events, ext
+    ),
+    hist AS (
+        SELECT bin, COUNT(*)::DOUBLE AS c FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM hist
+    ),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99])::DOUBLE AS q),
+    est AS (
+        SELECT q,
+               MIN(bin) AS qbin
+        FROM qs, cum, ext
+        WHERE cum_c >= q * n
+        GROUP BY q
+    )
+    SELECT q,
+           ROUND(vmin + (qbin + 1) * (vmax - vmin) / {HIST_BINS}, 6)
+               AS hist_estimate
+    FROM est, ext
+    """,
+)
+def q_sketch_quantile_hist(spark, sf_dir):
+    """Mergeable equi-width histogram quantile sketch: 64 fixed bins over
+    [min, max] of events.value; quantile estimate = upper edge of the
+    first bin whose cumulative count reaches q·n. The histogram is the
+    canonical mergeable quantile state (per-partition partial counts sum
+    associatively — the same combiner algebra as count-min/HLL/KMV in
+    this module), giving estimates within one bin width with O(bins)
+    state where exact percentile needs a sort. Bin assignment uses
+    identical double arithmetic on both engines, so bins — and therefore
+    the estimate — are deterministic."""
+    ev = T(spark, sf_dir, "events")
+    ext = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    binned = ev.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * HIST_BINS
+            ).cast("bigint"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", F.sum("c").over(wcum).alias("cum_c"))
+    qs = F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    est = (
+        cum.crossJoin(F.broadcast(ext.select("n")))
+        .select("bin", "cum_c", "n")
+        .crossJoin(ext.select(qs))
+        .filter(F.col("cum_c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return est.crossJoin(F.broadcast(ext)).select(
+        "q",
+        r6(
+            F.col("vmin")
+            + (F.col("qbin") + 1)
+            * (F.col("vmax") - F.col("vmin"))
+            / HIST_BINS
+        ).alias("hist_estimate"),
+    )

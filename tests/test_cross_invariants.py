@@ -517,3 +517,43 @@ def test_share_sums_to_one(spark):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     n_orders = load_table(spark, SF_DIR, "orders").count()
     assert sum(r["n_orders"] for r in rows) == n_orders
+
+
+def test_weighted_sample_biased_toward_long_docs(spark):
+    rows = QUERIES["q_llm_sample_weighted"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    keys = [r["es_key"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k < 0 for k in keys)  # ln(u)/w with u in (0,1), w > 0
+    pop_avg = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_avg = sum(r["n_chars"] for r in rows) / len(rows)
+    # length-weighted sampling must overrepresent long documents
+    assert sample_avg > 0.95 * pop_avg
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    ext = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    width = (ext["hi"] - ext["lo"]) / 64
+    exact = {
+        q: ev.agg(F.percentile("value", F.lit(q))).collect()[0][0]
+        for q in (0.5, 0.9, 0.99)
+    }
+    rows = {r["q"]: r["hist_estimate"] for r in
+            QUERIES["q_sketch_quantile_hist"](spark, SF_DIR).collect()}
+    assert set(rows) == {0.5, 0.9, 0.99}
+    prev = None
+    for q in (0.5, 0.9, 0.99):
+        est = rows[q]
+        assert ext["lo"] <= est <= ext["hi"] + 1e-9
+        # upper-edge estimator: exact quantile lies within the chosen bin
+        assert exact[q] <= est <= exact[q] + width + 1e-9
+        if prev is not None:
+            assert est >= prev  # monotone in q
+        prev = est

@@ -1628,3 +1628,49 @@ def q_graph_sssp(spark, sf_dir):
             r6(F.col("b.d")).alias("dist_iter2"),
         )
     )
+
+
+@query(
+    "q_events_kanon",
+    oracle="""
+    WITH quasi AS (
+        SELECT event_type, ts::DATE AS day,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS value_band,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM events GROUP BY event_type, ts::DATE, FLOOR(value / 50.0)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_risky_rows,
+           CAST(MIN(group_size) AS BIGINT) AS k_anonymity
+    FROM quasi
+    """,
+)
+def q_events_kanon(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (event_type, day,
+    50-unit value band): group sizes under k = 5 are re-identification
+    risks, and the dataset's k-anonymity is the minimum group size — the
+    privacy gate a training-data release pipeline runs before shipping.
+    One hash aggregate over the banded key plus a 4-number roll-up; at
+    100 TB the quasi-id key space (types × days × bands) stays tiny, so
+    the shuffle carries partial counts only. Suppression/generalization =
+    re-running with coarser bands, same plan."""
+    ev = T(spark, sf_dir, "events")
+    quasi = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    risky = F.col("group_size") < 5
+    return quasi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("group_size").cast("bigint").alias("k_anonymity"),
+    )

@@ -555,3 +555,126 @@ def q_sketch_quantile_hist(spark, sf_dir):
             / HIST_BINS
         ).alias("hist_estimate"),
     )
+
+
+@query(
+    "q_sketch_kmv_setops",
+    oracle=f"""
+    WITH a_keys AS (
+        SELECT DISTINCT user_id::VARCHAR || '@' || (ts::DATE)::VARCHAR AS k
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    b_keys AS (
+        SELECT DISTINCT user_id::VARCHAR || '@' || (ts::DATE)::VARCHAR AS k
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    ah AS (
+        SELECT ('0x' || substr(md5(k), 1, 12))::BIGINT
+                   / 281474976710656.0 AS h,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5(k), 1, 12))::BIGINT) AS rn
+        FROM a_keys
+    ),
+    bh AS (
+        SELECT ('0x' || substr(md5(k), 1, 12))::BIGINT
+                   / 281474976710656.0 AS h,
+               ROW_NUMBER() OVER (
+                   ORDER BY ('0x' || substr(md5(k), 1, 12))::BIGINT) AS rn
+        FROM b_keys
+    ),
+    ka AS (SELECT h FROM ah WHERE rn <= {KMV_K}),
+    kb AS (SELECT h FROM bh WHERE rn <= {KMV_K}),
+    un AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+    ),
+    ku AS (SELECT h FROM un WHERE rn <= {KMV_K}),
+    est AS (
+        SELECT ({KMV_K} - 1) / (SELECT MAX(h) FROM ku) AS union_est,
+               (SELECT COUNT(*) FROM ku
+                WHERE h IN (SELECT h FROM ka)
+                  AND h IN (SELECT h FROM kb))
+                   / CAST({KMV_K} AS DOUBLE) AS jaccard_est
+    )
+    SELECT CAST((SELECT COUNT(*) FROM
+                 (SELECT k FROM a_keys UNION SELECT k FROM b_keys))
+                AS BIGINT) AS true_union,
+           CAST((SELECT COUNT(*) FROM a_keys
+                 WHERE k IN (SELECT k FROM b_keys)) AS BIGINT)
+               AS true_intersection,
+           ROUND(union_est, 6) AS union_est,
+           ROUND(jaccard_est, 6) AS jaccard_est,
+           ROUND(union_est * jaccard_est, 6) AS intersection_est
+    FROM est
+    """,
+)
+def q_sketch_kmv_setops(spark, sf_dir):
+    """KMV sketch ALGEBRA — the property that makes bottom-k sketches the
+    distributed tool for set cardinality: the union sketch is just the k
+    smallest of the two sketches' union (associative, computable from
+    sketches alone), and Jaccard ≈ |kmin(A∪B) ∩ kmin(A) ∩ kmin(B)| / k
+    (Broder-style min-wise estimate), giving
+    |A∩B| ≈ Jaccard · |A∪B| without ever touching raw keys again. Sets =
+    active user-days of the first vs second half-month. At 100 TB each
+    side's sketch is an O(k) TakeOrdered; every set operation thereafter
+    is driver-side arithmetic on 2k doubles."""
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def keys(df):
+        return df.select(
+            F.concat_ws(
+                "@",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("k")
+        ).distinct()
+
+    def sketch(kdf):
+        return (
+            kdf.select(
+                (
+                    F.conv(F.substring(F.md5("k"), 1, 12), 16, 10)
+                    .cast("long")
+                    / F.lit(281474976710656.0)
+                ).alias("h")
+            )
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    a_keys = keys(ev.filter(F.col("ts") < cutoff))
+    b_keys = keys(ev.filter(F.col("ts") >= cutoff))
+    ka = sketch(a_keys)
+    kb = sketch(b_keys)
+    ku = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
+    )
+    union_kth = ku.agg(F.max("h").alias("hk"))
+    inter_cnt = (
+        ku.join(ka.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"))
+        .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_common"))
+    )
+    true_union = a_keys.unionByName(b_keys).distinct().agg(
+        F.count(F.lit(1)).alias("true_union")
+    )
+    true_inter = a_keys.join(b_keys, "k").agg(
+        F.count(F.lit(1)).alias("true_intersection")
+    )
+    union_est = F.lit(KMV_K - 1) / F.col("hk")
+    jacc = F.col("n_common") / KMV_K
+    return (
+        union_kth.crossJoin(inter_cnt)
+        .crossJoin(true_union)
+        .crossJoin(true_inter)
+        .select(
+            F.col("true_union").cast("bigint").alias("true_union"),
+            F.col("true_intersection")
+            .cast("bigint")
+            .alias("true_intersection"),
+            r6(union_est).alias("union_est"),
+            r6(jacc).alias("jaccard_est"),
+            r6(union_est * jacc).alias("intersection_est"),
+        )
+    )

@@ -557,3 +557,24 @@ def test_hist_quantile_within_one_bin_of_exact(spark):
         if prev is not None:
             assert est >= prev  # monotone in q
         prev = est
+
+
+def test_kanon_groups_account_all_events(spark):
+    r = QUERIES["q_events_kanon"](spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_risky_groups"] <= r["n_groups"]
+    assert r["n_risky_rows"] < 5 * max(r["n_risky_groups"], 1) or (
+        r["n_risky_groups"] == 0 and r["n_risky_rows"] == 0
+    )
+    assert r["k_anonymity"] >= 1
+
+
+def test_kmv_setops_algebra(spark):
+    r = QUERIES["q_sketch_kmv_setops"](spark, SF_DIR).collect()[0]
+    # inclusion-exclusion sanity on the true values
+    assert r["true_intersection"] <= r["true_union"]
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    # sketch estimates within ~4x the k=64 standard error (12.7%)
+    assert abs(r["union_est"] - r["true_union"]) / r["true_union"] < 0.51
+    assert abs(r["intersection_est"] - r["true_intersection"]) <= max(
+        0.6 * r["true_union"], 10
+    )

@@ -86,6 +86,42 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"user_id skew: {skew['n_keys']} keys, top decile carries "
         f"{skew['top_decile_share']:.1%} of events"
     )
+
+    print("peak 30-min concurrency per event type:")
+    for r in qs["q_events_concurrency"](spark, sf_dir).orderBy(
+        "event_type"
+    ).collect():
+        print(f"  {r['event_type']:9s} {r['max_concurrent']}")
+
+    print("top behavioral trigrams (event-type initials):")
+    for r in qs["q_events_trigrams"](spark, sf_dir).limit(3).collect():
+        print(f"  {r['trigram']}  x{r['n']}")
+
+    streaks = qs["q_events_streaks"](spark, sf_dir).collect()
+    longest = max(r["streak_len"] for r in streaks)
+    print(f"longest consecutive-day activity streak: {longest} days")
+
+    print("worst cumulative-value drawdown per type:")
+    for r in qs["q_events_drawdown"](spark, sf_dir).orderBy(
+        "event_type"
+    ).limit(3).collect():
+        print(
+            f"  {r['event_type']:9s} {r['max_drawdown']:.1f} "
+            f"on {r['worst_day']}"
+        )
+
+    print("most probable path from signup (SSSP, -ln p weights):")
+    for r in qs["q_graph_sssp"](spark, sf_dir).orderBy(
+        "dist_iter2"
+    ).collect():
+        print(f"  {r['event_type']:9s} dist={r['dist_iter2']}")
+
+    merge = qs["q_events_merge_upsert"](spark, sf_dir).collect()
+    parts = ", ".join(
+        f"{r['action']}={r['n_users']}" for r in sorted(
+            merge, key=lambda r: r["action"])
+    )
+    print(f"mid-month MERGE classification: {parts}")
     spark.stop()
 
 

@@ -301,6 +301,16 @@ def _neardup_pairs_plan(spark, sf_dir):
     return (
         cand.join(F.broadcast(ta), F.col("doc_a") == F.col("a_id"))
         .join(F.broadcast(tb), F.col("doc_b") == F.col("b_id"))
+        # length prefilter — LOSSLESS for the ≥0.5 threshold: Jaccard is
+        # maximized at |A∩B| = min(|A|,|B|), so jac ≥ 0.5 requires
+        # 3·min ≥ |A|+|B|. Two double compares prune a candidate before the
+        # O(|A|+|B|) array_intersect ever runs — the classic positional/
+        # length filter from set-similarity-join literature (PPJoin family),
+        # and the reason the verification stage scales with the SURVIVING
+        # pair count, not the raw LSH candidate count.
+        .filter(
+            3.0 * F.least("a_n", "b_n") >= F.col("a_n") + F.col("b_n")
+        )
         .select("doc_a", "doc_b", "a_n", "b_n", n_inter.alias("n_inter"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", r6(jac).alias("jaccard"))

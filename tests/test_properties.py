@@ -133,3 +133,134 @@ def test_minhash_signature_monotone_under_token_removal(spark, tokens, drop):
     full, sub = sigs[0], sigs[1]
     for i in range(len(SEEDS)):
         assert sub[f"sig{i}"] >= full[f"sig{i}"]
+
+
+@given(data=rows)
+@SETTINGS
+def test_skyline_window_equals_bruteforce(spark, data):
+    """The per-price-collapse + running-max skyline must equal the O(n²)
+    dominance definition on arbitrary (price, size) point sets."""
+    from pyspark.sql import Window
+
+    pts = [(float(k), v) for k, v in data]
+    df = spark.createDataFrame(pts, "price double, size int")
+    per_price = df.groupBy("price").agg(F.max("size").alias("best"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        per_price.withColumn("cheaper_best", F.max("best").over(w))
+        .filter(
+            F.col("cheaper_best").isNull()
+            | (F.col("best") > F.col("cheaper_best"))
+        )
+        .select("price", "best")
+        .collect()
+    )
+    got = {(r["price"], r["best"]) for r in sky}
+    expected = {
+        (p, s)
+        for (p, s) in pts
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for (q, t) in pts
+        )
+    }
+    assert got == expected
+
+
+@given(
+    starts=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=25
+    ),
+    dur=st.integers(min_value=1, max_value=50),
+)
+@SETTINGS
+def test_concurrency_sweep_equals_bruteforce(spark, starts, dur):
+    """±1 sweep-line max concurrency == max over open points of the count
+    of half-open intervals [s, s+dur) containing that point."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(s,) for s in starts], "s bigint")
+    opens = df.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+    closes = df.select((F.col("s") + dur).alias("t"), F.lit(-1).alias("d"))
+    w = Window.orderBy("t", "d")
+    got = (
+        opens.unionByName(closes)
+        .select(F.sum("d").over(w).alias("live"))
+        .agg(F.max("live"))
+        .collect()[0][0]
+    )
+    expected = max(
+        sum(1 for s2 in starts if s2 <= s < s2 + dur) for s in starts
+    )
+    assert got == expected
+
+
+@given(
+    day_sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_streaks_islands_equal_bruteforce(spark, day_sets):
+    """day−row_number islands must reproduce the plain-python consecutive
+    run lengths for every user's day set."""
+    from pyspark.sql import Window
+
+    rows_in = [(u, d) for u, days in enumerate(day_sets) for d in days]
+    df = spark.createDataFrame(rows_in, "u int, d int")
+    w = Window.partitionBy("u").orderBy("d")
+    got = sorted(
+        (r["u"], r["n"])
+        for r in df.select(
+            "u", (F.col("d") - F.row_number().over(w)).alias("island")
+        )
+        .groupBy("u", "island")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = []
+    for u, days in enumerate(day_sets):
+        ds = sorted(days)
+        run = 1
+        for prev, cur in zip(ds, ds[1:]):
+            if cur == prev + 1:
+                run += 1
+            else:
+                expected.append((u, run))
+                run = 1
+        expected.append((u, run))
+    assert got == sorted(expected)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=25
+    )
+)
+@SETTINGS
+def test_drawdown_window_equals_bruteforce(spark, vals):
+    """running-peak-minus-cum drawdown == python running max difference."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i int, v double"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    curve = df.select("i", F.sum("v").over(w).alias("cum"))
+    got_dd = (
+        curve.withColumn(
+            "peak",
+            F.max("cum").over(
+                Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .agg(F.max(F.col("peak") - F.col("cum")))
+        .collect()[0][0]
+    )
+    cum, peak, dd = 0.0, float("-inf"), 0.0
+    for v in vals:
+        cum += v
+        peak = max(peak, cum)
+        dd = max(dd, peak - cum)
+    assert abs(got_dd - dd) < 1e-9

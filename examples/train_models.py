@@ -49,6 +49,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     mli.save_model(nb, path)
     nb2 = mli.load_model(path)
     print(f"Gaussian NB: {len(nb2)} classes persisted to {path}")
+
+    merges = mli.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=3)
+    print(f"BPE merges: {['+'.join(m) for m in merges]}")
     spark.stop()
 
 

@@ -448,3 +448,76 @@ def pca_power(
         w = cov @ v
         v = w / np.linalg.norm(w)
     return v, float(v @ cov @ v), cov
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 5):
+    """Train byte-pair-encoding merges on a corpus (Sennrich et al. 2016):
+    each round counts adjacent symbol pairs across every token occurrence
+    (the q_text_bpe_pairs kernel), takes the argmax merge (count DESC,
+    pair ASC — a deterministic tie rule), rewrites the corpus with the
+    merged symbol, and repeats. Returns the ordered merge list.
+
+    The driver-loop shape is the reference's iterative-algorithm pattern:
+    per round one map-side-combined pair count (shuffle carries ≤
+    |alphabet|² partial counts), one driver argmax on a tiny frame, and
+    one Arrow-batched rewrite. The rewrite is a pandas UDF by design —
+    greedy left-to-right pair merging is sequential within a token, the
+    canonical "custom operator Spark lacks" case (SURVEY §2.10) — but the
+    state it carries is one token occurrence, so it stays embarrassingly
+    parallel at any corpus size. localCheckpoint() per round truncates
+    the lineage exactly like the other iterative drivers."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cur = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(F.split("tok", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(syms[i-1], ' ', syms[i]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .first()
+        )
+        if top is None:
+            break
+        a, b = top["pair"].split(" ")
+        merges.append((a, b))
+
+        # explicit SCALAR type: the module's `from __future__ import
+        # annotations` stringifies hints, which the UDF hint-resolver
+        # cannot evaluate against a function-local pandas import
+        @pandas_udf("array<string>", PandasUDFType.SCALAR)
+        def _merge(col: "pd.Series") -> "pd.Series":
+            out = []
+            for arr in col:
+                res, i, n = [], 0, len(arr)
+                while i < n:
+                    if i + 1 < n and arr[i] == a and arr[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(arr[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        cur = (
+            cur.select(_merge("syms").alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .localCheckpoint()
+        )
+    return merges

@@ -259,3 +259,49 @@ def test_logreg_irls_vs_numpy(spark, events_pdf):
 
     w_gd = mli.logreg_gd(df, ["x"], "y", lr=0.5, iters=4)
     assert loss(w) <= loss(np.asarray(w_gd)) + 1e-12
+
+
+def test_bpe_train_matches_python(spark):
+    """The distributed BPE trainer must reproduce a sequential pure-python
+    BPE (same greedy left-to-right merge, same count-DESC/pair-ASC argmax)
+    on the same corpus."""
+    from collections import Counter
+
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.ml_iterative import bpe_train
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = bpe_train(docs, n_merges=5)
+
+    toks = [
+        list(t)
+        for r in docs.select("text").collect()
+        for t in r["text"].split(" ")
+        if len(t) >= 2
+    ]
+    expected = []
+    for _ in range(5):
+        counts = Counter()
+        for arr in toks:
+            for x, y in zip(arr, arr[1:]):
+                counts[(x, y)] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append(best)
+        a, b = best
+        new_toks = []
+        for arr in toks:
+            res, i = [], 0
+            while i < len(arr):
+                if i + 1 < len(arr) and arr[i] == a and arr[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(arr[i])
+                    i += 1
+            if len(res) >= 2:
+                new_toks.append(res)
+        toks = new_toks
+    assert got == expected
+    assert len(got) == 5

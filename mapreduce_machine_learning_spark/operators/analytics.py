@@ -1674,3 +1674,83 @@ def q_events_kanon(spark, sf_dir):
         .alias("n_risky_rows"),
         F.min("group_size").cast("bigint").alias("k_anonymity"),
     )
+
+
+@query(
+    "q_events_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY event_type, ts::DATE
+    ),
+    lags AS (SELECT UNNEST([1, 2, 3]) AS lag),
+    paired AS (
+        SELECT d.event_type, l.lag, d.x AS y,
+               LAG(d.x, l.lag) OVER (PARTITION BY d.event_type, l.lag
+                                     ORDER BY d.day) AS x
+        FROM daily d CROSS JOIN lags l
+    ),
+    s AS (
+        SELECT event_type, lag, COUNT(*)::DOUBLE AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+               SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM paired WHERE x IS NOT NULL
+        GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS autocorr
+    FROM s
+    """,
+)
+def q_events_autocorr(spark, sf_dir):
+    """Autocorrelation of each event type's daily-count series at lags
+    1–3 — the stationarity probe that tells a forecasting pipeline
+    whether yesterday predicts today (and the companion to the EWMA /
+    trend / changepoint family, all sharing the same (type, day)
+    pre-aggregate). Pearson r over (xₜ, xₜ₋ₗ) pairs in summation form:
+    after the one fact-table shuffle to daily counts, each lag is a
+    window shift plus six partial sums — O(types × lags) output rows,
+    O(days) window state."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+
+    def shifted(lag_k: int):
+        # Spark requires a foldable lag offset (DuckDB accepts a column),
+        # so the three lags are three literal-offset branches of one union
+        # — same single (type, day) shuffle reused by every branch
+        return daily.select(
+            "event_type",
+            F.lit(lag_k).alias("lag"),
+            F.col("x").alias("y"),
+            F.lag("x", lag_k).over(w).alias("x"),
+        )
+
+    paired = shifted(1).unionByName(shifted(2)).unionByName(shifted(3))
+    s = (
+        paired.filter(F.col("x").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        r6(num / den).alias("autocorr"),
+    )

@@ -578,3 +578,19 @@ def test_kmv_setops_algebra(spark):
     assert abs(r["intersection_est"] - r["true_intersection"]) <= max(
         0.6 * r["true_union"], 10
     )
+
+
+def test_autocorr_bounds_and_coverage(spark):
+    rows = QUERIES["q_events_autocorr"](spark, SF_DIR).collect()
+    types = {
+        r["event_type"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == types
+    assert {r["lag"] for r in rows} == {1, 2, 3}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["autocorr"] <= 1.0 + 1e-9
+        assert r["n_pairs"] >= 2

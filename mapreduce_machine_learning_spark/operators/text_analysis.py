@@ -1232,3 +1232,85 @@ def q_text_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(10)
     )
+
+
+@query(
+    "q_text_symspell",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    variants AS (
+        SELECT DISTINCT tok, v FROM (
+            SELECT tok, tok AS v FROM vocab
+            UNION ALL
+            SELECT tok,
+                   UNNEST(list_transform(
+                       range(1, length(tok) + 1),
+                       i -> substr(tok, 1, i - 1)
+                            || substr(tok, i + 1, length(tok))))
+                   AS v
+            FROM vocab
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+        FROM variants a JOIN variants b
+          ON a.v = b.v AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b,
+           CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+)
+def q_text_symspell(spark, sf_dir):
+    """SymSpell-style fuzzy vocabulary join: every token emits itself plus
+    its length-1 deletion variants as blocking keys; two tokens within
+    edit distance 1 PROVABLY share a variant (equal → same key; insert/
+    delete → one is the other's deletion; substitution → deleting the
+    differing position from both collides), so the equi-join on variants
+    finds every distance-≤1 pair with zero recall loss and the
+    levenshtein check only confirms. This is the scalable shape of fuzzy
+    matching: candidate generation is a map (≤ len+1 variants per term)
+    and the join is a plain shuffle on short strings — no quadratic block
+    scan, which is what the first-char-blocked q_str_fuzzy degrades to on
+    skewed blocks. Deletion dictionaries are how SymSpell beats BK-trees
+    at scale; here the 'dictionary' is just a DataFrame."""
+    vocab = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    deletions = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok)),"
+                " i -> concat(substr(tok, 1, i - 1),"
+                " substr(tok, i + 1, length(tok))))"
+            )
+        ).alias("v"),
+    )
+    variants = (
+        vocab.select("tok", F.col("tok").alias("v"))
+        .unionByName(deletions)
+        .distinct()
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("tok_a", "tok_b")
+    return cand.filter(dist <= 1).select(
+        "tok_a", "tok_b", dist.cast("bigint").alias("dist")
+    )

@@ -115,3 +115,160 @@ def test_approx_percentile_within_rank_error(spark):
     }
     for k, (lo, hi) in bounds.items():
         assert lo <= approx[k] <= hi, (k, approx[k], lo, hi)
+
+
+def test_sweep_line_half_open_boundary_no_double_count(spark):
+    """An interval closing at the exact instant another opens must not
+    overlap under the [s, s+d) half-open rule: the (t, delta) tie-break
+    (close = -1 sorts before open = +1) keeps peak concurrency at 1."""
+    from pyspark.sql import Window
+
+    pts = spark.createDataFrame(
+        [(0, 1), (10, -1), (10, 1), (20, -1)], "t int, delta int"
+    )
+    w = Window.orderBy("t", "delta")
+    peak = (
+        pts.select(F.sum("delta").over(w).alias("live"))
+        .agg(F.max("live"))
+        .collect()[0][0]
+    )
+    assert peak == 1
+
+
+def test_sweep_line_equal_time_peers_share_post_group_sum(spark):
+    """Two intervals opening at the same instant: the default RANGE frame
+    gives every peer row the post-peer-group running sum, so the peak is 2
+    regardless of intra-tie row order."""
+    from pyspark.sql import Window
+
+    pts = spark.createDataFrame(
+        [(0, 1), (0, 1), (5, -1), (5, -1)], "t int, delta int"
+    )
+    w = Window.orderBy("t", "delta")
+    rows = sorted(
+        r["live"]
+        for r in pts.select(F.sum("delta").over(w).alias("live")).collect()
+    )
+    assert rows == [0, 0, 2, 2]
+
+
+def test_min_by_composite_string_key_breaks_timestamp_ties(spark):
+    """OHLC open/close determinism: with identical timestamps, the
+    zero-padded epoch‖id string key picks the lower id for open and the
+    higher for close."""
+    df = spark.createDataFrame(
+        [(100, 1, 10.0), (100, 2, 20.0), (200, 3, 30.0)],
+        "ts_us long, event_id int, value double",
+    )
+    keyed = df.select(
+        "value",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord"),
+    )
+    r = keyed.agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max_by("value", "ord").alias("close"),
+    ).collect()[0]
+    assert r["open"] == 10.0 and r["close"] == 30.0
+
+
+def test_merge_classification_exhaustive_on_literals(spark):
+    """MERGE classification on a 3-user literal frame: one user only
+    before the cutoff, one only after, one on both sides."""
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(
+        [
+            (1, 5, "a", 1.0),   # retained
+            (2, 15, "b", 2.0),  # updated (old)
+            (2, 25, "c", 3.0),  # updated (new wins)
+            (3, 30, "d", 4.0),  # inserted
+        ],
+        "user_id int, t int, state string, value double",
+    )
+    cutoff = 20
+    w = Window.partitionBy("user_id").orderBy(F.desc("t"))
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "state", "value")
+        )
+
+    old = latest(ev.filter(F.col("t") <= cutoff))
+    new = latest(ev.filter(F.col("t") > cutoff))
+    merged = {
+        r["user_id"]: (r["action"], r["fv"])
+        for r in old.alias("o")
+        .join(new.alias("n"), F.col("o.user_id") == F.col("n.user_id"), "full")
+        .select(
+            F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+            F.when(F.col("o.user_id").isNull(), "inserted")
+            .when(F.col("n.user_id").isNull(), "retained")
+            .otherwise("updated")
+            .alias("action"),
+            F.coalesce(F.col("n.value"), F.col("o.value")).alias("fv"),
+        )
+        .collect()
+    }
+    assert merged == {
+        1: ("retained", 1.0),
+        2: ("updated", 3.0),
+        3: ("inserted", 4.0),
+    }
+
+
+def test_symspell_deletion_blocking_has_full_recall(spark):
+    """Every levenshtein-distance-≤1 pair over a small vocab must be
+    reachable through a shared deletion variant (the SymSpell recall
+    guarantee the q_text_symspell join relies on)."""
+    vocab = ["cat", "cut", "cats", "at", "dog", "dogs", "cot", "coat"]
+    df = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    deletions = df.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok)),"
+                " i -> concat(substr(tok, 1, i - 1),"
+                " substr(tok, i + 1, length(tok))))"
+            )
+        ).alias("v"),
+    )
+    variants = (
+        df.select("tok", F.col("tok").alias("v"))
+        .unionByName(deletions)
+        .distinct()
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    got = {
+        (r["ta"], r["tb"])
+        for r in a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(F.col("a.tok").alias("ta"), F.col("b.tok").alias("tb"))
+        .distinct()
+        .filter(F.levenshtein("ta", "tb") <= 1)
+        .collect()
+    }
+
+    def lev1(x, y):
+        if x == y:
+            return True
+        if abs(len(x) - len(y)) > 1:
+            return False
+        if len(x) == len(y):
+            return sum(a != b for a, b in zip(x, y)) == 1
+        s, l = (x, y) if len(x) < len(y) else (y, x)
+        return any(l[:i] + l[i + 1:] == s for i in range(len(l)))
+
+    expected = {
+        (min(x, y), max(x, y))
+        for i, x in enumerate(vocab)
+        for y in vocab[i + 1:]
+        if lev1(x, y)
+    }
+    assert got == expected

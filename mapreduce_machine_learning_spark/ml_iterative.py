@@ -279,6 +279,55 @@ def mllib_logreg(df: DataFrame, feature_cols: list[str], label_col: str) -> np.n
     return np.array([m.intercept, *m.coefficients])
 
 
+def mllib_gaussian_nb(df: DataFrame, label_col: str, feature_col: str):
+    """MLlib NaiveBayes (gaussian modelType) — the production twin of
+    gaussian_nb_fit. Returns {label_string: (prior, mean, var)} reindexed
+    through the StringIndexer labels so it compares directly with the
+    summation-form fit."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    idx = StringIndexer(inputCol=label_col, outputCol="_label").fit(df)
+    va = VectorAssembler(inputCols=[feature_col], outputCol="_features")
+    prepped = va.transform(idx.transform(df)).select("_label", "_features")
+    m = NaiveBayes(
+        modelType="gaussian", labelCol="_label", featuresCol="_features"
+    ).fit(prepped)
+    out = {}
+    for i, lab in enumerate(idx.labels):
+        out[lab] = (
+            float(np.exp(m.pi[i])),
+            float(m.theta.toArray()[i][0]),
+            float(m.sigma.toArray()[i][0]),
+        )
+    return out
+
+
+def mllib_gmm_1d(df: DataFrame, col: str, k: int = 2, iters: int = 20):
+    """MLlib GaussianMixture on one column, deterministic seed — the
+    production twin of gmm_em_1d. Returns (weights, means, stds) sorted by
+    mean (MLlib may permute components)."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=[col], outputCol="_features")
+    m = GaussianMixture(
+        k=k, maxIter=iters, seed=42, featuresCol="_features"
+    ).fit(va.transform(df))
+    comps = sorted(
+        (
+            float(g.mean[0]),
+            float(np.sqrt(g.cov.toArray()[0][0])),
+            float(w),
+        )
+        for g, w in zip(m.gaussians, m.weights)
+    )
+    means = tuple(c[0] for c in comps)
+    stds = tuple(c[1] for c in comps)
+    weights = tuple(c[2] for c in comps)
+    return weights, means, stds
+
+
 def mllib_tfidf_top_terms(df: DataFrame, num_features: int = 1 << 14) -> DataFrame:
     """MLlib HashingTF/IDF pipeline over documents — the production twin of
     q_llm_tfidf. Hashed feature indices are engine-internal, so this surface

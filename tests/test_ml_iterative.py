@@ -305,3 +305,52 @@ def test_bpe_train_matches_python(spark):
         toks = new_toks
     assert got == expected
     assert len(got) == 5
+
+
+def test_mllib_gaussian_nb_matches_summation_form(spark):
+    """MLlib's gaussian NaiveBayes must agree with the one-pass class-moment
+    fit (priors exactly; means/variances to MLlib's internal precision —
+    MLlib uses the ML population variance with its own smoothing, so the
+    comparison is loose on sigma, tight on prior and mean)."""
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.ml_iterative import (
+        gaussian_nb_fit,
+        mllib_gaussian_nb,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    ours = gaussian_nb_fit(ev, "event_type", "value")
+    theirs = mllib_gaussian_nb(ev, "event_type", "value")
+    assert set(ours) == set(theirs)
+    for lab in ours:
+        prior, mean, var = ours[lab]
+        mprior, mmean, mvar = theirs[lab]
+        assert abs(prior - mprior) < 1e-6
+        assert abs(mean - mmean) < 1e-6
+        assert abs(var - mvar) / var < 0.05  # sample-vs-population + smoothing
+
+
+def test_mllib_gmm_recovers_similar_components(spark):
+    """MLlib GaussianMixture and the closed-form EM driver start from
+    different initializations, so assert agreement at the distribution
+    level: component means bracket the data the same way (sorted means
+    within a loose tolerance of the custom EM fit's)."""
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.ml_iterative import (
+        Gmm1D,
+        gmm_em_1d,
+        mllib_gmm_1d,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    ours = gmm_em_1d(
+        ev, "value", Gmm1D((0.5, 0.5), (50.0, 150.0), (25.0, 25.0)), 10
+    )
+    weights, means, stds = mllib_gmm_1d(ev, "value", k=2, iters=30)
+    assert abs(sum(weights) - 1.0) < 1e-6
+    our_means = sorted(ours.mu)
+    for om, mm in zip(our_means, means):
+        # same component structure, not bit equality: different inits and
+        # different convergence criteria
+        assert abs(om - mm) < 0.35 * max(abs(om), 1.0)
+    assert all(s > 0 for s in stds)

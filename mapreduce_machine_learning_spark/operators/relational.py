@@ -526,3 +526,60 @@ def q_join_pit(spark, sf_dir):
             r6(F.avg("trailing_avg")).alias("avg_trailing_value"),
         )
     )
+
+
+@query(
+    "q_scan_zonemap",
+    oracle="""
+    WITH zones AS (
+        SELECT l_orderkey // 10000 AS zone,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_shipdate) AS zmin,
+               MAX(l_shipdate) AS zmax
+        FROM lineitem GROUP BY l_orderkey // 10000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN zmax < TIMESTAMP '1997-01-01 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+           CAST(SUM(CASE WHEN zmax < TIMESTAMP '1997-01-01 00:00:00'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           ROUND(SUM(CASE WHEN zmax < TIMESTAMP '1997-01-01 00:00:00'
+                          THEN n_rows ELSE 0 END)
+                 / CAST(SUM(n_rows) AS DOUBLE), 6) AS skip_ratio
+    FROM zones
+    """,
+)
+def q_scan_zonemap(spark, sf_dir):
+    """Zone-map (data-skipping) audit: bucket lineitem into orderkey zones
+    of ~10k keys, compute each zone's shipdate min/max — the footer
+    statistics a parquet row group carries — and measure how many zones a
+    `l_shipdate >= '1997-01-01'` scan could skip outright. This is the
+    measurement behind every layout decision at 100 TB: zones clustered
+    on the filter column skip ~(selectivity) of the data for free, while
+    uncorrelated layout skips nothing, and the skip_ratio is the number
+    that tells you whether re-sorting (or Z-ordering) the table pays for
+    itself. The audit itself is one hash aggregate over the zone key plus
+    a 4-number roll-up."""
+    li = T(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    zones = li.groupBy(
+        F.expr("l_orderkey DIV 10000").alias("zone")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+    )
+    skippable = F.col("zmax") < cutoff
+    return zones.agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum(F.when(skippable, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skippable"),
+        F.sum(F.when(skippable, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_skipped"),
+        r6(
+            F.sum(F.when(skippable, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows")
+        ).alias("skip_ratio"),
+    )

@@ -594,3 +594,19 @@ def test_autocorr_bounds_and_coverage(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r["autocorr"] <= 1.0 + 1e-9
         assert r["n_pairs"] >= 2
+
+
+def test_zonemap_accounts_all_rows(spark):
+    r = QUERIES["q_scan_zonemap"](spark, SF_DIR).collect()[0]
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    assert 0 <= r["n_skippable"] <= r["n_zones"]
+    assert 0 <= r["rows_skipped"] <= n
+    assert 0.0 <= r["skip_ratio"] <= 1.0
+    # cross-check against the actual predicate selectivity: skipping can
+    # never drop a row the predicate keeps
+    kept = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .count()
+    )
+    assert r["rows_skipped"] <= n - kept

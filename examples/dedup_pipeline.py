@@ -32,6 +32,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
     out = out_dir or os.path.join(tempfile.mkdtemp(), "survivors")
     write_table(docs.join(survivors, "doc_id"), out, "parquet")
     print(f"deduplicated corpus written to {out}")
+
+    from mapreduce_machine_learning_spark.registry import all_queries
+
+    qs = all_queries()
+    sample = qs["q_llm_sample_weighted"](spark, sf_dir).collect()
+    print(
+        f"length-weighted sample of survivably-long docs: "
+        f"{[r['doc_id'] for r in sample[:8]]}…"
+    )
+    fuzz = qs["q_text_symspell"](spark, sf_dir).collect()
+    print(
+        f"vocab typo-pairs within edit distance 1 (SymSpell join): "
+        f"{[(r['tok_a'], r['tok_b']) for r in fuzz[:5]]}"
+    )
     spark.stop()
 
 

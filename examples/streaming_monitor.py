@@ -30,6 +30,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"{result.count()} closed windows:")
     result.orderBy("window_start", "event_type").show(15, truncate=False)
+
+    from mapreduce_machine_learning_spark.registry import all_queries
+
+    print("EWMA of daily means (batch closed form of the stateful twin):")
+    for r in all_queries()["q_stream_ewma"](spark, sf_dir).orderBy(
+        "event_type"
+    ).collect():
+        print(
+            f"  {r['event_type']:9s} ewma={r['ewma']:.2f} "
+            f"last={r['last_daily_mean']:.2f} over {r['n_days']} days"
+        )
     spark.stop()
 
 

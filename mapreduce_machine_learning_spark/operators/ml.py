@@ -2521,3 +2521,91 @@ def q_ml_itemcf(spark, sf_dir):
             r6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+
+
+@query(
+    "q_ml_gbdt_round",
+    oracle="""
+    WITH base AS (SELECT AVG(value) AS f0 FROM events),
+    resid AS (
+        SELECT CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr,
+               value - f0 AS r
+        FROM events, base
+    ),
+    thr AS (SELECT UNNEST([6.0, 12.0, 18.0])::DOUBLE AS threshold),
+    split AS (
+        SELECT threshold,
+               CAST(SUM(CASE WHEN hr < threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_left,
+               CAST(SUM(CASE WHEN hr >= threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_right,
+               SUM(CASE WHEN hr < threshold THEN r ELSE 0 END)
+                   / SUM(CASE WHEN hr < threshold THEN 1 ELSE 0 END)
+                   AS leaf_l,
+               SUM(CASE WHEN hr >= threshold THEN r ELSE 0 END)
+                   / SUM(CASE WHEN hr >= threshold THEN 1 ELSE 0 END)
+                   AS leaf_r
+        FROM resid CROSS JOIN thr
+        GROUP BY threshold
+    )
+    SELECT threshold, n_left, n_right,
+           ROUND(leaf_l, 6) AS leaf_left,
+           ROUND(leaf_r, 6) AS leaf_right,
+           ROUND(n_left * leaf_l * leaf_l + n_right * leaf_r * leaf_r, 0)
+               AS gain
+    FROM split
+    """,
+)
+def q_ml_gbdt_round(spark, sf_dir):
+    """One gradient-boosting round for squared loss: base prediction
+    F₀ = global mean, pseudo-residuals r = y − F₀, and a depth-1 regression
+    stump on hour(ts) evaluated at the three fixed thresholds {6, 12, 18}
+    — leaf values are mean residuals and the split gain is the variance
+    reduction n_l·μ_l² + n_r·μ_r² (exact because the parent residual mean
+    is zero). This is the per-round kernel of every distributed GBDT
+    (XGBoost/LightGBM approx mode): residuals are a map against a
+    broadcast scalar, and each candidate split is four conditional partial
+    sums — the shuffle carries 4·|thresholds| numbers, never rows. A full
+    trainer = argmax(gain) + F₁ = F₀ + η·leaf in the ml_iterative
+    driver-loop pattern. Gain is rounded to integer (r0): magnitude ~1e5
+    with ~1e-8 cross-engine noise."""
+    ev = T(spark, sf_dir, "events")
+    base = ev.agg(F.avg("value").alias("f0"))
+    resid = ev.crossJoin(F.broadcast(base)).select(
+        F.hour("ts").cast("double").alias("hr"),
+        (F.col("value") - F.col("f0")).alias("r"),
+    )
+    thr = ev.sparkSession.createDataFrame(
+        [(6.0,), (12.0,), (18.0,)], "threshold double"
+    )
+    left = F.col("hr") < F.col("threshold")
+    split = (
+        resid.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("n_left"),
+            F.sum(F.when(~left, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_right"),
+            (
+                F.sum(F.when(left, F.col("r")).otherwise(0.0))
+                / F.sum(F.when(left, 1).otherwise(0))
+            ).alias("leaf_l"),
+            (
+                F.sum(F.when(~left, F.col("r")).otherwise(0.0))
+                / F.sum(F.when(~left, 1).otherwise(0))
+            ).alias("leaf_r"),
+        )
+    )
+    gain = (
+        F.col("n_left") * F.col("leaf_l") * F.col("leaf_l")
+        + F.col("n_right") * F.col("leaf_r") * F.col("leaf_r")
+    )
+    return split.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        r6(F.col("leaf_l")).alias("leaf_left"),
+        r6(F.col("leaf_r")).alias("leaf_right"),
+        F.round(gain, 0).alias("gain"),
+    )

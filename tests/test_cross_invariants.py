@@ -610,3 +610,17 @@ def test_zonemap_accounts_all_rows(spark):
         .count()
     )
     assert r["rows_skipped"] <= n - kept
+
+
+def test_gbdt_round_consistent_with_tree_split(spark):
+    rows = QUERIES["q_ml_gbdt_round"](spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "events").count()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_left"] + r["n_right"] == n
+        assert r["gain"] >= 0.0
+        # leaves are mean residuals: weighted sum telescopes to ~zero
+        assert (
+            abs(r["n_left"] * r["leaf_left"] + r["n_right"] * r["leaf_right"])
+            < 0.02 * n
+        )

@@ -2609,3 +2609,160 @@ def q_ml_gbdt_round(spark, sf_dir):
         r6(F.col("leaf_r")).alias("leaf_right"),
         F.round(gain, 0).alias("gain"),
     )
+
+
+@query(
+    "q_ml_gbdt_iter2",
+    oracle="""
+    WITH base AS (SELECT AVG(value) AS f0 FROM events),
+    resid AS (
+        SELECT CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr,
+               value, value - f0 AS r
+        FROM events, base
+    ),
+    thr AS (SELECT UNNEST([6.0, 12.0, 18.0])::DOUBLE AS threshold),
+    split1 AS (
+        SELECT threshold,
+               SUM(CASE WHEN hr < threshold THEN r ELSE 0 END)
+                   / SUM(CASE WHEN hr < threshold THEN 1 ELSE 0 END)
+                   AS leaf_l,
+               SUM(CASE WHEN hr >= threshold THEN r ELSE 0 END)
+                   / SUM(CASE WHEN hr >= threshold THEN 1 ELSE 0 END)
+                   AS leaf_r,
+               SUM(CASE WHEN hr < threshold THEN 1 ELSE 0 END) AS nl,
+               SUM(CASE WHEN hr >= threshold THEN 1 ELSE 0 END) AS nr
+        FROM resid CROSS JOIN thr
+        GROUP BY threshold
+    ),
+    best AS (
+        SELECT threshold AS t1,
+               ROUND(leaf_l, 6) AS bl, ROUND(leaf_r, 6) AS br
+        FROM split1
+        ORDER BY ROUND(nl * leaf_l * leaf_l + nr * leaf_r * leaf_r, 0)
+                 DESC, threshold
+        LIMIT 1
+    ),
+    resid2 AS (
+        SELECT hr, t1,
+               r - 0.5 * (CASE WHEN hr < t1 THEN bl ELSE br END) AS r2
+        FROM resid CROSS JOIN best
+    ),
+    split2 AS (
+        SELECT t1, threshold,
+               CAST(SUM(CASE WHEN hr < threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_left,
+               CAST(SUM(CASE WHEN hr >= threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_right,
+               SUM(CASE WHEN hr < threshold THEN r2 ELSE 0 END)
+                   / SUM(CASE WHEN hr < threshold THEN 1 ELSE 0 END)
+                   AS leaf_l,
+               SUM(CASE WHEN hr >= threshold THEN r2 ELSE 0 END)
+                   / SUM(CASE WHEN hr >= threshold THEN 1 ELSE 0 END)
+                   AS leaf_r
+        FROM resid2 CROSS JOIN thr
+        GROUP BY t1, threshold
+    )
+    SELECT threshold, t1 AS round1_threshold, n_left, n_right,
+           ROUND(leaf_l, 6) AS leaf_left,
+           ROUND(leaf_r, 6) AS leaf_right,
+           ROUND(n_left * leaf_l * leaf_l + n_right * leaf_r * leaf_r, 0)
+               AS gain
+    FROM split2
+    """,
+)
+def q_ml_gbdt_iter2(spark, sf_dir):
+    """TWO gradient-boosting rounds as a single Catalyst plan: round 1
+    evaluates the fixed threshold grid on the base residuals, the winning
+    stump (gain argmax, threshold tie-break) has its leaf values ROUNDED
+    and broadcast back (the q_ml_kmeans_iter2 parameter-pivot pattern),
+    F₁ = F₀ + 0.5·leaf updates every row's residual in the same plan, and
+    round 2 re-scores the grid on the new residuals — no driver
+    round-trip between rounds, and the round-2 gains are necessarily
+    smaller along the chosen split (boosting's residual-shrinking
+    property, pinned by an invariant). Rounding the broadcast leaves is
+    the determinism hinge: both engines re-derive bit-identical F₁."""
+    ev = T(spark, sf_dir, "events")
+    base = ev.agg(F.avg("value").alias("f0"))
+    resid = ev.crossJoin(F.broadcast(base)).select(
+        F.hour("ts").cast("double").alias("hr"),
+        (F.col("value") - F.col("f0")).alias("r"),
+    )
+    thr = ev.sparkSession.createDataFrame(
+        [(6.0,), (12.0,), (18.0,)], "threshold double"
+    )
+    left = F.col("hr") < F.col("threshold")
+
+    def grid(df, col):
+        return (
+            df.crossJoin(F.broadcast(thr))
+            .groupBy("threshold")
+            .agg(
+                F.sum(F.when(left, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_left"),
+                F.sum(F.when(~left, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_right"),
+                (
+                    F.sum(F.when(left, F.col(col)).otherwise(0.0))
+                    / F.sum(F.when(left, 1).otherwise(0))
+                ).alias("leaf_l"),
+                (
+                    F.sum(F.when(~left, F.col(col)).otherwise(0.0))
+                    / F.sum(F.when(~left, 1).otherwise(0))
+                ).alias("leaf_r"),
+            )
+        )
+
+    gain = (
+        F.col("n_left") * F.col("leaf_l") * F.col("leaf_l")
+        + F.col("n_right") * F.col("leaf_r") * F.col("leaf_r")
+    )
+    best = (
+        grid(resid, "r")
+        .orderBy(F.round(gain, 0).desc(), "threshold")
+        .limit(1)
+        .select(
+            F.col("threshold").alias("t1"),
+            r6(F.col("leaf_l")).alias("bl"),
+            r6(F.col("leaf_r")).alias("br"),
+        )
+    )
+    resid2 = resid.crossJoin(F.broadcast(best)).select(
+        "hr",
+        "t1",
+        (
+            F.col("r")
+            - 0.5
+            * F.when(F.col("hr") < F.col("t1"), F.col("bl")).otherwise(
+                F.col("br")
+            )
+        ).alias("r2"),
+    )
+    split2 = (
+        resid2.crossJoin(F.broadcast(thr))
+        .groupBy("t1", "threshold")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("n_left"),
+            F.sum(F.when(~left, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_right"),
+            (
+                F.sum(F.when(left, F.col("r2")).otherwise(0.0))
+                / F.sum(F.when(left, 1).otherwise(0))
+            ).alias("leaf_l"),
+            (
+                F.sum(F.when(~left, F.col("r2")).otherwise(0.0))
+                / F.sum(F.when(~left, 1).otherwise(0))
+            ).alias("leaf_r"),
+        )
+    )
+    return split2.select(
+        "threshold",
+        F.col("t1").alias("round1_threshold"),
+        "n_left",
+        "n_right",
+        r6(F.col("leaf_l")).alias("leaf_left"),
+        r6(F.col("leaf_r")).alias("leaf_right"),
+        F.round(gain, 0).alias("gain"),
+    )

@@ -624,3 +624,17 @@ def test_gbdt_round_consistent_with_tree_split(spark):
             abs(r["n_left"] * r["leaf_left"] + r["n_right"] * r["leaf_right"])
             < 0.02 * n
         )
+
+
+def test_gbdt_round2_shrinks_gain_on_chosen_split(spark):
+    r1 = {r["threshold"]: r for r in QUERIES["q_ml_gbdt_round"](spark, SF_DIR).collect()}
+    r2 = {r["threshold"]: r for r in QUERIES["q_ml_gbdt_iter2"](spark, SF_DIR).collect()}
+    assert set(r1) == set(r2) == {6.0, 12.0, 18.0}
+    t1 = next(iter(r2.values()))["round1_threshold"]
+    # round 1 chose the argmax gain
+    assert r1[t1]["gain"] == max(r["gain"] for r in r1.values())
+    # after the eta=0.5 update, the chosen split's gain must shrink
+    assert r2[t1]["gain"] < r1[t1]["gain"]
+    for t, r in r2.items():
+        assert r["n_left"] == r1[t]["n_left"]
+        assert r["n_right"] == r1[t]["n_right"]

@@ -14,6 +14,7 @@ whole-stage-codegen JVM expressions.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mapreduce_machine_learning_spark.determinism import REVENUE_SQL, r0, r6, revenue, rmil
@@ -702,4 +703,44 @@ def q_profile_columns(spark, sf_dir):
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
         (F.max("v") - F.min("v")).alias("range_v"),
+    )
+
+
+@query(
+    "q_agg_median_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(o_totalprice, 0.5) AS median_disc
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_median_disc(spark, sf_dir):
+    """DISCRETE median — the quantile that returns an actual data value
+    (quantile_disc / lower-of-the-two semantics: the element at rank
+    ⌈q·n⌉) rather than q_agg_percentile's interpolated midpoint. Spark has
+    no quantile_disc aggregate, so it is derived exactly: row_number over
+    (value, unique key) and pick rank ceil(n/2) — one window per group on
+    the sorted partition, and because the result is a raw stored double it
+    needs NO rounding contract at all (FP interpolation never happens).
+    At scale the window sort is the cost; the approximate path is
+    percentile_approx (rows-only, q_agg_approx_percentile)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2.0))
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("o_totalprice").alias("median_disc"),
+        )
     )

@@ -1754,3 +1754,50 @@ def q_events_autocorr(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_pairs"),
         r6(num / den).alias("autocorr"),
     )
+
+
+@query(
+    "q_events_seasonality",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS dow,
+               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n)::DOUBLE AS total, COUNT(*)::DOUBLE AS n_cells
+            FROM cells)
+    SELECT dow, hour, n,
+           ROUND(n / (total / n_cells), 6) AS load_factor
+    FROM cells, tot
+    """,
+)
+def q_events_seasonality(spark, sf_dir):
+    """Weekly seasonality heatmap: event counts per (ISO day-of-week,
+    hour-of-day) cell with each cell's load factor vs the uniform
+    expectation — the capacity-planning profile behind autoscaling and
+    the sanity check behind any time-sliced A/B experiment. One hash
+    aggregate over a 168-cell key space; the load factor normalizes by
+    observed cells so partial weeks don't skew it. ISO day-of-week
+    (Mon=1) is used because engines disagree on the 0-vs-1-based
+    DAYOFWEEK — EXTRACT(ISODOW) and Spark's dayofweek need an explicit
+    shift to agree."""
+    ev = T(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1..Saturday=7 → ISO Mon=1..Sun=7
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    cells = ev.groupBy(
+        iso_dow.cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_cells"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n",
+        r6(F.col("n") / (F.col("total") / F.col("n_cells"))).alias(
+            "load_factor"
+        ),
+    )

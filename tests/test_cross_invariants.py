@@ -638,3 +638,27 @@ def test_gbdt_round2_shrinks_gain_on_chosen_split(spark):
     for t, r in r2.items():
         assert r["n_left"] == r1[t]["n_left"]
         assert r["n_right"] == r1[t]["n_right"]
+
+
+def test_median_disc_is_a_stored_value(spark):
+    rows = QUERIES["q_agg_median_disc"](spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders")
+    for r in rows:
+        # discrete quantile must return an actual stored price
+        assert (
+            o.filter(
+                (F.col("o_orderstatus") == r["o_orderstatus"])
+                & (F.col("o_totalprice") == r["median_disc"])
+            ).count()
+            >= 1
+        )
+    assert sum(r["n"] for r in rows) == o.count()
+
+
+def test_seasonality_cells_account_all_events(spark):
+    rows = QUERIES["q_events_seasonality"](spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in rows) == n
+    assert all(1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23 for r in rows)
+    mean_lf = sum(r["load_factor"] for r in rows) / len(rows)
+    assert abs(mean_lf - 1.0) < 0.01  # load factors average to ~1

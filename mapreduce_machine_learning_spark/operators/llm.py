@@ -1556,3 +1556,57 @@ def q_llm_sample_weighted(spark, sf_dir):
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_llm_curriculum",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT n_chars, ttr,
+               NTILE(10) OVER (ORDER BY ttr, doc_id) AS decile
+        FROM scored
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ttr), 6) AS avg_ttr,
+           ROUND(AVG(n_chars), 6) AS avg_n_chars
+    FROM bucketed GROUP BY decile
+    """,
+)
+def q_llm_curriculum(spark, sf_dir):
+    """Curriculum ordering: rank the corpus by a difficulty proxy
+    (type-token ratio — low TTR = repetitive/easy, high TTR = lexically
+    dense) and cut it into training deciles — the ordering step of
+    curriculum learning and the shape of any staged data mixture. ntile
+    over a (score, doc_id) total order makes bucket membership
+    deterministic; the score itself is ratio-valued, so the ORDER is on
+    raw doubles computed identically by both engines and only the
+    reported averages round. At 100 TB the global ntile becomes a
+    two-pass quantile-split (sketch the score CDF, then bucket by range
+    — q_sketch_quantile_hist is that sketch), same output contract."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.size(F.array_distinct(toks))
+            / F.size(toks).cast("double")
+        ).alias("ttr"),
+    )
+    w = Window.orderBy("ttr", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg("ttr")).alias("avg_ttr"),
+            r6(F.avg("n_chars")).alias("avg_n_chars"),
+        )
+    )

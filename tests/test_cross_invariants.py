@@ -662,3 +662,15 @@ def test_seasonality_cells_account_all_events(spark):
     assert all(1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23 for r in rows)
     mean_lf = sum(r["load_factor"] for r in rows) / len(rows)
     assert abs(mean_lf - 1.0) < 0.01  # load factors average to ~1
+
+
+def test_curriculum_deciles_partition_corpus_monotonically(spark):
+    rows = sorted(
+        QUERIES["q_llm_curriculum"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    ttrs = [r["avg_ttr"] for r in rows]
+    assert ttrs == sorted(ttrs)  # deciles ordered by difficulty

@@ -1610,3 +1610,59 @@ def q_llm_curriculum(spark, sf_dir):
             r6(F.avg("n_chars")).alias("avg_n_chars"),
         )
     )
+
+
+@query(
+    "q_llm_mix_temperature",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               SUM(len(string_split(text, ' ')))::DOUBLE AS toks
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT source, toks / SUM(toks) OVER () AS share FROM t
+    ),
+    p AS (
+        SELECT source, share, POW(share, 0.5) AS raw FROM s
+    )
+    SELECT source,
+           ROUND(share, 6) AS token_share,
+           ROUND(raw / SUM(raw) OVER (), 6) AS temp_weight,
+           ROUND((raw / SUM(raw) OVER ()) / share, 6) AS upsample_factor
+    FROM p
+    """,
+)
+def q_llm_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights (τ = 0.5, the multilingual-
+    sampling rule of mBERT/XLM-R and the smoothing in DoReMi-style domain
+    mixtures): raise each source's token share to τ and renormalize —
+    τ < 1 flattens the mixture toward uniform, upsampling small sources
+    without the hard cap of q_llm_mixweights' target-uniform scheme (the
+    two queries are the two standard reweighting policies, side by side).
+    Plan shape is identical: one groupBy census to |sources| rows, then
+    unpartitioned windows over that tiny frame; pow() feeds ratio-valued
+    round-6 outputs."""
+    from pyspark.sql import Window
+
+    t = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("double")
+            .alias("toks")
+        )
+    )
+    w = Window.partitionBy()
+    s = t.select(
+        "source", (F.col("toks") / F.sum("toks").over(w)).alias("share")
+    )
+    p = s.select("source", "share", F.pow("share", 0.5).alias("raw"))
+    tw = F.col("raw") / F.sum("raw").over(w)
+    return p.select(
+        "source",
+        r6(F.col("share")).alias("token_share"),
+        r6(tw).alias("temp_weight"),
+        r6(tw / F.col("share")).alias("upsample_factor"),
+    )

@@ -524,3 +524,47 @@ def q_win_share(spark, sf_dir):
         F.round("rev", 0).alias("revenue"),
         r6(F.col("rev") / F.sum("rev").over(w)).alias("share"),
     )
+
+
+@query(
+    "q_topk_withties",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY c_mktsegment
+                            ORDER BY ROUND(o_totalprice, 2) DESC) AS rnk
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk,
+           o_orderkey, o_totalprice
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_topk_withties(spark, sf_dir):
+    """Top-3 orders per segment WITH TIES — rank() keeps every row that
+    ties the third price, where q_topk_pergroup's row_number() arbitrarily
+    breaks the tie (the FETCH FIRST ... WITH TIES semantics). Because the
+    kept SET is defined by the ordering value itself, ties make the result
+    deterministic without a unique-key tie-break — the rank is computed on
+    the ROUND-2 price so a cross-engine ULP wiggle cannot split a tie
+    group. Same single window shuffle on the group key as every per-group
+    top-k; output size is k + tie overflow."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    j = c.select("c_custkey", "c_mktsegment").join(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round("o_totalprice", 2).desc()
+    )
+    return (
+        j.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )

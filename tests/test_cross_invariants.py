@@ -674,3 +674,26 @@ def test_curriculum_deciles_partition_corpus_monotonically(spark):
     assert [r["decile"] for r in rows] == list(range(1, 11))
     ttrs = [r["avg_ttr"] for r in rows]
     assert ttrs == sorted(ttrs)  # deciles ordered by difficulty
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    rows = QUERIES["q_llm_mix_temperature"](spark, SF_DIR).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["temp_weight"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # tau < 1: small sources gain weight, large sources lose it
+        if r["token_share"] < 1.0 / len(rows):
+            assert r["upsample_factor"] >= 1.0 - 1e-6
+        else:
+            assert r["upsample_factor"] <= 1.0 + 1e-6
+
+
+def test_topk_withties_supersets_rownumber_topk(spark):
+    ties = QUERIES["q_topk_withties"](spark, SF_DIR).collect()
+    per_seg: dict = {}
+    for r in ties:
+        per_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rows in per_seg.items():
+        # at least 3 rows per segment, and every rank <= 3 appears
+        assert len(rows) >= 3
+        assert {r["rnk"] for r in rows} <= {1, 2, 3}

@@ -1801,3 +1801,55 @@ def q_events_seasonality(spark, sf_dir):
             "load_factor"
         ),
     )
+
+
+@query(
+    "q_events_entropy_drift",
+    oracle="""
+    WITH cells AS (
+        SELECT ts::DATE AS day, event_type,
+               COUNT(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT day, n / SUM(n) OVER (PARTITION BY day) AS p
+        FROM cells
+    ),
+    daily AS (
+        SELECT day, -SUM(p * ln(p)) AS h FROM probs GROUP BY day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MIN(h), 6) AS min_entropy,
+           ROUND(MAX(h), 6) AS max_entropy,
+           ROUND(AVG(h), 6) AS avg_entropy,
+           ROUND(MAX(h) - MIN(h), 6) AS drift_range
+    FROM daily
+    """,
+)
+def q_events_entropy_drift(spark, sf_dir):
+    """Behavioral-mix drift monitor: Shannon entropy of the event-type
+    distribution per day, rolled up to min/max/avg/range across days — a
+    one-number data-drift alarm (entropy collapse means one event type is
+    suddenly dominating the stream; a widening range means the mix is
+    unstable day over day). Drift monitors are what decide when a trained
+    model or a sampling mixture needs refreshing. The plan is two nested
+    aggregations over the (day, type) census — the fact table shuffles
+    once to ~|days|·|types| cells."""
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wd = Window.partitionBy("day")
+    p = F.col("n") / F.sum("n").over(wd)
+    daily = (
+        cells.select("day", (-p * F.log(p)).alias("term"), "n")
+        .groupBy("day")
+        .agg(F.sum("term").alias("h"))
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r6(F.min("h")).alias("min_entropy"),
+        r6(F.max("h")).alias("max_entropy"),
+        r6(F.avg("h")).alias("avg_entropy"),
+        r6(F.max("h") - F.min("h")).alias("drift_range"),
+    )

@@ -2766,3 +2766,80 @@ def q_ml_gbdt_iter2(spark, sf_dir):
         r6(F.col("leaf_r")).alias("leaf_right"),
         F.round(gain, 0).alias("gain"),
     )
+
+
+@query(
+    "q_ml_durbin_watson",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id, ts, value,
+               CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS hr
+        FROM events
+    ),
+    fit AS (
+        SELECT ROUND((COUNT(*) * SUM(hr * value) - SUM(hr) * SUM(value))
+                     / (COUNT(*) * SUM(hr * hr) - SUM(hr) * SUM(hr)), 6)
+                   AS slope,
+               ROUND(AVG(value), 6) AS mean_y,
+               ROUND(AVG(hr), 6) AS mean_x
+        FROM pts
+    ),
+    resid AS (
+        SELECT value - (mean_y + slope * (hr - mean_x)) AS e,
+               LAG(value - (mean_y + slope * (hr - mean_x)))
+                   OVER (ORDER BY ts, event_id) AS e_prev
+        FROM pts, fit
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN e_prev IS NOT NULL
+                          THEN (e - e_prev) * (e - e_prev) END)
+                 / SUM(e * e), 6) AS durbin_watson
+    FROM resid
+    """,
+)
+def q_ml_durbin_watson(spark, sf_dir):
+    """Durbin-Watson serial-correlation diagnostic on the value~hour OLS
+    residuals in event-time order: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² — ≈2 means the
+    regression's errors are independent over time, <2 flags positive
+    autocorrelation that invalidates the i.i.d. standard errors every
+    batch A/B readout assumes. The fit parameters are the closed-form
+    slope/mean (ROUND-6, the broadcast-back determinism pattern), so fit
+    + residuals + lag + sums compose into one plan. The lag runs in a
+    single global ordering — fine for a diagnostic over a daily batch; at
+    100 TB partition by series/day and the boundary terms are one row per
+    partition, negligible in both sums."""
+    ev = T(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "ts", "value", F.hour("ts").cast("double").alias("hr")
+    )
+    n = F.count(F.lit(1))
+    fit = pts.agg(
+        r6(
+            (n * F.sum(F.col("hr") * F.col("value"))
+             - F.sum("hr") * F.sum("value"))
+            / (n * F.sum(F.col("hr") * F.col("hr"))
+               - F.sum("hr") * F.sum("hr"))
+        ).alias("slope"),
+        r6(F.avg("value")).alias("mean_y"),
+        r6(F.avg("hr")).alias("mean_x"),
+    )
+    e = F.col("value") - (
+        F.col("mean_y") + F.col("slope") * (F.col("hr") - F.col("mean_x"))
+    )
+    w = Window.orderBy("ts", "event_id")
+    resid = pts.crossJoin(F.broadcast(fit)).select(
+        e.alias("e"), F.lag(e).over(w).alias("e_prev")
+    )
+    return resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(
+            F.sum(
+                F.when(
+                    F.col("e_prev").isNotNull(),
+                    (F.col("e") - F.col("e_prev"))
+                    * (F.col("e") - F.col("e_prev")),
+                )
+            )
+            / F.sum(F.col("e") * F.col("e"))
+        ).alias("durbin_watson"),
+    )

@@ -697,3 +697,21 @@ def test_topk_withties_supersets_rownumber_topk(spark):
         # at least 3 rows per segment, and every rank <= 3 appears
         assert len(rows) >= 3
         assert {r["rnk"] for r in rows} <= {1, 2, 3}
+
+
+def test_durbin_watson_in_valid_range(spark):
+    r = QUERIES["q_ml_durbin_watson"](spark, SF_DIR).collect()[0]
+    assert r["n"] == load_table(spark, SF_DIR, "events").count()
+    assert 0.0 <= r["durbin_watson"] <= 4.0
+    # synthetic events have no serial structure: DW should sit near 2
+    assert 1.5 < r["durbin_watson"] < 2.5
+
+
+def test_entropy_drift_bounded_by_log_classes(spark):
+    import math
+
+    r = QUERIES["q_events_entropy_drift"](spark, SF_DIR).collect()[0]
+    hmax = math.log(5)  # 5 event types
+    assert 0.0 <= r["min_entropy"] <= r["avg_entropy"] <= r["max_entropy"]
+    assert r["max_entropy"] <= hmax + 1e-9
+    assert abs(r["drift_range"] - (r["max_entropy"] - r["min_entropy"])) < 2e-6

@@ -2843,3 +2843,56 @@ def q_ml_durbin_watson(spark, sf_dir):
             / F.sum(F.col("e") * F.col("e"))
         ).alias("durbin_watson"),
     )
+
+
+_CORR_FEATS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND((COUNT(*) * SUM({a} * {b}) - SUM({a}) * SUM({b}))"
+        f" / (sqrt(COUNT(*) * SUM({a} * {a}) - SUM({a}) * SUM({a}))"
+        f" * sqrt(COUNT(*) * SUM({b} * {b}) - SUM({b}) * SUM({b}))), 6)"
+    )
+
+
+@query(
+    "q_ml_feature_corr",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(
+        _corr_sql(a, b) + f" AS corr_{a[2:]}_{b[2:]}"
+        for i, a in enumerate(_CORR_FEATS)
+        for b in _CORR_FEATS[i + 1:]
+    )
+    + " FROM lineitem",
+)
+def q_ml_feature_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the four lineitem measures
+    — the multicollinearity screen run before fitting any linear model
+    (a |r| near 1 between two features means the Gram matrix in
+    q_ml_linreg_gram is ill-conditioned and the ridge variant is the
+    right solver). All C(4,2) correlations come from ONE aggregation pass
+    of 14 sufficient statistics (the Chu et al. summation form again):
+    the shuffle carries 14 doubles per partition for any row count, and
+    both engines evaluate the textually identical moment formula, so
+    round-6 holds despite the 1e9-magnitude intermediate sums (the ratio
+    normalizes them away)."""
+    li = T(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+
+    def corr(a: str, b: str):
+        ca, cb = F.col(a), F.col(b)
+        num = n * F.sum(ca * cb) - F.sum(ca) * F.sum(cb)
+        den = F.sqrt(n * F.sum(ca * ca) - F.sum(ca) * F.sum(ca)) * F.sqrt(
+            n * F.sum(cb * cb) - F.sum(cb) * F.sum(cb)
+        )
+        return r6(num / den).alias(f"corr_{a[2:]}_{b[2:]}")
+
+    return li.agg(
+        n.alias("n"),
+        *[
+            corr(a, b)
+            for i, a in enumerate(_CORR_FEATS)
+            for b in _CORR_FEATS[i + 1:]
+        ],
+    )

@@ -715,3 +715,18 @@ def test_entropy_drift_bounded_by_log_classes(spark):
     assert 0.0 <= r["min_entropy"] <= r["avg_entropy"] <= r["max_entropy"]
     assert r["max_entropy"] <= hmax + 1e-9
     assert abs(r["drift_range"] - (r["max_entropy"] - r["min_entropy"])) < 2e-6
+
+
+def test_feature_corr_bounded_and_consistent_with_agg_corr(spark):
+    r = QUERIES["q_ml_feature_corr"](spark, SF_DIR).collect()[0]
+    assert r["n"] == load_table(spark, SF_DIR, "lineitem").count()
+    for k, v in r.asDict().items():
+        if k.startswith("corr_"):
+            assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+    # cross-check one cell against Spark's built-in corr aggregate
+    builtin = (
+        load_table(spark, SF_DIR, "lineitem")
+        .agg(F.corr("l_quantity", "l_extendedprice"))
+        .collect()[0][0]
+    )
+    assert abs(r["corr_quantity_extendedprice"] - builtin) < 1e-5

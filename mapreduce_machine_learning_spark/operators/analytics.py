@@ -1853,3 +1853,77 @@ def q_events_entropy_drift(spark, sf_dir):
         r6(F.avg("h")).alias("avg_entropy"),
         r6(F.max("h") - F.min("h")).alias("drift_range"),
     )
+
+
+@query(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(ts::DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+        SELECT cohort_day, COUNT(*)::DOUBLE AS n_users
+        FROM first_day GROUP BY cohort_day
+    ),
+    rev AS (
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, e.ts::DATE) AS day_offset,
+               SUM(e.value) AS v
+        FROM events e JOIN first_day f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+          AND date_diff('day', f.cohort_day, e.ts::DATE) BETWEEN 0 AND 7
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_day, CAST(r.day_offset AS BIGINT) AS day_offset,
+           ROUND(SUM(r2.v) / cs.n_users, 6) AS cum_ltv_per_user
+    FROM rev r
+    JOIN rev r2 ON r2.cohort_day = r.cohort_day
+               AND r2.day_offset <= r.day_offset
+    JOIN cohort_size cs ON cs.cohort_day = r.cohort_day
+    GROUP BY r.cohort_day, r.day_offset, cs.n_users
+    """,
+)
+def q_events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: per signup-day cohort, the CUMULATIVE
+    purchase revenue per cohort member over the first 8 days — the curve
+    a growth team reads payback periods off, and the revenue-weighted
+    companion to q_events_retention's activity counts. Spark computes the
+    cumulative step as a running-sum window over the tiny
+    (cohort, offset) frame (the oracle spells the same thing as a
+    triangular self-join — same values, quadratic shape, fine for 8
+    offsets); the per-user fact work is one user_id-keyed join +
+    aggregate. Normalizing by the FULL cohort size (not just purchasers)
+    keeps cohorts comparable."""
+    ev = T(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    cohort_size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")),
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_v", F.sum("v").over(w))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            r6(F.col("cum_v") / F.col("n_users")).alias("cum_ltv_per_user"),
+        )
+    )

@@ -2896,3 +2896,78 @@ def q_ml_feature_corr(spark, sf_dir):
             for b in _CORR_FEATS[i + 1:]
         ],
     )
+
+
+@query(
+    "q_ml_psi",
+    oracle="""
+    WITH ext AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 10) AS BIGINT),
+                     9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS side
+        FROM events, ext
+    ),
+    counts AS (
+        SELECT bin,
+               SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::DOUBLE AS nr,
+               SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)::DOUBLE AS nc
+        FROM binned GROUP BY bin
+    ),
+    probs AS (
+        SELECT bin,
+               (nr + 0.5) / (SUM(nr) OVER () + 5.0) AS p,
+               (nc + 0.5) / (SUM(nc) OVER () + 5.0) AS q
+        FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM probs
+    """,
+)
+def q_ml_psi(spark, sf_dir):
+    """Population Stability Index between the first and second half-month
+    value distributions over 10 equal-width bins: PSI = Σ(p−q)·ln(p/q),
+    the industry-standard model-input drift alarm (<0.1 stable, >0.25
+    retrain). Bins use the global min/max (identical double arithmetic
+    both engines, the q_sketch_quantile_hist recipe) and the probabilities
+    carry a +0.5 Laplace floor so an empty bin cannot produce ln(0) — the
+    same smoothing a production monitor needs when a bin empties out. One
+    banded census per side, then scalar math over 10 rows; the companion
+    to q_events_entropy_drift (mix drift) for continuous features."""
+    ev = T(spark, sf_dir, "events")
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    binned = ev.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("ts") < cutoff, "ref").otherwise("cur").alias("side"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+        .cast("double")
+        .alias("nr"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+        .cast("double")
+        .alias("nc"),
+    )
+    w = Window.partitionBy()
+    probs = counts.select(
+        ((F.col("nr") + 0.5) / (F.sum("nr").over(w) + 5.0)).alias("p"),
+        ((F.col("nc") + 0.5) / (F.sum("nc").over(w) + 5.0)).alias("q"),
+    )
+    return probs.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        r6(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+        ).alias("psi"),
+    )

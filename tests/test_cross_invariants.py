@@ -730,3 +730,27 @@ def test_feature_corr_bounded_and_consistent_with_agg_corr(spark):
         .collect()[0][0]
     )
     assert abs(r["corr_quantity_extendedprice"] - builtin) < 1e-5
+
+
+def test_psi_small_on_stationary_synthetic_data(spark):
+    r = QUERIES["q_ml_psi"](spark, SF_DIR).collect()[0]
+    assert r["n_bins"] == 10
+    assert r["psi"] >= 0.0  # PSI is a symmetrized KL, always non-negative
+    # the synthetic stream is stationary across the month: well under the
+    # 0.25 retrain threshold
+    assert r["psi"] < 0.25
+
+
+def test_cohort_ltv_monotone_within_cohort(spark):
+    rows = QUERIES["q_events_cohort_ltv"](spark, SF_DIR).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append(
+            (r["day_offset"], r["cum_ltv_per_user"])
+        )
+    for day, pts in by_cohort.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), day
+        assert vals[0] >= 0.0

@@ -2971,3 +2971,84 @@ def q_ml_psi(spark, sf_dir):
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
         ).alias("psi"),
     )
+
+
+@query(
+    "q_ml_lift_gains",
+    oracle="""
+    WITH scored AS (
+        SELECT event_id,
+               1.0 / (1.0 + EXP(-(-1.5 + 0.8 * value / 100.0))) AS prob,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events
+    ),
+    deciled AS (
+        SELECT y,
+               NTILE(10) OVER (ORDER BY prob DESC, event_id) AS decile
+        FROM scored
+    ),
+    per AS (
+        SELECT decile, COUNT(*)::DOUBLE AS n, SUM(y) AS pos
+        FROM deciled GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile, n, pos,
+               SUM(pos) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               SUM(n) OVER (ORDER BY decile
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               SUM(pos) OVER () AS tot_pos, SUM(n) OVER () AS tot_n
+        FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS n_pos,
+           ROUND(cum_pos / tot_pos, 6) AS cum_gain,
+           ROUND((cum_pos / tot_pos) / (cum_n / tot_n), 6) AS cum_lift
+    FROM cum
+    """,
+)
+def q_ml_lift_gains(spark, sf_dir):
+    """Cumulative gains and lift table — the model-eval readout marketing
+    and risk teams actually act on: score every row with the fixed
+    logistic scorer (the q_ml_calibration model), cut into score deciles
+    (ntile on (prob DESC, event_id) — a total order, so decile membership
+    is engine-stable), and report each decile's cumulative capture of
+    positives and lift over random targeting. Completes the evaluation
+    family: AUC ranks, calibration checks probabilities, gains/lift
+    prices the targeting decision. Post-scoring everything runs on a
+    10-row frame; the scoring pass is one map over the fact table."""
+    ev = T(spark, sf_dir, "events")
+    prob = 1.0 / (1.0 + F.exp(-(-1.5 + 0.8 * F.col("value") / 100.0)))
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    scored = ev.select("event_id", prob.alias("prob"), y.alias("y"))
+    w = Window.orderBy(F.desc("prob"), "event_id")
+    per = (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wt).alias("tot_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("n_pos"),
+        r6(F.col("cum_pos") / F.col("tot_pos")).alias("cum_gain"),
+        r6(
+            (F.col("cum_pos") / F.col("tot_pos"))
+            / (F.col("cum_n") / F.col("tot_n"))
+        ).alias("cum_lift"),
+    )

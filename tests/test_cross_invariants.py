@@ -754,3 +754,19 @@ def test_cohort_ltv_monotone_within_cohort(spark):
         vals = [v for _, v in pts]
         assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), day
         assert vals[0] >= 0.0
+
+
+def test_lift_gains_monotone_and_exhaustive(spark):
+    rows = sorted(
+        QUERIES["q_ml_lift_gains"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-6  # full population captures all positives
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-6  # lift at 100% is 1
+    # the scorer is positively informative: top decile beats random
+    assert rows[0]["cum_lift"] > 1.0

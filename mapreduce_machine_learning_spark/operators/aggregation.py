@@ -744,3 +744,52 @@ def q_agg_median_disc(spark, sf_dir):
             F.col("o_totalprice").alias("median_disc"),
         )
     )
+
+
+@query(
+    "q_agg_winsorized",
+    oracle="""
+    WITH cuts AS (
+        SELECT ROUND(quantile_cont(value, 0.05), 6) AS lo,
+               ROUND(quantile_cont(value, 0.95), 6) AS hi
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value < lo OR value > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(value), 6) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6)
+               AS winsorized_mean
+    FROM events, cuts
+    """,
+)
+def q_agg_winsorized(spark, sf_dir):
+    """Winsorized mean — the robust average that clips (not drops) values
+    outside the [P5, P95] band before averaging, the standard guard
+    against heavy-tailed metrics wrecking an A/B readout (the drop-based
+    alternative is trimming; MAD flags, winsorizing repairs). The cut
+    points are ROUND-6 before clipping — the broadcast-back determinism
+    hinge, since interpolated percentiles inherit engine FP noise — and
+    the clip itself is least/greatest column math over one broadcast row.
+    Two passes over the metric column: quantile, then clip+mean."""
+    ev = T(spark, sf_dir, "events")
+    cuts = ev.agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    j = ev.crossJoin(F.broadcast(cuts))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo"))
+                | (F.col("value") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        r6(F.avg("value")).alias("raw_mean"),
+        r6(F.avg(clipped)).alias("winsorized_mean"),
+    )

@@ -1927,3 +1927,72 @@ def q_events_cohort_ltv(spark, sf_dir):
             r6(F.col("cum_v") / F.col("n_users")).alias("cum_ltv_per_user"),
         )
     )
+
+
+@query(
+    "q_events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS stage_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS stage_click_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS stage_purchase_24h
+    """,
+)
+def q_events_funnel_windowed(spark, sf_dir):
+    """Conversion funnel with a 24-hour conversion window per stage: a
+    click only counts within 24 h of the first view, a purchase within
+    24 h of that click — the attribution-window semantics every product
+    funnel actually uses (the unbounded q_events_funnel over-credits
+    conversions that happen weeks later). Same plan shape as the
+    unbounded funnel — per-stage MIN aggregates joined forward on
+    user_id — with the window as an extra join-local predicate, so the
+    time bound costs nothing at scale."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click_24h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_24h")))
+    )

@@ -770,3 +770,24 @@ def test_lift_gains_monotone_and_exhaustive(spark):
     assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-6  # lift at 100% is 1
     # the scorer is positively informative: top decile beats random
     assert rows[0]["cum_lift"] > 1.0
+
+
+def test_windowed_funnel_dominated_by_unbounded(spark):
+    unb = QUERIES["q_events_funnel"](spark, SF_DIR).collect()[0]
+    win = QUERIES["q_events_funnel_windowed"](spark, SF_DIR).collect()[0]
+    assert win["stage_view"] == unb["stage_view"]  # entry stage identical
+    assert win["stage_click_24h"] <= unb["stage_click"]
+    assert win["stage_purchase_24h"] <= unb["stage_purchase"]
+    assert (
+        win["stage_view"] >= win["stage_click_24h"] >= win["stage_purchase_24h"]
+    )
+
+
+def test_winsorized_mean_between_clip_points(spark):
+    r = QUERIES["q_agg_winsorized"](spark, SF_DIR).collect()[0]
+    n = load_table(spark, SF_DIR, "events").count()
+    assert r["n"] == n
+    # ~10% of mass sits outside [P5, P95]
+    assert 0.05 * n < r["n_clipped"] < 0.15 * n
+    # winsorizing pulls the mean toward the median but keeps it sane
+    assert abs(r["winsorized_mean"] - r["raw_mean"]) < 0.5 * abs(r["raw_mean"])

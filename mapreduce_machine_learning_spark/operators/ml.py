@@ -3052,3 +3052,161 @@ def q_ml_lift_gains(spark, sf_dir):
             / (F.col("cum_n") / F.col("tot_n"))
         ).alias("cum_lift"),
     )
+
+
+@query(
+    "q_ml_slope_inference",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)) AS sx,
+               SUM(value) AS sy,
+               SUM(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)
+                   * CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)) AS sxx,
+               SUM(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) * value) AS sxy,
+               SUM(value * value) AS syy
+        FROM events
+    ),
+    d AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (n * sxx - sx * sx) / n AS ssx,
+               (syy - sy * sy / n)
+                   - POW(n * sxy - sx * sy, 2) / (n * (n * sxx - sx * sx))
+                   AS sse
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(slope, 6) AS slope,
+           ROUND(sqrt((sse / (n - 2)) / ssx), 6) AS se_slope,
+           ROUND(slope / sqrt((sse / (n - 2)) / ssx), 6) AS t_stat
+    FROM d
+    """,
+)
+def q_ml_slope_inference(spark, sf_dir):
+    """OLS slope INFERENCE, not just the point estimate: standard error
+    SE = √(σ̂²/Sxx) with σ̂² = SSE/(n−2), and the t-statistic that decides
+    whether the value~hour trend is distinguishable from noise — the
+    missing half of every regression readout (q_ml_linreg_stats gives the
+    coefficient, this gives its error bar; q_ml_durbin_watson validates
+    the independence assumption behind it). Everything derives from the
+    same six sufficient statistics in ONE aggregation pass — the
+    summation form carries the entire inference, not just the fit. The
+    t-stat is a ratio of same-scale quantities: round-6 safe."""
+    ev = T(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("double")
+    v = F.col("value")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(hr).alias("sx"),
+        F.sum(v).alias("sy"),
+        F.sum(hr * hr).alias("sxx"),
+        F.sum(hr * v).alias("sxy"),
+        F.sum(v * v).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ssx = (n * sxx - sx * sx) / n
+    sse = (syy - sy * sy / n) - F.pow(n * sxy - sx * sy, 2) / (
+        n * (n * sxx - sx * sx)
+    )
+    se = F.sqrt((sse / (n - 2)) / ssx)
+    return s.select(
+        n.cast("bigint").alias("n"),
+        r6(slope).alias("slope"),
+        r6(se).alias("se_slope"),
+        r6(slope / se).alias("t_stat"),
+    )
+
+
+_VIF_FEATS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@query(
+    "q_ml_vif",
+    oracle=f"""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               {", ".join(f"SUM({f}) AS s_{f[2:]}" for f in _VIF_FEATS)},
+               {", ".join(
+                   f"SUM({a} * {b}) AS s_{a[2:]}_{b[2:]}"
+                   for i, a in enumerate(_VIF_FEATS)
+                   for b in _VIF_FEATS[i:]
+               )}
+        FROM lineitem
+    ),
+    r AS (
+        SELECT
+          (n * s_quantity_extendedprice - s_quantity * s_extendedprice)
+            / (sqrt(n * s_quantity_quantity - s_quantity * s_quantity)
+               * sqrt(n * s_extendedprice_extendedprice
+                      - s_extendedprice * s_extendedprice)) AS r12,
+          (n * s_quantity_discount - s_quantity * s_discount)
+            / (sqrt(n * s_quantity_quantity - s_quantity * s_quantity)
+               * sqrt(n * s_discount_discount - s_discount * s_discount))
+              AS r13,
+          (n * s_extendedprice_discount - s_extendedprice * s_discount)
+            / (sqrt(n * s_extendedprice_extendedprice
+                    - s_extendedprice * s_extendedprice)
+               * sqrt(n * s_discount_discount - s_discount * s_discount))
+              AS r23
+        FROM s
+    )
+    SELECT
+      ROUND(1.0 / (1.0 - (r12*r12 + r13*r13 - 2*r12*r13*r23)
+                         / (1.0 - r23*r23)), 6) AS vif_quantity,
+      ROUND(1.0 / (1.0 - (r12*r12 + r23*r23 - 2*r12*r23*r13)
+                         / (1.0 - r13*r13)), 6) AS vif_extendedprice,
+      ROUND(1.0 / (1.0 - (r13*r13 + r23*r23 - 2*r13*r23*r12)
+                         / (1.0 - r12*r12)), 6) AS vif_discount
+    FROM r
+    """,
+)
+def q_ml_vif(spark, sf_dir):
+    """Variance inflation factors for the three lineitem predictors —
+    the numeric answer to 'is this feature redundant': VIF_j = 1/(1−R²_j)
+    where R²_j regresses feature j on the other two, computed in closed
+    form from the pairwise correlations (for three variables
+    R²_1 = (r₁₂² + r₁₃² − 2r₁₂r₁₃r₂₃)/(1 − r₂₃²)). Like q_ml_feature_corr
+    everything reduces to one pass of moment sums; a VIF above ~5 says
+    drop or regularize the feature before the q_ml_linreg_gram solve.
+    Ratios of O(1) correlations: round-6 safe."""
+    li = T(spark, sf_dir, "lineitem")
+    q, e, d = (F.col(f) for f in _VIF_FEATS)
+    n = F.count(F.lit(1)).cast("double")
+    s = li.agg(
+        n.alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(e).alias("se"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(e * e).alias("see"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * e).alias("sqe"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(e * d).alias("sed"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        nn = F.col("n")
+        return (nn * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(nn * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(nn * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    r12 = corr("sqe", "sq", "se", "sqq", "see")
+    r13 = corr("sqd", "sq", "sd", "sqq", "sdd")
+    r23 = corr("sed", "se", "sd", "see", "sdd")
+
+    def vif(ra, rb, rc):
+        # R² of the target on the other two via correlations ra, rb with
+        # the others and rc between the others
+        r2 = (ra * ra + rb * rb - 2 * ra * rb * rc) / (1.0 - rc * rc)
+        return 1.0 / (1.0 - r2)
+
+    return s.select(
+        r6(vif(r12, r13, r23)).alias("vif_quantity"),
+        r6(vif(r12, r23, r13)).alias("vif_extendedprice"),
+        r6(vif(r13, r23, r12)).alias("vif_discount"),
+    )

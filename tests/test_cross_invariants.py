@@ -791,3 +791,19 @@ def test_winsorized_mean_between_clip_points(spark):
     assert 0.05 * n < r["n_clipped"] < 0.15 * n
     # winsorizing pulls the mean toward the median but keeps it sane
     assert abs(r["winsorized_mean"] - r["raw_mean"]) < 0.5 * abs(r["raw_mean"])
+
+
+def test_slope_inference_consistent_with_linfit(spark):
+    r = QUERIES["q_ml_slope_inference"](spark, SF_DIR).collect()[0]
+    assert r["n"] == load_table(spark, SF_DIR, "events").count()
+    assert r["se_slope"] > 0
+    assert abs(r["t_stat"] - r["slope"] / r["se_slope"]) < 1e-3
+
+
+def test_vif_at_least_one(spark):
+    r = QUERIES["q_ml_vif"](spark, SF_DIR).collect()[0]
+    for k, v in r.asDict().items():
+        # VIF is bounded below by 1 (independent features) by construction
+        assert v >= 1.0 - 1e-6, (k, v)
+        # synthetic features are near-independent: no pathological inflation
+        assert v < 10.0, (k, v)

@@ -793,3 +793,53 @@ def q_agg_winsorized(spark, sf_dir):
         r6(F.avg("value")).alias("raw_mean"),
         r6(F.avg(clipped)).alias("winsorized_mean"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x,
+               ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+               COUNT(*) OVER ()::DOUBLE AS n,
+               SUM(x) OVER () AS tot
+        FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * x) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of per-customer order spend — the concentration
+    number behind 'top X% of customers drive Y% of revenue' (0 = equal,
+    →1 = winner-take-all), computed by the rank formula
+    G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n over the value-sorted series. Tie
+    positions among equal spends contribute symmetrically, so the unique-
+    key tie-break affects nothing; the heavy step is one per-customer
+    aggregate, then a single sort of the O(customers) frame — at 100 TB
+    the same number comes from the q_sketch_quantile_hist CDF without the
+    sort. Companion to q_events_skewprofile's decile shares."""
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    wt = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wt).cast("double").alias("n"),
+        F.sum("x").over(wt).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        r6(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1) / F.max("n")
+        ).alias("gini"),
+    )

@@ -1996,3 +1996,80 @@ def q_events_funnel_windowed(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click_24h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_24h")))
     )
+
+
+@query(
+    "q_events_assoc_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT user_id, ts::DATE AS day, event_type
+        FROM events
+    ),
+    nb AS (
+        SELECT COUNT(*)::DOUBLE AS n_baskets
+        FROM (SELECT DISTINCT user_id, ts::DATE FROM events)
+    ),
+    singles AS (
+        SELECT event_type, COUNT(*)::DOUBLE AS n_a
+        FROM basket GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               COUNT(*)::DOUBLE AS n_ab
+        FROM basket a
+        JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+                     AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent,
+           ROUND(n_ab / n_baskets, 6) AS support,
+           ROUND(n_ab / s.n_a, 6) AS confidence
+    FROM pairs
+    JOIN singles s ON s.event_type = antecedent
+    CROSS JOIN nb
+    """,
+)
+def q_events_assoc_rules(spark, sf_dir):
+    """Association rules A→B over (user, day) baskets: support
+    P(A∧B) and confidence P(B|A) for every DIRECTED event-type pair —
+    the level-1 Apriori output that q_events_cooccur's symmetric lift
+    doesn't give (confidence is asymmetric: error→purchase and
+    purchase→error differ). Shares the basket census and the
+    within-basket self-join with the co-occurrence kernel — at scale the
+    basket table is the one shuffle and the per-basket item set bounds
+    the join fan-out (≤5 types here; cap per-basket items on real
+    data, the standard Apriori guard)."""
+    ev = T(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    nb = basket.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    singles = basket.groupBy(
+        F.col("event_type").alias("antecedent")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_a"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(singles), "antecedent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            r6(F.col("n_ab") / F.col("n_baskets")).alias("support"),
+            r6(F.col("n_ab") / F.col("n_a")).alias("confidence"),
+        )
+    )

@@ -807,3 +807,26 @@ def test_vif_at_least_one(spark):
         assert v >= 1.0 - 1e-6, (k, v)
         # synthetic features are near-independent: no pathological inflation
         assert v < 10.0, (k, v)
+
+
+def test_assoc_rules_probability_axioms(spark):
+    rows = QUERIES["q_events_assoc_rules"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # 5 types, directed pairs
+    by_pair = {(r["antecedent"], r["consequent"]): r for r in rows}
+    for (a, b), r in by_pair.items():
+        assert 0.0 < r["support"] <= r["confidence"] <= 1.0
+        # support is symmetric even though confidence is not
+        mirror = by_pair[(b, a)]
+        assert abs(r["support"] - mirror["support"]) < 2e-6
+
+
+def test_gini_in_unit_interval(spark):
+    r = QUERIES["q_agg_gini"](spark, SF_DIR).collect()[0]
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert r["n_customers"] == n_cust
+    assert 0.0 <= r["gini"] < 1.0

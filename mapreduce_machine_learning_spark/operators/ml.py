@@ -3210,3 +3210,58 @@ def q_ml_vif(spark, sf_dir):
         r6(vif(r12, r23, r13)).alias("vif_extendedprice"),
         r6(vif(r13, r23, r12)).alias("vif_discount"),
     )
+
+
+@query(
+    "q_ml_cohens_kappa",
+    oracle="""
+    WITH preds AS (
+        SELECT CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS a,
+               CASE WHEN 1.0 / (1.0 + EXP(-(-1.5 + 0.8 * value / 100.0)))
+                         >= 0.3 THEN 1 ELSE 0 END AS b
+        FROM events
+    ),
+    c AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::DOUBLE AS agree,
+               SUM(a)::DOUBLE AS pa, SUM(b)::DOUBLE AS pb
+        FROM preds
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(agree / n, 6) AS observed_agreement,
+           ROUND((pa * pb + (n - pa) * (n - pb)) / (n * n), 6)
+               AS chance_agreement,
+           ROUND((agree / n - (pa * pb + (n - pa) * (n - pb)) / (n * n))
+                 / (1.0 - (pa * pb + (n - pa) * (n - pb)) / (n * n)), 6)
+               AS kappa
+    FROM c
+    """,
+)
+def q_ml_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two classifiers of the same stream — the
+    value-threshold stump (q_ml_adaboost_stump's rule) and the
+    logistic scorer at 0.3 (q_ml_calibration's model): chance-corrected
+    agreement κ = (p₀ − pₑ)/(1 − pₑ). Raw agreement overstates
+    consistency when both raters mostly say 'no'; κ is the honest number
+    for comparing labelers, model versions, or human-vs-model annotation
+    — the measurement a labeling pipeline runs before trusting
+    auto-labels. Four partial sums, one row out."""
+    ev = T(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= 100.0, 1).otherwise(0)
+    prob = 1.0 / (1.0 + F.exp(-(-1.5 + 0.8 * F.col("value") / 100.0)))
+    b = F.when(prob >= 0.3, 1).otherwise(0)
+    c = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(a == b, 1).otherwise(0)).cast("double").alias("agree"),
+        F.sum(a).cast("double").alias("pa"),
+        F.sum(b).cast("double").alias("pb"),
+    )
+    n, agree, pa, pb = (F.col(x) for x in ("n", "agree", "pa", "pb"))
+    pe = (pa * pb + (n - pa) * (n - pb)) / (n * n)
+    po = agree / n
+    return c.select(
+        n.cast("bigint").alias("n"),
+        r6(po).alias("observed_agreement"),
+        r6(pe).alias("chance_agreement"),
+        r6((po - pe) / (1.0 - pe)).alias("kappa"),
+    )

@@ -1314,3 +1314,75 @@ def q_text_symspell(spark, sf_dir):
     return cand.filter(dist <= 1).select(
         "tok_a", "tok_b", dist.cast("bigint").alias("dist")
     )
+
+
+@query(
+    "q_text_lang_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sizes AS (
+        SELECT lang, COUNT(*)::DOUBLE AS v FROM vocab GROUP BY lang
+    ),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               COUNT(*)::DOUBLE AS common
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b,
+           CAST(common AS BIGINT) AS common_tokens,
+           ROUND(common / (sa.v + sb.v - common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    """,
+)
+def q_text_lang_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap: Jaccard similarity between each
+    language pair's token vocabularies — the corpus-comparison pass that
+    detects language mislabeling and script sharing before language-
+    filtered training splits are trusted (two 'different' languages with
+    Jaccard ≈ 1 means the lang column is noise, which q_text_langid then
+    adjudicates). The vocab census collapses the corpus to O(langs·vocab)
+    rows, the token-keyed self-join explodes only within shared tokens,
+    and sizes broadcast back — the same census/pairs/normalize shape as
+    item-CF, applied to vocabularies."""
+    vocab = (
+        T(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("va"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("common").cast("bigint").alias("common_tokens"),
+            r6(
+                F.col("common")
+                / (F.col("va") + F.col("vb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -830,3 +830,26 @@ def test_gini_in_unit_interval(spark):
     )
     assert r["n_customers"] == n_cust
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_lang_overlap_bounds(spark):
+    rows = QUERIES["q_text_lang_overlap"](spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) language pairs
+    vocab_n = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert 0 < r["common_tokens"] <= vocab_n
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_kappa_bounded_by_observed_agreement(spark):
+    r = QUERIES["q_ml_cohens_kappa"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["observed_agreement"] <= 1.0
+    assert 0.0 <= r["chance_agreement"] < 1.0
+    assert -1.0 <= r["kappa"] <= 1.0
+    # kappa never exceeds raw agreement (chance correction only subtracts)
+    assert r["kappa"] <= r["observed_agreement"] + 1e-9

@@ -2073,3 +2073,86 @@ def q_events_assoc_rules(spark, sf_dir):
             r6(F.col("n_ab") / F.col("n_a")).alias("confidence"),
         )
     )
+
+
+@query(
+    "q_events_bounce_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               arg_min(event_type,
+                       lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                       || lpad(event_id::VARCHAR, 12, '0')) AS entry_type
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def q_events_bounce_rate(spark, sf_dir):
+    """Bounce rate by session entry type: sessionize with the 30-minute
+    gap rule (the q_stream_session convention, spelled as gaps-and-
+    islands so both engines agree on boundaries), then classify each
+    session by its FIRST event (min_by on the epoch‖id composite key)
+    and count single-event sessions — the classic engagement metric that
+    tells you which entry points lose users immediately. One (user_id →
+    ts) sort shared with the whole sequential-window family, then a
+    per-session aggregate and a 5-row roll-up."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull() | (gap_us > 1800000000), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(wrun).alias("sid"),
+    )
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", ord_key).alias("entry_type"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).cast("bigint").alias("n_bounces"),
+        r6(F.sum(bounce.cast("double")) / F.count(F.lit(1))).alias(
+            "bounce_rate"
+        ),
+    )

@@ -1386,3 +1386,69 @@ def q_text_lang_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_text_novelty",
+    oracle="""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, lang,
+               UNNEST(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2]))
+                   AS shingle
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc
+        FROM shingles GROUP BY shingle
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS novelty_rate
+    FROM shingles JOIN first_seen USING (shingle)
+    GROUP BY lang
+    """,
+)
+def q_text_novelty(spark, sf_dir):
+    """N-gram novelty audit: for each language, the fraction of distinct
+    per-doc 3-gram shingles that are INTRODUCED by that doc (no
+    lower-doc_id document contains them) — the streaming-corpus view of
+    duplication, and the measurement behind 'how much of the new crawl is
+    actually new'. A novelty rate collapsing toward 0 as doc_id grows is
+    the saturation signal that more data from this source stops paying.
+    Shingle census → MIN(doc_id) per shingle (one shuffle on the shingle
+    key, the same key q_llm_dup_ngrams shuffles) → re-join and per-lang
+    roll-up."""
+    toks = F.split("text", " ")
+    sh = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', split(text, ' ')[i-1],"
+        " split(text, ' ')[i], split(text, ' ')[i+1]))"
+    )
+    shingles = (
+        T(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", "lang", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    first_seen = shingles.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        shingles.join(first_seen, "shingle")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            r6(F.sum(novel.cast("double")) / F.count(F.lit(1))).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -853,3 +853,23 @@ def test_kappa_bounded_by_observed_agreement(spark):
     assert -1.0 <= r["kappa"] <= 1.0
     # kappa never exceeds raw agreement (chance correction only subtracts)
     assert r["kappa"] <= r["observed_agreement"] + 1e-9
+
+
+def test_bounce_sessions_total_matches_session_query(spark):
+    total_sessions = sum(
+        r["num_sessions"]
+        for r in QUERIES["q_stream_session"](spark, SF_DIR).collect()
+    )
+    rows = QUERIES["q_events_bounce_rate"](spark, SF_DIR).collect()
+    assert sum(r["n_sessions"] for r in rows) == total_sessions
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_novelty_bounded_and_exhaustive(spark):
+    rows = QUERIES["q_text_novelty"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per language
+    for r in rows:
+        assert 0 < r["n_novel"] <= r["n_shingles"]
+        assert 0.0 < r["novelty_rate"] <= 1.0

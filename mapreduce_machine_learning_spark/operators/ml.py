@@ -3265,3 +3265,42 @@ def q_ml_cohens_kappa(spark, sf_dir):
         r6(pe).alias("chance_agreement"),
         r6((po - pe) / (1.0 - pe)).alias("kappa"),
     )
+
+
+@query(
+    "q_ml_emb_dim_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               UNNEST(embedding)::DOUBLE AS x
+        FROM embeddings
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(AVG(x), 6) AS mean_x,
+           ROUND(VAR_SAMP(x), 6) AS var_x,
+           ROUND(MAX(ABS(x)), 6) AS max_abs
+    FROM dims GROUP BY dim
+    """,
+)
+def q_ml_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics — the vector-column health
+    audit: a dimension with ~zero variance is dead weight in every
+    cosine/distance computation (and a candidate for pruning before the
+    ANN index is built); a dimension with outsized max|x| dominates
+    unnormalized distances. posexplode turns the array column into
+    (dim, value) rows — the same dimension-exploded shape the centroid
+    and PCA kernels use — and the aggregate state is 64 rows of moments
+    regardless of vector count: this is how you profile a billion-vector
+    column without ever materializing it densely."""
+    emb = T(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return dims.groupBy("dim").agg(
+        r6(F.avg("x")).alias("mean_x"),
+        r6(F.var_samp("x")).alias("var_x"),
+        r6(F.max(F.abs("x"))).alias("max_abs"),
+    )

@@ -873,3 +873,11 @@ def test_novelty_bounded_and_exhaustive(spark):
     for r in rows:
         assert 0 < r["n_novel"] <= r["n_shingles"]
         assert 0.0 < r["novelty_rate"] <= 1.0
+
+
+def test_emb_dim_stats_cover_all_dims(spark):
+    rows = QUERIES["q_ml_emb_dim_stats"](spark, SF_DIR).collect()
+    assert sorted(r["dim"] for r in rows) == list(range(1, 65))
+    for r in rows:
+        assert r["var_x"] > 0  # no dead dimensions in the synthetic space
+        assert r["max_abs"] >= abs(r["mean_x"])

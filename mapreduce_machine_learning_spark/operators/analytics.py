@@ -2156,3 +2156,88 @@ def q_events_bounce_rate(spark, sf_dir):
             "bounce_rate"
         ),
     )
+
+
+@query(
+    "q_events_slo_breaches",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               COUNT(*)::DOUBLE AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+                   AS errs
+        FROM events GROUP BY 1
+    ),
+    flagged AS (
+        SELECT hour_start, errs / n AS err_rate,
+               CASE WHEN errs / n > 0.25 THEN 1 ELSE 0 END AS breach,
+               ROW_NUMBER() OVER (ORDER BY hour_start) AS rn
+        FROM hourly
+    ),
+    runs AS (
+        SELECT breach, rn - ROW_NUMBER() OVER (PARTITION BY breach
+                                               ORDER BY rn) AS island
+        FROM flagged
+    )
+    SELECT CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_hours,
+           CAST((SELECT SUM(breach) FROM flagged) AS BIGINT)
+               AS n_breach_hours,
+           ROUND((SELECT MAX(err_rate) FROM flagged), 6) AS worst_rate,
+           CAST(COALESCE((SELECT MAX(cnt) FROM (
+               SELECT COUNT(*) AS cnt FROM runs
+               WHERE breach = 1 GROUP BY island)), 0) AS BIGINT)
+               AS longest_breach_run
+    """,
+)
+def q_events_slo_breaches(spark, sf_dir):
+    """SLO burn monitoring: hourly error rate against a 25% threshold,
+    reporting breach hours, the worst hour, and the LONGEST consecutive
+    breach run — the gaps-and-islands trick applied to alerting (one
+    5-minute blip and a 6-hour outage have the same breach count; the run
+    length is what pages someone). Hourly pre-aggregation is the only
+    fact-table pass; the island logic runs on O(hours) rows. The same
+    query shape over readStream + watermark is the live alerting path
+    (tumble twin in streaming/live.py)."""
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("errs"),
+    )
+    flagged = hourly.select(
+        "hour_start",
+        (F.col("errs") / F.col("n")).alias("err_rate"),
+        F.when(F.col("errs") / F.col("n") > 0.25, 1)
+        .otherwise(0)
+        .alias("breach"),
+        F.row_number().over(Window.orderBy("hour_start")).alias("rn"),
+    )
+    runs = flagged.select(
+        "breach",
+        (
+            F.col("rn")
+            - F.row_number().over(
+                Window.partitionBy("breach").orderBy("rn")
+            )
+        ).alias("island"),
+    )
+    longest = (
+        runs.filter(F.col("breach") == 1)
+        .groupBy("island")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.coalesce(F.max("cnt"), F.lit(0)).alias("longest"))
+    )
+    summary = flagged.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("breach").cast("bigint").alias("n_breach_hours"),
+        r6(F.max("err_rate")).alias("worst_rate"),
+    )
+    return summary.crossJoin(longest).select(
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        "n_breach_hours",
+        "worst_rate",
+        F.col("longest").cast("bigint").alias("longest_breach_run"),
+    )

@@ -1452,3 +1452,78 @@ def q_text_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    cps AS (
+        SELECT UNNEST(generate_series(1, 10)) AS checkpoint
+    ),
+    curve AS (
+        SELECT checkpoint,
+               lo + CAST(FLOOR((hi - lo + 1) * checkpoint / 10.0)
+                         AS BIGINT) - 1 AS cutoff
+        FROM cps, bounds
+    )
+    SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+           CAST(cutoff AS BIGINT) AS cutoff_doc,
+           CAST((SELECT COUNT(*) FROM first_seen f
+                 WHERE f.first_doc <= c.cutoff) AS BIGINT) AS vocab_size
+    FROM curve c
+    """,
+)
+def q_text_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (the empirical Heaps'-law plot): distinct
+    tokens accumulated after each 10% of the corpus in doc_id order —
+    the saturation diagnostic that says whether crawling MORE of this
+    source still buys vocabulary (flat curve = q_text_novelty's verdict,
+    seen cumulatively). The trick that makes it one pass instead of 10:
+    a token's contribution to every checkpoint is determined by its
+    FIRST document, so MIN(doc_id) per token + a ≤-cutoff count per
+    checkpoint replaces ten distinct-counts over growing prefixes — at
+    100 TB that is one shuffle on the token key versus ten."""
+    d = T(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    first_seen = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cps = d.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("checkpoint")
+    )
+    curve = cps.crossJoin(F.broadcast(bounds)).select(
+        "checkpoint",
+        (
+            F.col("lo")
+            + F.floor(
+                (F.col("hi") - F.col("lo") + 1) * F.col("checkpoint") / 10.0
+            ).cast("bigint")
+            - 1
+        ).alias("cutoff"),
+    )
+    return (
+        curve.join(
+            first_seen, F.col("first_doc") <= F.col("cutoff"), "left"
+        )
+        .groupBy("checkpoint", "cutoff")
+        .agg(F.count("tok").alias("vocab_size"))
+        .select(
+            F.col("checkpoint").cast("bigint").alias("checkpoint"),
+            F.col("cutoff").cast("bigint").alias("cutoff_doc"),
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        )
+    )

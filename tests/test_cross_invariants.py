@@ -881,3 +881,30 @@ def test_emb_dim_stats_cover_all_dims(spark):
     for r in rows:
         assert r["var_x"] > 0  # no dead dimensions in the synthetic space
         assert r["max_abs"] >= abs(r["mean_x"])
+
+
+def test_slo_breach_run_bounded_by_breach_hours(spark):
+    r = QUERIES["q_events_slo_breaches"](spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_breach_hours"] <= r["n_hours"]
+    assert 0 <= r["longest_breach_run"] <= r["n_breach_hours"]
+    assert 0.0 <= r["worst_rate"] <= 1.0
+    if r["n_breach_hours"] > 0:
+        assert r["longest_breach_run"] >= 1
+        assert r["worst_rate"] > 0.25
+
+
+def test_vocab_growth_monotone_to_full_vocab(spark):
+    rows = sorted(
+        QUERIES["q_text_vocab_growth"](spark, SF_DIR).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    full_vocab = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert sizes[-1] == full_vocab

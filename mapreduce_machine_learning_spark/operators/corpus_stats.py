@@ -1,0 +1,253 @@
+"""Corpus-level lexical statistics: collocation mining (PMI), term
+burstiness, and corpus-comparison keyness (Dunning's log-likelihood G²).
+
+These are the classic MapReduce text-statistics jobs (n-gram counting with
+derived association scores) re-expressed as DataFrame aggregations. All
+scores are deterministic functions of exact integer counts, so cross-engine
+parity holds to FP rounding of a single closed-form expression; every top-k
+orders by the ROUNDED score with lexical tie-breaks (grid-stable selection,
+SURVEY §2.1 rule 4).
+
+Scale notes (100 TB): token/bigram extraction is explode-free where possible
+(higher-order `transform` over the split array), counts use partial+final
+hash aggregation keyed by token/bigram, and every derived score joins count
+tables that are |vocab|-sized — orders of magnitude smaller than the corpus.
+The global totals are 1-row aggregates broadcast into the score expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_text_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS (
+        SELECT token, COUNT(*) AS c
+        FROM (SELECT UNNEST(toks) AS token FROM toks)
+        GROUP BY token
+    ),
+    n AS (SELECT SUM(c)::DOUBLE AS n_tok FROM uni),
+    bg AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_ab
+        FROM (
+            SELECT UNNEST(list_transform(
+                       range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+                       AS b
+            FROM toks WHERE len(toks) >= 2
+        )
+        GROUP BY b.w1, b.w2
+    ),
+    t AS (SELECT SUM(c_ab)::DOUBLE AS n_bg FROM bg)
+    SELECT bg.w1, bg.w2,
+           CAST(bg.c_ab AS BIGINT) AS bigram_count,
+           ROUND(LN(CAST(bg.c_ab AS DOUBLE) * n.n_tok * n.n_tok
+                    / (t.n_bg * u1.c * u2.c)), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.token
+    JOIN uni u2 ON bg.w2 = u2.token
+    CROSS JOIN n CROSS JOIN t
+    WHERE bg.c_ab >= 5
+    ORDER BY pmi DESC, bg.w1, bg.w2
+    LIMIT 20
+    """,
+)
+def q_text_pmi(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information with support ≥5:
+    PMI(a,b) = ln( p(ab) / (p(a)p(b)) ) with p(ab) from adjacent-bigram
+    counts and p(·) from unigram counts. The score is ln of ONE double
+    ratio of exact integer counts — composed identically on both engines —
+    and ordering is on the rounded score, so the selected set is stable.
+    Two count aggregations (unigram, bigram) + two |vocab|-keyed joins."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    uni = (
+        docs.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("double").alias("n_tok"))
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    t = bg.agg(F.sum("c_ab").cast("double").alias("n_bg"))
+    u1 = uni.select(F.col("token").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bg.filter(F.col("c_ab") >= 5)
+        .join(u1, F.col("w1") == F.col("t1"))
+        .join(u2, F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("bigram_count"),
+            r6(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_tok")
+                    * F.col("n_tok")
+                    / (F.col("n_bg") * F.col("c1") * F.col("c2"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+
+
+@query(
+    "q_text_burstiness",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ),
+    nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    per_tok AS (
+        SELECT token,
+               COUNT(*) AS df,
+               SUM(c)::DOUBLE AS tot,
+               SUM(c * c)::DOUBLE AS sumsq
+        FROM per_doc GROUP BY token
+    )
+    SELECT token,
+           CAST(df AS BIGINT) AS df,
+           ROUND(tot / n_docs, 6) AS mean_count,
+           ROUND((sumsq / n_docs - (tot / n_docs) * (tot / n_docs))
+                 / (tot / n_docs), 6) AS vmr
+    FROM per_tok CROSS JOIN nd
+    ORDER BY df DESC, token
+    LIMIT 50
+    """,
+)
+def q_text_burstiness(spark, sf_dir):
+    """Term burstiness for the 50 highest-document-frequency tokens:
+    variance-to-mean ratio of the per-document count INCLUDING zero
+    occurrences, computed algebraically from Σc and Σc² over only the docs
+    that contain the token (zeros contribute nothing to either sum, so the
+    dense per-doc matrix is never materialized — the sparse trick that
+    makes this linear in token occurrences at any corpus size). VMR ≈ 1 is
+    Poisson scatter; VMR ≫ 1 marks content words that clump (Church–Gale
+    burstiness). Ordering is (df DESC, token) — exact-integer keys."""
+    docs = T(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").cast("double").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sumsq"),
+    )
+    mean = F.col("tot") / F.col("n_docs")
+    return (
+        per_tok.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            r6(mean).alias("mean_count"),
+            r6((F.col("sumsq") / F.col("n_docs") - mean * mean) / mean).alias(
+                "vmr"
+            ),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "q_text_keyness",
+    oracle="""
+    WITH tok AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+               UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token,
+               SUM(is_en)::DOUBLE AS a,
+               SUM(1 - is_en)::DOUBLE AS b
+        FROM tok GROUP BY token
+    ),
+    tot AS (SELECT SUM(a) AS ca, SUM(b) AS cb FROM cnt),
+    scored AS (
+        SELECT token, CAST(a AS BIGINT) AS count_en,
+               CAST(b AS BIGINT) AS count_rest,
+               2.0 * ((CASE WHEN a > 0 THEN
+                           a * LN(a / (ca * (a + b) / (ca + cb)))
+                       ELSE 0 END)
+                      + (CASE WHEN b > 0 THEN
+                             b * LN(b / (cb * (a + b) / (ca + cb)))
+                         ELSE 0 END)) AS g2
+        FROM cnt CROSS JOIN tot
+        WHERE a + b >= 10 AND a / ca > b / cb
+    )
+    SELECT token, count_en, count_rest, ROUND(g2, 6) AS g2
+    FROM scored
+    ORDER BY ROUND(g2, 6) DESC, token
+    LIMIT 20
+    """,
+)
+def q_text_keyness(spark, sf_dir):
+    """Keyword extraction by corpus comparison: Dunning's log-likelihood G²
+    of each token in the English subcorpus vs the rest, keeping tokens
+    overrepresented in English (rate a/Cₐ > b/C_b) with support ≥ 10;
+    top-20 by rounded G². The x·ln(x/E) terms zero-guard exactly as the
+    statistic requires (lim x→0 x·ln x = 0). One token-count aggregation
+    keyed (token), one 1-row total broadcast — the same shuffle profile as
+    word count regardless of corpus size."""
+    tok = T(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum("is_en").cast("double").alias("a"),
+        F.sum(1 - F.col("is_en")).cast("double").alias("b"),
+    )
+    tot = cnt.agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    a, b, ca, cb = F.col("a"), F.col("b"), F.col("ca"), F.col("cb")
+    e_a = ca * (a + b) / (ca + cb)
+    e_b = cb * (a + b) / (ca + cb)
+    g2 = 2.0 * (
+        F.when(a > 0, a * F.log(a / e_a)).otherwise(0.0)
+        + F.when(b > 0, b * F.log(b / e_b)).otherwise(0.0)
+    )
+    scored = (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter((a + b >= 10) & (a / ca > b / cb))
+        .select(
+            "token",
+            a.cast("bigint").alias("count_en"),
+            b.cast("bigint").alias("count_rest"),
+            r6(g2).alias("g2"),
+        )
+    )
+    return scored.orderBy(F.desc("g2"), "token").limit(20)

@@ -1,0 +1,548 @@
+"""Classical two-sample statistical tests and rank statistics, in one-pass
+aggregate form (SURVEY.md §2.6 extension — the same summation-form discipline
+as the reference's ML kernels: scan → keyed partial aggregation → tiny
+driver-side arithmetic, per Chu et al. NIPS'06).
+
+Scale notes (100 TB): every query below reduces to (a) one hash aggregation
+over the fact table keyed by the test variable's DISTINCT VALUE, then (b)
+window/aggregate arithmetic over the distinct-value frame, which is orders of
+magnitude smaller than the data (2-decimal measures → ≤ ~50k distinct
+values regardless of row count). The single-partition window over that frame
+is deliberate: it runs on O(|distinct values|), never O(rows). If the value
+domain were unbounded, the scale path is range-partitioned ranking (compute
+per-partition counts, prefix-sum partition offsets on the driver — the
+classic distributed-rank two-pass).
+
+Determinism: ranks are AVERAGE ranks computed arithmetically from counts
+(cum − cnt + (cnt+1)/2), not engine rank() functions, so tie semantics are
+identical on both engines by construction. All outputs are O(1)-magnitude
+statistics rounded to 6 places (SURVEY §2.1 rule 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+def _two_sample(spark, sf_dir, a="purchase", b="click"):
+    """Shared distinct-value frame for the two-sample tests: one row per
+    distinct `value` among events of the two types, with per-group counts."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type").isin(a, b))
+    return ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == a, 1).otherwise(0)).alias("cnt_a"),
+    )
+
+
+@query(
+    "q_ml_welch_ttest",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_click,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 6)
+               AS mean_purchase,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'click'), 6)
+               AS mean_click,
+           ROUND((AVG(value) FILTER (WHERE event_type = 'purchase')
+                  - AVG(value) FILTER (WHERE event_type = 'click'))
+                 / SQRT(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                            / COUNT(*) FILTER (WHERE event_type = 'purchase')
+                        + VAR_SAMP(value) FILTER (WHERE event_type = 'click')
+                            / COUNT(*) FILTER (WHERE event_type = 'click')),
+                 6) AS t_stat,
+           ROUND(POW(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                         / COUNT(*) FILTER (WHERE event_type = 'purchase')
+                     + VAR_SAMP(value) FILTER (WHERE event_type = 'click')
+                         / COUNT(*) FILTER (WHERE event_type = 'click'), 2)
+                 / (POW(VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                            / COUNT(*) FILTER (WHERE event_type = 'purchase'),
+                        2)
+                        / (COUNT(*) FILTER (WHERE event_type = 'purchase') - 1)
+                    + POW(VAR_SAMP(value) FILTER (WHERE event_type = 'click')
+                              / COUNT(*) FILTER (WHERE event_type = 'click'),
+                          2)
+                        / (COUNT(*) FILTER (WHERE event_type = 'click') - 1)),
+                 6) AS df_welch
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    """,
+)
+def q_ml_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test of `value` between purchase and click
+    events: per-group n/mean/var_samp in ONE conditional-aggregation pass
+    (no shuffle beyond the final 1-row agg — partial aggregation does all
+    the work map-side), then the t statistic and Welch–Satterthwaite
+    degrees of freedom as driver-free column arithmetic."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    c = F.when(F.col("event_type") == "click", F.col("value"))
+    agg = ev.agg(
+        F.count(p).alias("n1"),
+        F.count(c).alias("n2"),
+        F.avg(p).alias("m1"),
+        F.avg(c).alias("m2"),
+        F.var_samp(p).alias("v1"),
+        F.var_samp(c).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        r6("m1").alias("mean_purchase"),
+        r6("m2").alias("mean_click"),
+        r6((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+        r6(df_w).alias("df_welch"),
+    )
+
+
+@query(
+    "q_ml_mannwhitney",
+    oracle="""
+    WITH vals AS (
+        SELECT value, COUNT(*) AS cnt,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cnt_a
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY value
+    ),
+    ranked AS (
+        SELECT cnt, cnt_a,
+               SUM(cnt) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               (cnt * cnt * cnt - cnt)::DOUBLE AS tie3
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS n1,
+               CAST(SUM(cnt - cnt_a) AS BIGINT) AS n2,
+               SUM(cnt_a * (cum - cnt + (cnt + 1) / 2.0)) AS r1,
+               SUM(tie3) AS tie_term
+        FROM ranked
+    )
+    SELECT n1, n2,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tie_term / ((n1 + n2)::DOUBLE
+                                         * (n1 + n2 - 1)))),
+                 6) AS z_score
+    FROM s
+    """,
+)
+def q_ml_mannwhitney(spark, sf_dir):
+    """Mann–Whitney U test (purchase vs click `value`), tie-corrected.
+    Average ranks come from the distinct-value frame: cum − cnt + (cnt+1)/2
+    gives every member of a tie group its average rank without any engine
+    rank() call, so both engines agree by arithmetic identity. The window
+    runs over distinct values only (2-decimal domain → bounded), never the
+    raw rows; the normal-approximation z uses the standard tie-corrected
+    variance n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1)))."""
+    vals = _two_sample(spark, sf_dir)
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "cnt",
+        "cnt_a",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("double")
+        .alias("tie3"),
+    )
+    s = ranked.agg(
+        F.sum("cnt_a").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("cnt_a")
+            * (F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum("tie3").alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    sigma2 = (
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        r6(u1).alias("u_stat"),
+        r6((u1 - n1 * n2 / 2.0) / F.sqrt(sigma2)).alias("z_score"),
+    )
+
+
+@query(
+    "q_ml_ks_test",
+    oracle="""
+    WITH vals AS (
+        SELECT value, COUNT(*) AS cnt,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cnt_a
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY value
+    ),
+    tot AS (
+        SELECT SUM(cnt_a)::DOUBLE AS n1, SUM(cnt - cnt_a)::DOUBLE AS n2
+        FROM vals
+    ),
+    ecdf AS (
+        SELECT SUM(cnt_a) OVER (ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) / tot.n1 AS f1,
+               SUM(cnt - cnt_a) OVER (ORDER BY value
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) / tot.n2 AS f2
+        FROM vals, tot
+    )
+    SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n_purchase,
+           CAST((SELECT n2 FROM tot) AS BIGINT) AS n_click,
+           ROUND(MAX(ABS(f1 - f2)), 6) AS ks_d
+    FROM ecdf
+    """,
+)
+def q_ml_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D (purchase vs click `value`): both
+    empirical CDFs evaluated on the shared distinct-value grid via running
+    sums, D = max|F1 − F2|. The supremum over the pooled sample is exact —
+    evaluating only at observed points loses nothing because ECDFs are step
+    functions jumping at those points."""
+    vals = _two_sample(spark, sf_dir)
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = vals.agg(
+        F.sum("cnt_a").cast("double").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("double").alias("n2"),
+    )
+    ecdf = vals.crossJoin(F.broadcast(tot)).select(
+        (F.sum("cnt_a").over(w) / F.col("n1")).alias("f1"),
+        (F.sum(F.col("cnt") - F.col("cnt_a")).over(w) / F.col("n2")).alias(
+            "f2"
+        ),
+        "n1",
+        "n2",
+    )
+    return ecdf.agg(
+        F.max(F.col("n1").cast("bigint")).alias("n_purchase"),
+        F.max(F.col("n2").cast("bigint")).alias("n_click"),
+        r6(F.max(F.abs(F.col("f1") - F.col("f2")))).alias("ks_d"),
+    )
+
+
+@query(
+    "q_ml_spearman",
+    oracle="""
+    WITH rx AS (
+        SELECT l_quantity AS v,
+               SUM(COUNT(*)) OVER (ORDER BY l_quantity
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                   - COUNT(*) + (COUNT(*) + 1) / 2.0 AS avg_rank
+        FROM lineitem GROUP BY l_quantity
+    ),
+    ry AS (
+        SELECT l_extendedprice AS v,
+               SUM(COUNT(*)) OVER (ORDER BY l_extendedprice
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                   - COUNT(*) + (COUNT(*) + 1) / 2.0 AS avg_rank
+        FROM lineitem GROUP BY l_extendedprice
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CORR(rx.avg_rank, ry.avg_rank), 6) AS spearman_rho
+    FROM lineitem l
+    JOIN rx ON l.l_quantity = rx.v
+    JOIN ry ON l.l_extendedprice = ry.v
+    """,
+)
+def q_ml_spearman(spark, sf_dir):
+    """Spearman rank correlation between l_quantity and l_extendedprice:
+    average ranks per distinct value (arithmetic tie rule as in
+    q_ml_mannwhitney), joined back to the fact rows, then built-in Pearson
+    CORR over the rank pairs. The quantity rank table is tiny (≤50 distinct
+    ints → broadcast); the price rank table is O(distinct prices) and joins
+    on its value key — at 100 TB both rank tables come from the same
+    aggregation shuffle their join reuses."""
+    li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+
+    def ranks(df, col):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return g.select(
+            F.col(col).alias("v"),
+            (
+                F.sum("cnt").over(w)
+                - F.col("cnt")
+                + (F.col("cnt") + 1) / 2.0
+            ).alias("avg_rank"),
+        )
+
+    rx = ranks(li, "l_quantity")
+    ry = ranks(li, "l_extendedprice")
+    joined = (
+        li.join(F.broadcast(rx), li.l_quantity == rx.v)
+        .drop("v")
+        .withColumnRenamed("avg_rank", "rank_x")
+        .join(ry, li.l_extendedprice == ry.v)
+        .drop("v")
+        .withColumnRenamed("avg_rank", "rank_y")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(F.corr("rank_x", "rank_y")).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q_events_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT SUBSTRING(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS first_digit
+        FROM events WHERE value > 0
+    ),
+    counted AS (
+        SELECT first_digit, COUNT(*) AS n,
+               SUM(COUNT(*)) OVER () AS total
+        FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n / total::DOUBLE, 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / CAST(first_digit AS INT)), 6)
+               AS benford_p
+    FROM counted
+    """,
+)
+def q_events_benford(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of event values. The
+    digit is extracted ARITHMETICALLY from exact integer cents
+    (round(value·100) → bigint → leading decimal digit via string), not
+    via floor(log10(x)) — values sit on a 2-decimal grid, and libm log10
+    can land 1 ulp below an integer at exact powers of 10, flipping the
+    digit on one engine only. Integer→string is exact on both engines.
+    Output: per-digit count, observed frequency, and the Benford
+    expectation log10(1+1/d)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digits = ev.select(
+        F.substring(
+            F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        ).alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    return counted.select(
+        "first_digit",
+        F.col("n").cast("bigint").alias("n"),
+        r6(F.col("n") / F.sum("n").over(w).cast("double")).alias(
+            "observed_p"
+        ),
+        r6(
+            F.log10(1.0 + 1.0 / F.col("first_digit").cast("int"))
+        ).alias("benford_p"),
+    )
+
+
+@query(
+    "q_events_kaplan_meier",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(ts) - INTERVAL 6 HOUR AS cutoff FROM events
+    ),
+    users AS (
+        SELECT user_id,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+               CASE WHEN MAX(ts) < (SELECT cutoff FROM horizon)
+                    THEN 1 ELSE 0 END AS is_death
+        FROM events GROUP BY user_id
+    ),
+    by_dur AS (
+        SELECT dur_us, SUM(is_death) AS deaths, COUNT(*) AS m
+        FROM users GROUP BY dur_us
+    ),
+    risk AS (
+        SELECT dur_us, deaths,
+               SUM(m) OVER (ORDER BY dur_us DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS at_risk
+        FROM by_dur
+    ),
+    km AS (
+        SELECT dur_us, deaths, at_risk,
+               EXP(SUM(LN(1.0 - deaths / at_risk::DOUBLE))
+                   OVER (ORDER BY dur_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS s
+        FROM risk
+    )
+    SELECT ROUND(dur_us / 86400000000.0, 6) AS dur_days,
+           CAST(deaths AS BIGINT) AS deaths,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           ROUND(s, 6) AS survival
+    FROM km
+    WHERE deaths > 0
+    ORDER BY dur_us
+    LIMIT 30
+    """,
+)
+def q_events_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve of user lifetime (seconds between first
+    and last event). A user is an observed churn ("death") if their last
+    event precedes the global horizon MAX(ts) − 6 hours (the data spans
+    30 days with near-continuous user activity, so a 6-hour quiet tail is
+    the churn signal); later users are
+    right-censored. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with the at-risk count nᵢ a
+    REVERSE running sum over the distinct-duration frame and the product
+    realized as exp(Σ ln) — a prefix-sum, so the whole estimator is two
+    windows over O(distinct durations) rows after one per-user aggregate.
+    First 30 death times reported (factor stays positive away from the
+    terminal time, keeping ln() well-defined on both engines). Durations
+    are exact integer microseconds (µs-truncated loader, SURVEY §1.2)."""
+    ev = T(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 HOUR")).alias("cutoff")
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (
+                F.unix_micros("last_ts") - F.unix_micros("first_ts")
+            ).alias("dur_us"),
+            F.when(F.col("last_ts") < F.col("cutoff"), 1)
+            .otherwise(0)
+            .alias("is_death"),
+        )
+    )
+    by_dur = users.groupBy("dur_us").agg(
+        F.sum("is_death").alias("deaths"), F.count(F.lit(1)).alias("m")
+    )
+    w_desc = Window.orderBy(F.desc("dur_us")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_dur.select(
+        "dur_us", "deaths", F.sum("m").over(w_desc).alias("at_risk")
+    )
+    w_asc = Window.orderBy("dur_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = risk.select(
+        "dur_us",
+        "deaths",
+        "at_risk",
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("deaths") / F.col("at_risk").cast("double"))
+            ).over(w_asc)
+        ).alias("s"),
+    )
+    return (
+        km.filter(F.col("deaths") > 0)
+        .select(
+            r6(F.col("dur_us") / 86400000000.0).alias("dur_days"),
+            F.col("deaths").cast("bigint").alias("deaths"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            r6("s").alias("survival"),
+        )
+        .orderBy((F.col("dur_days") * 86400000000.0))
+        .limit(30)
+    )
+
+
+@query(
+    "q_ml_precision_at_k",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+        SELECT q.q_id, q.q_label, e.vec_id, e.label,
+               UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    sims AS (
+        SELECT q_id, q_label, vec_id, label,
+               SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                   AS cos
+        FROM pairs GROUP BY q_id, q_label, vec_id, label
+    ),
+    ranked AS (
+        SELECT q_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id)
+                   AS rn
+        FROM sims
+    )
+    SELECT q_id AS vec_id, q_label AS label,
+           ROUND(AVG(CASE WHEN label = q_label THEN 1.0 ELSE 0.0 END), 6)
+               AS p_at_10
+    FROM ranked WHERE rn <= 10
+    GROUP BY q_id, q_label
+    """,
+)
+def q_ml_precision_at_k(spark, sf_dir):
+    """Retrieval quality: precision@10 for the first 20 query vectors —
+    the fraction of each query's 10 nearest neighbours (brute-force
+    cosine, self excluded) sharing the query's label. The neighbour set is
+    selected on the ROUNDED similarity with vec_id tie-break (grid-stable,
+    same rule as q_ml_knn). Queries are a 20-row broadcast against the
+    embedding table; at 100 TB the candidate pass is one scan with the
+    per-query top-k kept by partial TakeOrdered (or the IVF/LSH pruned
+    variants, q_ann_*) — never a materialized all-pairs matrix."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    from mapreduce_machine_learning_spark.functions import cosine
+
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sims = pairs.select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "label",
+        r6(cosine("embedding", "q_emb")).alias("cos_r"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "vec_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy(
+            F.col("q_id").alias("vec_id"), F.col("q_label").alias("label")
+        )
+        .agg(
+            r6(
+                F.avg(
+                    F.when(F.col("label") == F.col("q_label"), 1.0).otherwise(
+                        0.0
+                    )
+                )
+            ).alias("p_at_10")
+        )
+    )

@@ -37,11 +37,13 @@ def _load_operator_modules() -> None:
     from mapreduce_machine_learning_spark.operators import (  # noqa: F401
         aggregation,
         analytics,
+        corpus_stats,
         llm,
         ml,
         relational,
         setops_scalar,
         sketches,
+        stattests,
         streaming_batch,
         text_analysis,
         tpch,

@@ -3,6 +3,9 @@
 tests/golden.json — regression detection without DuckDB in the loop.
 
 Run after a green differential-oracle sweep:  python tools/freeze_golden.py
+
+Incremental mode (merge new/changed queries into the existing file without
+re-running all of them):  python tools/freeze_golden.py --only q_a q_b
 """
 
 from __future__ import annotations
@@ -30,13 +33,22 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 and sys.argv[1] == "--only" else None
+    out = os.path.join(ROOT, "tests", "golden.json")
     golden = {}
+    if only is not None and os.path.exists(out):
+        with open(out) as f:
+            golden = json.load(f)["queries"]
+        unknown = only - set(all_queries())
+        if unknown:
+            raise SystemExit(f"unknown query ids: {sorted(unknown)}")
     for name, fn in sorted(all_queries().items()):
+        if only is not None and name not in only:
+            continue
         df = fn(spark, SF_DIR)
         n, h = result_hash(df.columns, [tuple(r) for r in df.collect()])
         golden[name] = {"rows": n, "hash": h}
         print(f"{name}: rows={n} hash={h[:12]}")
-    out = os.path.join(ROOT, "tests", "golden.json")
     payload = {"fingerprint": fingerprint_testdata(SF_DIR), "queries": golden}
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

@@ -1,0 +1,296 @@
+"""Distribution summaries and embedding-space geometry: weighted quantiles,
+distribution distances (Jensen–Shannon), per-label centroid separation,
+centroid-distance outliers, and cumulative-adoption curves.
+
+All queries follow the summation-form discipline: one keyed aggregation over
+the fact table, then arithmetic over a frame whose size is bounded by the
+key domain (distinct prices, histogram bins, label×dim, days), never by row
+count. Counts and integer-valued weights are exact in both engines, so the
+derived scores agree to a single closed-form FP expression rounded at 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH byprice AS (
+        SELECT l_extendedprice AS price, SUM(l_quantity) AS w
+        FROM lineitem GROUP BY l_extendedprice
+    ),
+    cum AS (
+        SELECT price, w,
+               SUM(w) OVER (ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               SUM(w) OVER () AS total_w
+        FROM byprice
+    )
+    SELECT ROUND(MIN(price), 6) AS weighted_median,
+           CAST(ROUND(MAX(total_w), 0) AS BIGINT) AS total_weight
+    FROM cum WHERE cw >= total_w / 2.0
+    """,
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median of l_extendedprice: the smallest price whose
+    cumulative weight reaches half the total. The cumulative scan runs over
+    the DISTINCT-price frame (one groupBy shuffle keyed by price, then an
+    O(|distinct|) prefix sum). Weights are integer-valued doubles, so every
+    cumulative sum is exactly representable — the cw ≥ W/2 boundary cannot
+    flip between engines."""
+    li = T(spark, sf_dir, "lineitem")
+    byprice = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    w_cum = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = byprice.select(
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total_w"),
+    )
+    return cum.filter(F.col("cw") >= F.col("total_w") / 2.0).agg(
+        r6(F.min("price")).alias("weighted_median"),
+        F.round(F.max("total_w"), 0).cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "q_ml_jsd",
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bin,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nq
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ),
+    probs AS (
+        SELECT np / SUM(np) OVER ()::DOUBLE AS p,
+               nq / SUM(nq) OVER ()::DOUBLE AS q
+        FROM binned
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(0.5 * (CASE WHEN p > 0
+                                 THEN p * LN(p / ((p + q) / 2.0))
+                                 ELSE 0 END)
+                     + 0.5 * (CASE WHEN q > 0
+                                   THEN q * LN(q / ((p + q) / 2.0))
+                                   ELSE 0 END)), 6) AS jsd
+    FROM probs
+    """,
+)
+def q_ml_jsd(spark, sf_dir):
+    """Jensen–Shannon divergence between the purchase and click `value`
+    distributions on a fixed 20-bin histogram (width 25, top bin open).
+    JSD = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, with the exact x·ln(x) → 0
+    zero-guard. Histogram counts are one conditional aggregation keyed by
+    bin; the divergence is a 20-row reduction of exact integer ratios —
+    symmetric and bounded by ln 2, unlike raw KL."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    binned = ev.groupBy(
+        F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias(
+            "bin"
+        )
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "nq"
+        ),
+    )
+    w = Window.partitionBy()
+    probs = binned.select(
+        (F.col("np") / F.sum("np").over(w).cast("double")).alias("p"),
+        (F.col("nq") / F.sum("nq").over(w).cast("double")).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2.0
+    term = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0) + 0.5 * F.when(
+        q > 0, q * F.log(q / m)
+    ).otherwise(0.0)
+    return probs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        r6(F.sum(term)).alias("jsd"),
+    )
+
+
+def _centroids(spark, sf_dir):
+    """Per-(label, dimension) centroid components via posexplode — one
+    aggregation keyed (label, pos), 10×64 output rows at any scale."""
+    emb = T(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+
+
+_CENTROID_SQL = """
+        SELECT label, pos, AVG(x) AS c FROM (
+            SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ) GROUP BY label, pos
+"""
+
+
+@query(
+    "q_ml_centroid_dist",
+    oracle=f"""
+    WITH cent AS ({_CENTROID_SQL})
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SQRT(SUM((a.c - b.c) * (a.c - b.c))), 6) AS dist
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def q_ml_centroid_dist(spark, sf_dir):
+    """Inter-class separation audit: Euclidean distance between every pair
+    of label centroids (45 pairs for 10 labels). The centroid table is
+    label×dim = 640 rows regardless of data size, so the pairwise join is
+    free; the only fact-table pass is the component-mean aggregation. This
+    is the one-pass diagnostic behind 'are these embedding classes even
+    separable' — the between-class half of a Fisher discriminant check."""
+    cent = _centroids(spark, sf_dir)
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            r6(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ca") - F.col("cb"))
+                        * (F.col("ca") - F.col("cb"))
+                    )
+                )
+            ).alias("dist")
+        )
+    )
+
+
+@query(
+    "q_ml_emb_outliers",
+    oracle=f"""
+    WITH cent AS ({_CENTROID_SQL}),
+    comps AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    dists AS (
+        SELECT comps.vec_id, comps.label,
+               SQRT(SUM((comps.x - cent.c) * (comps.x - cent.c))) AS dist
+        FROM comps JOIN cent
+          ON comps.label = cent.label AND comps.pos = cent.pos
+        GROUP BY comps.vec_id, comps.label
+    )
+    SELECT vec_id, label, ROUND(dist, 6) AS dist
+    FROM dists
+    ORDER BY ROUND(dist, 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ml_emb_outliers(spark, sf_dir):
+    """Embedding outlier detection: the 10 vectors farthest from their own
+    label centroid (L2). The centroid table (640 rows) broadcasts into the
+    component join, so the plan is scan → broadcast-hash join → per-vector
+    re-aggregation — one shuffle keyed vec_id at any scale. Selection
+    orders by the ROUNDED distance with vec_id tie-break (grid-stable)."""
+    cent = _centroids(spark, sf_dir)
+    comps = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    dists = (
+        comps.join(
+            F.broadcast(cent.withColumnRenamed("label", "c_label")),
+            (F.col("label") == F.col("c_label"))
+            & (comps.pos == cent.pos),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    return (
+        dists.select("vec_id", "label", r6("dist").alias("dist"))
+        .orderBy(F.desc("dist"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_events_adoption",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id,
+               CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily
+    """,
+)
+def q_events_adoption(spark, sf_dir):
+    """Cumulative adoption curve: per event_type and day, how many users
+    performed the action for the FIRST time that day, and the running
+    distinct-user total. Cumulative COUNT(DISTINCT) over a window is
+    rewritten as first-occurrence extraction (per-(type,user) MIN day —
+    one aggregation) plus an ordinary prefix sum over the tiny
+    (type × day) frame — the standard scalable form; a naive windowed
+    distinct would hold per-frame state proportional to users."""
+    ev = T(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

@@ -38,6 +38,7 @@ def _load_operator_modules() -> None:
         aggregation,
         analytics,
         corpus_stats,
+        distributions,
         llm,
         ml,
         relational,

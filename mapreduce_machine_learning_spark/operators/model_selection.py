@@ -1,0 +1,276 @@
+"""Model-selection and evaluation diagnostics: sample-size learning curves
+from prefix sufficient statistics, rank association on binned contingency
+grids (Kendall τ-b), and a walk-forward forecast backtest.
+
+The learning curve is the purest expression of the reference's
+summation-form idea (Chu et al. NIPS'06): because OLS needs only
+(n, Σx, Σy, Σxx, Σxy, Σyy), a model per nested subsample costs ONE pass —
+per-bucket moments + a 16-row prefix sum — instead of refitting per
+fraction. Subsample membership is md5-based (first hex digit of a row-key
+digest), so both engines draw identical deterministic samples (md5 parity
+verified, SURVEY §8.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_ml_learning_curve",
+    oracle="""
+    WITH keyed AS (
+        SELECT SUBSTRING(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 1)
+                   AS bucket,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ),
+    per_bucket AS (
+        SELECT bucket, COUNT(*)::DOUBLE AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM keyed GROUP BY bucket
+    ),
+    prefix AS (
+        SELECT bucket,
+               SUM(n) OVER w AS n, SUM(sx) OVER w AS sx,
+               SUM(sy) OVER w AS sy, SUM(sxx) OVER w AS sxx,
+               SUM(sxy) OVER w AS sxy, SUM(syy) OVER w AS syy
+        FROM per_bucket
+        WINDOW w AS (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS cum_n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM prefix
+    """,
+)
+def q_ml_learning_curve(spark, sf_dir):
+    """OLS learning curve (y = l_extendedprice on x = l_quantity) over 16
+    nested deterministic subsamples: rows land in buckets '0'..'f' by the
+    first hex digit of md5(orderkey-linenumber); prefix k trains on buckets
+    ≤ k. One scan computes per-bucket sufficient statistics; a 16-row
+    window prefix-sum yields every model's slope and R² in closed form —
+    16 models for the price of one aggregation, no refits, no second pass.
+    At 100 TB the plan is identical: the learning curve is free once the
+    moment aggregation (partial+final, map-side combined) has run."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).alias("bucket"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    per_bucket = li.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    prefix = per_bucket.select(
+        "bucket",
+        *[
+            F.sum(c).over(w).alias(c)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ],
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return prefix.select(
+        "bucket",
+        n.cast("bigint").alias("cum_n"),
+        r6(cov / varx).alias("slope"),
+        r6(cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+@query(
+    "q_ml_kendall_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(l_quantity AS INT) AS q,
+               CAST(FLOOR(l_extendedprice / 5000.0) AS INT) AS pb,
+               COUNT(*)::DOUBLE AS m
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT SUM(CASE WHEN c2.pb > c1.pb THEN c1.m * c2.m ELSE 0 END)
+                   AS conc,
+               SUM(CASE WHEN c2.pb < c1.pb THEN c1.m * c2.m ELSE 0 END)
+                   AS disc
+        FROM cells c1 JOIN cells c2 ON c2.q > c1.q
+    ),
+    ties AS (
+        SELECT SUM(m)::DOUBLE AS n,
+               SUM(m * (m - 1) / 2) AS tie_cells
+        FROM cells
+    ),
+    tx AS (
+        SELECT SUM(tq * (tq - 1) / 2) AS tie_x
+        FROM (SELECT SUM(m) AS tq FROM cells GROUP BY q)
+    ),
+    ty AS (
+        SELECT SUM(tp * (tp - 1) / 2) AS tie_y
+        FROM (SELECT SUM(m) AS tp FROM cells GROUP BY pb)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND((conc - disc)
+                 / SQRT((n * (n - 1) / 2 - tie_x)
+                        * (n * (n - 1) / 2 - tie_y)), 6) AS tau_b
+    FROM pairs, ties, tx, ty
+    """,
+)
+def q_ml_kendall_tau(spark, sf_dir):
+    """Kendall τ-b between l_quantity and l_extendedprice binned to a
+    $5000 price grid: rank association computed on the CONTINGENCY TABLE,
+    not row pairs — cells are (≤50 quantities × ~25 price bins), so the
+    concordant/discordant double-sum is a ~1k×1k cell join however many
+    rows the fact table has (the O(n²) pair enumeration becomes O(cells²);
+    the 100 TB path adds a 2-D prefix sum over cells to reach O(cells)).
+    Tie corrections use the standard τ-b denominator with marginal tie
+    counts. All counts are exact integers on both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.floor(F.col("l_extendedprice") / 5000.0).cast("int").alias("pb"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("m"))
+    c1 = cells.select(
+        F.col("q").alias("q1"), F.col("pb").alias("pb1"), F.col("m").alias("m1")
+    )
+    c2 = cells.select(
+        F.col("q").alias("q2"), F.col("pb").alias("pb2"), F.col("m").alias("m2")
+    )
+    pairs = c1.join(c2, F.col("q2") > F.col("q1")).agg(
+        F.sum(
+            F.when(
+                F.col("pb2") > F.col("pb1"), F.col("m1") * F.col("m2")
+            ).otherwise(0.0)
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                F.col("pb2") < F.col("pb1"), F.col("m1") * F.col("m2")
+            ).otherwise(0.0)
+        ).alias("disc"),
+    )
+    ties = cells.agg(F.sum("m").alias("n"))
+    tie_x = (
+        cells.groupBy("q")
+        .agg(F.sum("m").alias("tq"))
+        .agg(F.sum(F.col("tq") * (F.col("tq") - 1) / 2).alias("tie_x"))
+    )
+    tie_y = (
+        cells.groupBy("pb")
+        .agg(F.sum("m").alias("tp"))
+        .agg(F.sum(F.col("tp") * (F.col("tp") - 1) / 2).alias("tie_y"))
+    )
+    n = F.col("n")
+    n0 = n * (n - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tie_x))
+        .crossJoin(F.broadcast(tie_y))
+        .select(
+            n.cast("bigint").alias("n"),
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            r6(
+                (F.col("conc") - F.col("disc"))
+                / F.sqrt((n0 - F.col("tie_x")) * (n0 - F.col("tie_y")))
+            ).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "q_events_forecast_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*)::DOUBLE AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    feat AS (
+        SELECT event_type, day, cnt,
+               LAG(cnt) OVER w AS naive,
+               AVG(cnt) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS ma7,
+               ROW_NUMBER() OVER w AS rn
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(cnt - naive)), 6) AS mae_naive,
+           ROUND(AVG(ABS(cnt - ma7)), 6) AS mae_ma7,
+           CASE WHEN ROUND(AVG(ABS(cnt - ma7)), 6)
+                     < ROUND(AVG(ABS(cnt - naive)), 6)
+                THEN 'ma7' ELSE 'naive' END AS winner
+    FROM feat WHERE rn >= 9
+    GROUP BY event_type
+    """,
+)
+def q_events_forecast_eval(spark, sf_dir):
+    """Walk-forward forecast backtest on the daily event-count series, per
+    event_type: yesterday's count (naive persistence) vs the trailing
+    7-day mean, scored by MAE over days with a full history (row ≥ 9 in
+    each series). The fact-table pass is one (type, day) count; both
+    forecasts are LAG/moving-AVG windows over the tiny daily frame. The
+    winner column compares ROUNDED MAEs, so the verdict is grid-stable
+    across engines."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    feat = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt").over(w).alias("naive"),
+        F.avg("cnt").over(w.rowsBetween(-7, -1)).alias("ma7"),
+        F.row_number().over(w).alias("rn"),
+    )
+    mae_n = r6(F.avg(F.abs(F.col("cnt") - F.col("naive"))))
+    mae_m = r6(F.avg(F.abs(F.col("cnt") - F.col("ma7"))))
+    return (
+        feat.filter(F.col("rn") >= 9)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            mae_n.alias("mae_naive"),
+            mae_m.alias("mae_ma7"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "mae_naive",
+            "mae_ma7",
+            F.when(F.col("mae_ma7") < F.col("mae_naive"), "ma7")
+            .otherwise("naive")
+            .alias("winner"),
+        )
+    )

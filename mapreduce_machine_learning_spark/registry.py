@@ -41,6 +41,7 @@ def _load_operator_modules() -> None:
         distributions,
         llm,
         ml,
+        model_selection,
         relational,
         setops_scalar,
         sketches,

@@ -251,3 +251,99 @@ def q_text_keyness(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("g2"), "token").limit(20)
+
+
+BM25_TERMS = ("scan", "column", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs
+    ),
+    stats AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS token FROM docs)
+        WHERE token IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}',
+                        '{BM25_TERMS[2]}')
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(*)::DOUBLE AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                           + {BM25_B} * dl.dl / stats.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.token = df.token
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_text_bm25(spark, sf_dir):
+    """BM25 ranking for the fixed query {scan, column, window}: the
+    standard Okapi scoring (k1=1.2, b=0.75, Lucene-style idf =
+    ln((N−df+0.5)/(df+0.5)+1)) with per-doc length normalization against
+    the corpus average. The term-frequency table is filtered AT THE
+    EXPLODE (only query terms survive, so the shuffle carries q·|docs|
+    rows, not the whole posting list); doc lengths come from size(split)
+    without a second explode; N/avgdl/df are tiny broadcast aggregates.
+    Top-10 selects on the rounded score with doc_id tie-break."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", r6("score").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )

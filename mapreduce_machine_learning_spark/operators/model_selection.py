@@ -274,3 +274,124 @@ def q_events_forecast_eval(spark, sf_dir):
             .alias("winner"),
         )
     )
+
+
+@query(
+    "q_ml_poisson_grad",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               COUNT(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    feats AS (
+        SELECT y, 1.0 AS x0, EXTRACT(hour FROM h) / 24.0 AS x1 FROM hourly
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM((y - 1.0) * x0), 6) AS grad0,
+           ROUND(SUM((y - 1.0) * x1), 6) AS grad1,
+           ROUND(0.001 * SUM((y - 1.0) * x0), 6) AS w0_step,
+           ROUND(0.001 * SUM((y - 1.0) * x1), 6) AS w1_step
+    FROM feats
+    """,
+)
+def q_ml_poisson_grad(spark, sf_dir):
+    """One log-likelihood gradient-ascent step of a Poisson GLM (counts
+    regression — the third GLM family next to the engine's linear and
+    logistic kernels): y = hourly event count, features (1, hour/24),
+    start w = 0 so μ = exp(w·x) = 1 and grad_j = Σ(y−μ)x_j collapses to
+    Σ(y−1)x_j; lr = 0.001. The fact-table pass is the hourly count; the
+    gradient is a second aggregate over the tiny hourly frame — the exact
+    iterative-driver shape of the reference's logistic GD (SURVEY §2.6),
+    applied to count data."""
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    feats = hourly.select(
+        "y", F.lit(1.0).alias("x0"), (F.hour("h") / 24.0).alias("x1")
+    )
+    g0 = F.sum((F.col("y") - 1.0) * F.col("x0"))
+    g1 = F.sum((F.col("y") - 1.0) * F.col("x1"))
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        r6(g0).alias("grad0"),
+        r6(g1).alias("grad1"),
+        r6(0.001 * g0).alias("w0_step"),
+        r6(0.001 * g1).alias("w1_step"),
+    )
+
+
+@query(
+    "q_ml_huber_eval",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(l_quantity) AS sx,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS sxx,
+               SUM(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM s
+    ),
+    resid AS (
+        SELECT l_extendedprice - (fit.intercept
+                                  + fit.slope * l_quantity) AS r
+        FROM lineitem CROSS JOIN fit
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CASE WHEN ABS(r) <= 1000.0 THEN r * r / 2.0
+                          ELSE 1000.0 * (ABS(r) - 500.0) END), 2)
+               AS mean_huber_loss,
+           ROUND(AVG(CASE WHEN ABS(r) > 1000.0 THEN 1.0 ELSE 0.0 END), 6)
+               AS outlier_share
+    FROM resid
+    """,
+)
+def q_ml_huber_eval(spark, sf_dir):
+    """Robust-loss audit of the closed-form OLS fit (y = l_extendedprice
+    on l_quantity): mean Huber loss (δ = 1000 — quadratic inside, linear
+    outside) and the share of residuals past δ. Pass 1 is the normal-
+    equation sufficient statistics; the 1-row fit broadcasts into pass 2's
+    residual scan — the same two-scan shape an iteratively-reweighted
+    robust regression would loop. Loss is rounded at 2 decimals (magnitude
+    ~1e7; r6 would sit inside cross-engine sum noise, SURVEY §2.1)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+    resid = li.crossJoin(F.broadcast(fit)).select(
+        (
+            F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))
+        ).alias("r")
+    )
+    r = F.col("r")
+    huber = F.when(F.abs(r) <= 1000.0, r * r / 2.0).otherwise(
+        1000.0 * (F.abs(r) - 500.0)
+    )
+    return resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(huber), 2).alias("mean_huber_loss"),
+        r6(F.avg(F.when(F.abs(r) > 1000.0, 1.0).otherwise(0.0))).alias(
+            "outlier_share"
+        ),
+    )

@@ -583,3 +583,48 @@ def q_scan_zonemap(spark, sf_dir):
             / F.sum("n_rows")
         ).alias("skip_ratio"),
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS cnt_orders
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(l_linestatus, 'O') AS k, COUNT(*) AS cnt_lines
+        FROM lineitem GROUP BY 1
+    )
+    SELECT a.k AS status_key,
+           CAST(a.cnt_orders AS BIGINT) AS cnt_orders,
+           CAST(b.cnt_lines AS BIGINT) AS cnt_lines
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (Spark `eqNullSafe` / SQL `IS NOT DISTINCT
+    FROM`): both sides NULL-out the 'O' status so the join must match
+    NULL = NULL — the semantics a plain equi-join silently drops. Spark
+    still plans this as a hash join (null-safe keys hash like ordinary
+    values), so the shape stays broadcast/SMJ at scale; the output carries
+    the NULL-keyed row to prove the match happened."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt_orders"))
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.nullif(F.col("l_linestatus"), F.lit("O")).alias("k2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt_lines"))
+    )
+    return o.join(li, F.col("k").eqNullSafe(F.col("k2"))).select(
+        F.col("k").alias("status_key"),
+        F.col("cnt_orders").cast("bigint").alias("cnt_orders"),
+        F.col("cnt_lines").cast("bigint").alias("cnt_lines"),
+    )

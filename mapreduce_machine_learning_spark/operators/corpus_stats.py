@@ -347,3 +347,121 @@ def q_text_bm25(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+_EDGE_SQL = """
+        SELECT LEAST(b.w1, b.w2) AS u, GREATEST(b.w1, b.w2) AS v
+        FROM (
+            SELECT UNNEST(list_transform(
+                       range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+                       AS b
+            FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 2
+        )
+        WHERE b.w1 <> b.w2
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+"""
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    deg AS (
+        SELECT node, COUNT(*)::DOUBLE AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    wedges AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg),
+    tri AS (
+        SELECT COUNT(*)::DOUBLE AS n_tri
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(wedges.n_wedges AS BIGINT) AS n_wedges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           ROUND(3.0 * tri.n_tri / wedges.n_wedges, 6)
+               AS clustering_coeff
+    FROM wedges, tri
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting + global clustering coefficient on the token
+    co-occurrence graph (undirected edges = adjacent-token bigrams with
+    count ≥ 5, endpoints ordered u < v). Uses the canonical distributed
+    node-ordering algorithm: every triangle a<b<c is found exactly once
+    by joining its two lower wedge edges (a,b)+(b,c) and probing (a,c) —
+    the MapReduce triangle-count of Suri & Vassilvitskii, WWW'11, as two
+    self-joins on the deduplicated edge list. Wedge count Σ d(d−1)/2
+    comes from the degree table; gcc = 3Δ/wedges. Edge support ≥ 5 bounds
+    |E| by the heavy bigram vocabulary, not the corpus size."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .filter(F.col("b.w1") != F.col("b.w2"))
+        .select(
+            F.least("b.w1", "b.w2").alias("u"),
+            F.greatest("b.w1", "b.w2").alias("v"),
+        )
+    )
+    edges = (
+        bg.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    wedges = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    return (
+        wedges.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            r6(
+                3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )

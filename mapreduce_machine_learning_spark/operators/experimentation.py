@@ -1,0 +1,230 @@
+"""Experimentation / causal-analytics operators: CUPED variance reduction,
+empirical-Bayes rate smoothing, and Q-Q distribution comparison.
+
+These are the A/B-testing workhorses layered on the same summation-form
+kernels as the ML family: per-unit aggregation (user grain), tiny global
+moment aggregates broadcast back, closed-form adjustment arithmetic. At
+100 TB the user-grain aggregation is the only fact-table shuffle; if events
+are bucketed by user_id at rest it is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_events_cuped",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS pre,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT COVAR_SAMP(pre, post) / VAR_SAMP(pre) AS theta,
+               AVG(pre) AS mean_pre,
+               VAR_SAMP(post) AS var_post
+        FROM per_user
+    ),
+    adj AS (
+        SELECT u.arm,
+               u.post - mom.theta * (u.pre - mom.mean_pre) AS y,
+               mom.theta AS theta, mom.var_post AS var_post
+        FROM per_user u CROSS JOIN mom
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(MAX(theta), 6) AS theta,
+           ROUND(1.0 - VAR_SAMP(y) / MAX(var_post), 6) AS var_reduction,
+           ROUND(AVG(CASE WHEN arm = 1 THEN y END)
+                 - AVG(CASE WHEN arm = 0 THEN y END), 6) AS adjusted_diff
+    FROM adj
+    """,
+)
+def q_events_cuped(spark, sf_dir):
+    """CUPED variance reduction for an A/B readout (arm = user_id mod 2):
+    pre-period (first 15 days) spend is the covariate, post-period spend
+    the metric; θ = cov(pre,post)/var(pre), adjusted yᵢ = postᵢ −
+    θ(preᵢ − mean_pre). Reports θ, the realized variance reduction
+    (≈ correlation², the whole point of CUPED), and the adjusted
+    treatment-control difference. One user-grain aggregation, a 1-row
+    moment aggregate broadcast back, one re-aggregation — no extra
+    fact-table passes."""
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "pre", "post"
+    )
+    mom = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mean_pre"),
+        F.var_samp("post").alias("var_post"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).select(
+        "arm",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+        ).alias("y"),
+        "theta",
+        "var_post",
+    )
+    return adj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        r6(F.max("theta")).alias("theta"),
+        r6(1.0 - F.var_samp("y") / F.max("var_post")).alias("var_reduction"),
+        r6(
+            F.avg(F.when(F.col("arm") == 1, F.col("y")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("y")))
+        ).alias("adjusted_diff"),
+    )
+
+
+@query(
+    "q_events_eb_rate",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*)::DOUBLE AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END)::DOUBLE AS k
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT AVG(k / n) AS m, VAR_SAMP(k / n) AS v FROM per_user
+    ),
+    prior AS (
+        SELECT m * (m * (1 - m) / v - 1) AS alpha,
+               (1 - m) * (m * (1 - m) / v - 1) AS beta
+        FROM mom
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_purchases,
+           ROUND((k + alpha) / (n + alpha + beta), 6) AS smoothed_rate
+    FROM per_user CROSS JOIN prior
+    ORDER BY ROUND((k + alpha) / (n + alpha + beta), 6) DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_events_eb_rate(spark, sf_dir):
+    """Empirical-Bayes smoothed per-user purchase rate: a Beta prior fit
+    by method of moments on the raw per-user rates (α = m·c, β = (1−m)·c,
+    c = m(1−m)/v − 1), then the posterior-mean shrinkage (k+α)/(n+α+β).
+    Kills the '1 purchase in 2 events = 50% whale' artifact that raw
+    top-k rate rankings produce. Top-10 selects on the rounded smoothed
+    rate with user_id tie-break. Plan: user-grain aggregation, 1-row
+    moment broadcast, rank on O(users) rows."""
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("k"),
+    )
+    mom = per_user.agg(
+        F.avg(F.col("k") / F.col("n")).alias("m"),
+        F.var_samp(F.col("k") / F.col("n")).alias("v"),
+    )
+    c = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    prior = mom.select(
+        (F.col("m") * c).alias("alpha"),
+        ((1 - F.col("m")) * c).alias("beta"),
+    )
+    sm = (F.col("k") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("k").cast("bigint").alias("n_purchases"),
+            r6(sm).alias("smoothed_rate"),
+        )
+        .orderBy(F.desc("smoothed_rate"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_events_qq",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type AS grp, value, COUNT(*) AS cnt
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY event_type, value
+    ),
+    cum AS (
+        SELECT grp, value,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+               SUM(cnt) OVER (PARTITION BY grp) AS n
+        FROM vals
+    ),
+    ps AS (SELECT CAST(UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS DOUBLE) AS p),
+    q AS (
+        SELECT ps.p, cum.grp, MIN(cum.value) AS qv
+        FROM cum JOIN ps ON cum.cw >= ps.p * cum.n
+        GROUP BY ps.p, cum.grp
+    )
+    SELECT ROUND(p, 6) AS p,
+           ROUND(MIN(CASE WHEN grp = 'purchase' THEN qv END), 6)
+               AS q_purchase,
+           ROUND(MIN(CASE WHEN grp = 'click' THEN qv END), 6) AS q_click
+    FROM q GROUP BY p
+    """,
+)
+def q_events_qq(spark, sf_dir):
+    """Q–Q comparison table of purchase vs click `value` at the nine
+    deciles, using DISCRETE quantile semantics (smallest observed value
+    whose cumulative count reaches p·n) so both engines pick identical
+    sample points — no interpolation, no FP midpoints. The quantile scan
+    runs on the distinct-value frame per group; the nine probes are a
+    literal array joined against it. Matching decile columns far apart ⇒
+    the distributions differ in shape, not just mean."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    vals = ev.groupBy(
+        F.col("event_type").alias("grp"), "value"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("grp").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("grp")
+    cum = vals.select(
+        "grp",
+        "value",
+        F.sum("cnt").over(w_cum).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ps = spark.range(1, 10).select((F.col("id") / 10.0).alias("p"))
+    q = (
+        cum.join(F.broadcast(ps), F.col("cw") >= F.col("p") * F.col("n"))
+        .groupBy("p", "grp")
+        .agg(F.min("value").alias("qv"))
+    )
+    return q.groupBy(r6("p").alias("p")).agg(
+        r6(F.min(F.when(F.col("grp") == "purchase", F.col("qv")))).alias(
+            "q_purchase"
+        ),
+        r6(F.min(F.when(F.col("grp") == "click", F.col("qv")))).alias(
+            "q_click"
+        ),
+    )

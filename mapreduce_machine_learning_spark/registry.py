@@ -39,6 +39,7 @@ def _load_operator_modules() -> None:
         analytics,
         corpus_stats,
         distributions,
+        experimentation,
         llm,
         ml,
         model_selection,

@@ -1,0 +1,298 @@
+"""Data-quality and pipeline-audit operators: set reconciliation, class
+separability scatter, conversion latency, event-stream disorder, and
+boilerplate detection.
+
+Each is one fact-table aggregation plus arithmetic over a bounded frame —
+the audit queries a pipeline operator runs beside its main job to know
+whether the data (or the stream feeding it) is healthy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.io import load_table as T
+from mapreduce_machine_learning_spark.registry import query
+
+
+@query(
+    "q_set_symdiff",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT
+                                       SELECT k FROM b)) AS BIGINT)
+               AS left_only,
+           CAST((SELECT COUNT(*) FROM (SELECT k FROM b EXCEPT
+                                       SELECT k FROM a)) AS BIGINT)
+               AS right_only,
+           CAST((SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT
+                                       SELECT k FROM b)) +
+                (SELECT COUNT(*) FROM (SELECT k FROM b EXCEPT
+                                       SELECT k FROM a)) AS BIGINT)
+               AS symdiff
+    """,
+)
+def q_set_symdiff(spark, sf_dir):
+    """Symmetric difference between two customer sets (has-orders vs
+    acctbal > 5000): left-only, right-only, and the XOR total — the set
+    reconciliation primitive that completes the union/intersect/except
+    family. Both EXCEPTs are distinct-semantics anti-joins on the same
+    key; Catalyst plans them as hash aggregations + left-anti joins that
+    share the scans."""
+    a = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    b = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    lo = a.exceptAll(b).agg(
+        F.count(F.lit(1)).cast("bigint").alias("left_only")
+    )
+    ro = b.exceptAll(a).agg(
+        F.count(F.lit(1)).cast("bigint").alias("right_only")
+    )
+    return lo.crossJoin(ro).select(
+        "left_only",
+        "right_only",
+        (F.col("left_only") + F.col("right_only"))
+        .cast("bigint")
+        .alias("symdiff"),
+    )
+
+
+@query(
+    "q_ml_scatter",
+    oracle="""
+    WITH comps AS (
+        SELECT label, pos, x FROM (
+            SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+    ),
+    gm AS (SELECT pos, AVG(x) AS g FROM comps GROUP BY pos),
+    per_ld AS (
+        SELECT label, comps.pos, AVG(x) AS c, VAR_POP(x) AS v,
+               COUNT(*) AS m
+        FROM comps GROUP BY label, comps.pos
+    )
+    SELECT per_ld.label,
+           CAST(MAX(per_ld.m) AS BIGINT) AS n_vecs,
+           ROUND(SUM(per_ld.v), 6) AS within_trace,
+           ROUND(SUM((per_ld.c - gm.g) * (per_ld.c - gm.g)), 6)
+               AS between_trace,
+           ROUND(SUM((per_ld.c - gm.g) * (per_ld.c - gm.g))
+                 / SUM(per_ld.v), 6) AS fisher_ratio
+    FROM per_ld JOIN gm ON per_ld.pos = gm.pos
+    GROUP BY per_ld.label
+    """,
+)
+def q_ml_scatter(spark, sf_dir):
+    """Per-label Fisher separability audit of the embedding space: trace
+    of the within-class scatter (Σ_dim var_pop of components) vs the
+    between-class scatter (Σ_dim squared centroid offset from the global
+    mean) and their ratio — labels with a low ratio are the ones a linear
+    classifier will confuse. One component-grain aggregation keyed
+    (label, dim) plus a 64-row global-mean join; the fact table is
+    scanned once however many vectors exist."""
+    comps = T(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    gm = comps.groupBy("pos").agg(F.avg("x").alias("g"))
+    per_ld = comps.groupBy("label", "pos").agg(
+        F.avg("x").alias("c"),
+        F.var_pop("x").alias("v"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    between = F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+    return (
+        per_ld.join(F.broadcast(gm), "pos")
+        .groupBy("label")
+        .agg(
+            F.max("m").cast("bigint").alias("n_vecs"),
+            r6(F.sum("v")).alias("within_trace"),
+            r6(between).alias("between_trace"),
+            r6(between / F.sum("v")).alias("fisher_ratio"),
+        )
+    )
+
+
+@query(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               epoch_us(MIN(e.ts)) - epoch_us(MAX(v.t_view)) AS dt_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    cum AS (
+        SELECT dt_us,
+               SUM(COUNT(*)) OVER (ORDER BY dt_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cw,
+               SUM(COUNT(*)) OVER () AS n
+        FROM p GROUP BY dt_us
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           ROUND(MIN(CASE WHEN cw >= n / 2.0 THEN dt_us END)
+                 / 1000000.0, 6) AS median_s,
+           ROUND(MIN(dt_us) / 1000000.0, 6) AS min_s,
+           ROUND(MAX(dt_us) / 1000000.0, 6) AS max_s
+    FROM cum
+    """,
+)
+def q_events_time_to_convert(spark, sf_dir):
+    """Conversion latency: for every user whose first purchase follows
+    their first view, the seconds between the two — discrete median
+    (smallest duration whose cumulative count reaches half) plus min/max.
+    Durations are exact integer microseconds, so the median pick and the
+    cw ≥ n/2 boundary are engine-independent. Two user-grain aggregates
+    and an O(distinct durations) prefix scan."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.max("t_view"))
+            ).alias("dt_us")
+        )
+    )
+    by_dt = p.groupBy("dt_us").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("dt_us").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = by_dt.select(
+        "dt_us",
+        F.sum("cnt").over(w_cum).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        r6(
+            F.min(
+                F.when(
+                    F.col("cw") >= F.col("n") / 2.0, F.col("dt_us")
+                )
+            )
+            / 1000000.0
+        ).alias("median_s"),
+        r6(F.min("dt_us") / 1000000.0).alias("min_s"),
+        r6(F.max("dt_us") / 1000000.0).alias("max_s"),
+    )
+
+
+@query(
+    "q_stream_disorder",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           ROUND(SUM(CASE WHEN ts < high_water THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS late_share,
+           ROUND(MAX(epoch_us(high_water) - epoch_us(ts))
+                 / 1000000.0, 6) AS max_lateness_s
+    FROM arr GROUP BY event_type
+    """,
+)
+def q_stream_disorder(spark, sf_dir):
+    """Event-time disorder profile of the stream: treating event_id as
+    arrival order, an event is LATE if it arrives after a later-timestamped
+    event (its ts is below the running high-water mark). Per event_type:
+    late count, late share, and the worst lateness in seconds — exactly
+    the measurement that justifies a `withWatermark` bound (SURVEY §2.7's
+    q_stream_latedata models the drop side; this measures the disorder
+    itself). The running max is a prefix scan in arrival order; in a real
+    deployment it runs per source partition (arrival order is only defined
+    per partition), which is also what makes it scale."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late = F.col("ts") < F.col("high_water")
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        r6(
+            F.sum(F.when(late, 1.0).otherwise(0.0)) / F.count(F.lit(1))
+        ).alias("late_share"),
+        r6(
+            F.max(
+                F.unix_micros("high_water") - F.unix_micros("ts")
+            )
+            / 1000000.0
+        ).alias("max_lateness_s"),
+    )
+
+
+@query(
+    "q_llm_template_docs",
+    oracle="""
+    WITH pre AS (
+        SELECT doc_id, source,
+               array_to_string(string_split(text, ' ')[1:3], ' ')
+                   AS prefix
+        FROM documents
+    )
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM pre
+    GROUP BY prefix
+    HAVING COUNT(*) >= 5
+    ORDER BY n_docs DESC, prefix
+    LIMIT 20
+    """,
+)
+def q_llm_template_docs(spark, sf_dir):
+    """Boilerplate/template detection for the training-data pipeline: the
+    20 most common 3-token document prefixes appearing in ≥5 docs, with
+    how many sources they span (a prefix shared across many sources is
+    site chrome / license headers / scraped templates — prime dedup-filter
+    candidates upstream of MinHash). One slice-and-concat projection, one
+    count aggregation keyed by the prefix string."""
+    pre = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 3), " "
+        ).alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 5)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(20)
+    )

@@ -43,6 +43,7 @@ def _load_operator_modules() -> None:
         llm,
         ml,
         model_selection,
+        quality_audits,
         relational,
         setops_scalar,
         sketches,

@@ -256,7 +256,7 @@ def q_stream_disorder(spark, sf_dir):
     oracle="""
     WITH pre AS (
         SELECT doc_id, source,
-               array_to_string(string_split(text, ' ')[1:3], ' ')
+               array_to_string(string_split(text, ' ')[1:2], ' ')
                    AS prefix
         FROM documents
     )
@@ -266,14 +266,14 @@ def q_stream_disorder(spark, sf_dir):
            CAST(MIN(doc_id) AS BIGINT) AS example_doc
     FROM pre
     GROUP BY prefix
-    HAVING COUNT(*) >= 5
+    HAVING COUNT(*) >= 2
     ORDER BY n_docs DESC, prefix
     LIMIT 20
     """,
 )
 def q_llm_template_docs(spark, sf_dir):
     """Boilerplate/template detection for the training-data pipeline: the
-    20 most common 3-token document prefixes appearing in ≥5 docs, with
+    20 most common 2-token document prefixes appearing in ≥2 docs, with
     how many sources they span (a prefix shared across many sources is
     site chrome / license headers / scraped templates — prime dedup-filter
     candidates upstream of MinHash). One slice-and-concat projection, one
@@ -282,7 +282,7 @@ def q_llm_template_docs(spark, sf_dir):
         "doc_id",
         "source",
         F.array_join(
-            F.slice(F.split("text", " "), 1, 3), " "
+            F.slice(F.split("text", " "), 1, 2), " "
         ).alias("prefix"),
     )
     return (
@@ -292,7 +292,7 @@ def q_llm_template_docs(spark, sf_dir):
             F.countDistinct("source").cast("bigint").alias("n_sources"),
             F.min("doc_id").cast("bigint").alias("example_doc"),
         )
-        .filter(F.col("n_docs") >= 5)
+        .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "prefix")
         .limit(20)
     )

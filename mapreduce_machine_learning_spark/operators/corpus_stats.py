@@ -465,3 +465,55 @@ def q_graph_triangles(spark, sf_dir):
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "q_str_editdist",
+    oracle="""
+    WITH top_tokens AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+        )
+        ORDER BY c DESC, token
+        LIMIT 100
+    )
+    SELECT levenshtein(a.token, b.token) AS dist,
+           a.token AS t1, b.token AS t2
+    FROM top_tokens a JOIN top_tokens b ON a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= 2
+    ORDER BY dist, t1, t2
+    LIMIT 20
+    """,
+)
+def q_str_editdist(spark, sf_dir):
+    """Near-miss vocabulary pairs: among the 100 most frequent tokens
+    (count DESC, token tie-break — a deterministic candidate block), the
+    20 lexicographically-first pairs within Levenshtein distance 2 — the
+    typo/variant-detection primitive behind fuzzy joins (the SymSpell
+    operator q_text_symspell is its indexed scale path; this is the exact
+    quadratic-within-block baseline). Edit distance is integer dynamic
+    programming — identical on both engines; the candidate block caps the
+    pair count at 100², independent of corpus size."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(100)
+        .select("token")
+    )
+    a = toks.select(F.col("token").alias("t1"))
+    b = toks.select(F.col("token").alias("t2"))
+    return (
+        a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+        .select(
+            F.levenshtein("t1", "t2").alias("dist"), "t1", "t2"
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", "t1", "t2")
+        .limit(20)
+    )

@@ -294,3 +294,75 @@ def q_events_adoption(spark, sf_dir):
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@query(
+    "q_win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END)::DOUBLE AS x,
+               SUM(CASE WHEN event_type = 'error' THEN 1
+                        ELSE 0 END)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    roll AS (
+        SELECT day,
+               COUNT(*) OVER w AS n, SUM(x) OVER w AS sx,
+               SUM(y) OVER w AS sy, SUM(x * x) OVER w AS sxx,
+               SUM(x * y) OVER w AS sxy, SUM(y * y) OVER w AS syy,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS roll_corr
+    FROM roll
+    WHERE rn >= 7
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def q_win_rolling_corr(spark, sf_dir):
+    """7-day rolling correlation between the daily purchase and error
+    counts — computed from WINDOWED MOMENT SUMS (n, Σx, Σy, Σxx, Σxy,
+    Σyy over ROWS 6 PRECEDING), not an engine corr-over-window, so the
+    zero-variance guard and the arithmetic are explicit and identical on
+    both engines (engine corr functions disagree on NULL-vs-NaN for
+    constant frames). Counts are exact integers; the frame is the tiny
+    daily series. Rows before a full 7-day history are excluded."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    wr = Window.orderBy("day")
+    roll = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    return (
+        roll.filter((F.col("rn") >= 7) & (vx > 0) & (vy > 0))
+        .select(
+            "day",
+            r6((n * F.col("sxy") - sx * sy) / F.sqrt(vx * vy)).alias(
+                "roll_corr"
+            ),
+        )
+    )

@@ -228,3 +228,78 @@ def q_events_qq(spark, sf_dir):
             "q_click"
         ),
     )
+
+
+@query(
+    "q_events_did",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS pre,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_treat,
+           CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_ctrl,
+           ROUND(AVG(post - pre) FILTER (WHERE arm = 1), 6) AS diff_treat,
+           ROUND(AVG(post - pre) FILTER (WHERE arm = 0), 6) AS diff_ctrl,
+           ROUND(AVG(post - pre) FILTER (WHERE arm = 1)
+                 - AVG(post - pre) FILTER (WHERE arm = 0), 6) AS did
+    FROM per_user
+    """,
+)
+def q_events_did(spark, sf_dir):
+    """Difference-in-differences estimator: per-user pre/post spend around
+    the Jan-16 cut, arms by user_id parity; DiD = (treat post−pre) −
+    (control post−pre), the design that nets out the shared time trend a
+    naive post-only comparison absorbs. Same single user-grain aggregation
+    as q_events_cuped, finished by conditional averages."""
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    ).select((F.col("user_id") % 2).alias("arm"), "pre", "post")
+    d = F.col("post") - F.col("pre")
+    dt = F.avg(F.when(F.col("arm") == 1, d))
+    dc = F.avg(F.when(F.col("arm") == 0, d))
+    return per_user.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_treat"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_ctrl"),
+        r6(dt).alias("diff_treat"),
+        r6(dc).alias("diff_ctrl"),
+        r6(dt - dc).alias("did"),
+    )
+
+
+@query(
+    "q_ml_power",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(VAR_SAMP(value), 6) AS sigma2,
+           ROUND(2.0 * VAR_SAMP(value)
+                 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 / (5.0 * 5.0), 6) AS n_per_arm
+    FROM events
+    """,
+)
+def q_ml_power(spark, sf_dir):
+    """A/B sample-size (power) calculation from measured variance: the
+    users-per-arm needed to detect a $5 shift in mean `value` at
+    α = 0.05 / power 0.8, n = 2σ²(z₀.₉₇₅+z₀.₈)²/δ² with the z quantiles
+    as fixed literals (§2.9 discipline — no engine normal-quantile
+    functions, which would diverge). One variance aggregate; the planning
+    arithmetic is constant folding."""
+    ev = T(spark, sf_dir, "events")
+    z = (1.959964 + 0.841621) ** 2
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(F.var_samp("value")).alias("sigma2"),
+        r6(2.0 * F.var_samp("value") * z / 25.0).alias("n_per_arm"),
+    )

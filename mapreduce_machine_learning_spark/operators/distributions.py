@@ -366,3 +366,57 @@ def q_win_rolling_corr(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_part_range_bounds",
+    oracle="""
+    WITH vals AS (
+        SELECT o_totalprice AS v, COUNT(*) AS cnt
+        FROM orders GROUP BY o_totalprice
+    ),
+    cum AS (
+        SELECT v,
+               SUM(cnt) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+               SUM(cnt) OVER () AS n
+        FROM vals
+    ),
+    ks AS (SELECT UNNEST(range(1, 16)) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS split_id,
+           ROUND(MIN(cum.v), 6) AS boundary
+    FROM cum JOIN ks ON cum.cw >= ks.k * cum.n / 16.0
+    GROUP BY ks.k
+    """,
+)
+def q_part_range_bounds(spark, sf_dir):
+    """Equi-depth range-partition boundaries for o_totalprice: the 15
+    split points that divide orders into 16 equal-count ranges, each the
+    smallest observed value whose cumulative count reaches k·n/16
+    (discrete semantics — sample points, no interpolation). This is
+    exactly what `repartitionByRange`/range-bucketing needs precomputed
+    at 100 TB: Spark's own RangePartitioner estimates these by sampling;
+    this operator computes them exactly from the distinct-value frame
+    (one groupBy + one O(|distinct|) prefix scan). Also the zone-map
+    complement to q_scan_zonemap's skipping audit."""
+    orders = T(spark, sf_dir, "orders")
+    vals = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("cnt").over(w_cum).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ks = spark.range(1, 16).select(F.col("id").alias("k"))
+    return (
+        cum.join(
+            F.broadcast(ks),
+            F.col("cw") >= F.col("k") * F.col("n") / 16.0,
+        )
+        .groupBy(F.col("k").cast("bigint").alias("split_id"))
+        .agg(r6(F.min("v")).alias("boundary"))
+    )

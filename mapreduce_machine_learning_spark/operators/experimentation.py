@@ -303,3 +303,56 @@ def q_ml_power(spark, sf_dir):
         r6(F.var_samp("value")).alias("sigma2"),
         r6(2.0 * F.var_samp("value") * z / 25.0).alias("n_per_arm"),
     )
+
+
+@query(
+    "q_events_srm",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT SUM(n_events)::DOUBLE AS total,
+               SUM(CASE WHEN arm = 1 THEN n_events ELSE 0 END)::DOUBLE
+                   AS n_treat
+        FROM arms
+    )
+    SELECT CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(total - n_treat AS BIGINT) AS n_ctrl,
+           ROUND((n_treat - total / 2) * (n_treat - total / 2) / (total / 2)
+                 + ((total - n_treat) - total / 2)
+                   * ((total - n_treat) - total / 2) / (total / 2), 6)
+               AS chi2,
+           CASE WHEN (n_treat - total / 2) * (n_treat - total / 2)
+                     / (total / 2)
+                     + ((total - n_treat) - total / 2)
+                       * ((total - n_treat) - total / 2) / (total / 2)
+                     > 3.841459 THEN 'mismatch' ELSE 'ok' END AS verdict
+    FROM s
+    """,
+)
+def q_events_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail for the parity-split experiment:
+    χ² of the observed treatment/control event counts against the
+    expected 50/50, flagged at the fixed 1-dof critical value 3.841459.
+    The first check any A/B readout must pass — a biased split
+    invalidates q_events_cuped/q_events_did downstream. One conditional
+    count; exact-integer inputs."""
+    ev = T(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n_treat"),
+    )
+    half = F.col("total") / 2
+    chi2 = (F.col("n_treat") - half) * (F.col("n_treat") - half) / half + (
+        (F.col("total") - F.col("n_treat")) - half
+    ) * ((F.col("total") - F.col("n_treat")) - half) / half
+    return s.select(
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        (F.col("total") - F.col("n_treat")).cast("bigint").alias("n_ctrl"),
+        r6(chi2).alias("chi2"),
+        F.when(chi2 > 3.841459, "mismatch").otherwise("ok").alias("verdict"),
+    )

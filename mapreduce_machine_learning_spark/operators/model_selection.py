@@ -395,3 +395,54 @@ def q_ml_huber_eval(spark, sf_dir):
             "outlier_share"
         ),
     )
+
+
+@query(
+    "q_ml_gmm_loglik",
+    oracle="""
+    WITH ll AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(LN(0.5 * EXP(-(value - 50.0) * (value - 50.0)
+                                / (2.0 * 25.0 * 25.0))
+                          / (25.0 * SQRT(2.0 * PI()))
+                      + 0.5 * EXP(-(value - 150.0) * (value - 150.0)
+                                  / (2.0 * 25.0 * 25.0))
+                            / (25.0 * SQRT(2.0 * PI())))) AS loglik
+        FROM events
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(loglik, 4) AS loglik,
+           ROUND(-2.0 * loglik + 2.0 * 5.0, 4) AS aic,
+           ROUND(-2.0 * loglik + 5.0 * LN(n), 4) AS bic
+    FROM ll
+    """,
+)
+def q_ml_gmm_loglik(spark, sf_dir):
+    """Model-fit scoring for the fixed 2-component GMM of SURVEY §2.9
+    (π = .5/.5, μ = 50/150, σ = 25/25) on event values: total
+    log-likelihood plus AIC/BIC (k = 5 free parameters) — the convergence
+    and model-selection criterion the EM driver (q_ml_gmm_estep/mstep)
+    monitors each iteration, as one aggregation. Rounded at 4 decimals:
+    the sum has magnitude ~n·6, where round-6 would sit inside cross-
+    engine addition-order noise (SURVEY §2.1 magnitude rule)."""
+    import math
+
+    ev = T(spark, sf_dir, "events")
+    norm = 25.0 * math.sqrt(2.0 * math.pi)
+    x = F.col("value")
+    dens = (
+        0.5 * F.exp(-(x - 50.0) * (x - 50.0) / (2.0 * 25.0 * 25.0)) / norm
+        + 0.5 * F.exp(-(x - 150.0) * (x - 150.0) / (2.0 * 25.0 * 25.0)) / norm
+    )
+    ll = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.log(dens)).alias("loglik"),
+    )
+    return ll.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("loglik"), 4).alias("loglik"),
+        F.round(-2.0 * F.col("loglik") + 10.0, 4).alias("aic"),
+        F.round(-2.0 * F.col("loglik") + 5.0 * F.log(F.col("n")), 4).alias(
+            "bic"
+        ),
+    )

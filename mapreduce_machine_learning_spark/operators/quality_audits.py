@@ -296,3 +296,124 @@ def q_llm_template_docs(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "prefix")
         .limit(20)
     )
+
+
+@query(
+    "q_events_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS s,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events
+    ),
+    trans AS (
+        SELECT s, t, COUNT(*)::DOUBLE AS c
+        FROM seq WHERE t IS NOT NULL GROUP BY s, t
+    ),
+    marg AS (
+        SELECT s, t, c,
+               SUM(c) OVER (PARTITION BY s) AS cs,
+               SUM(c) OVER () AS total
+        FROM trans
+    )
+    SELECT CAST(MAX(total) AS BIGINT) AS n_transitions,
+           ROUND(-SUM((c / total) * LN(c / cs)), 6) AS entropy_rate,
+           ROUND(EXP(-SUM((c / total) * LN(c / cs))), 6) AS perplexity
+    FROM marg
+    """,
+)
+def q_events_entropy_rate(spark, sf_dir):
+    """Entropy rate of the per-user behavior Markov chain: H = −Σ_{s,t}
+    p(s,t)·ln P(t|s) over observed transitions (ordered by ts with
+    event_id tie-break), and its perplexity exp(H) — 'how many
+    effectively-random next actions does a user have'. The summary scalar
+    on top of q_events_markov's transition matrix: one LEAD window keyed
+    by user, one count aggregation over the 5×5 state space."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    trans = seq.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ws = Window.partitionBy("s")
+    wa = Window.partitionBy()
+    marg = trans.select(
+        "c",
+        F.sum("c").over(ws).alias("cs"),
+        F.sum("c").over(wa).alias("total"),
+    )
+    h = -F.sum((F.col("c") / F.col("total")) * F.log(F.col("c") / F.col("cs")))
+    return marg.agg(
+        F.max("total").cast("bigint").alias("n_transitions"),
+        r6(h).alias("entropy_rate"),
+        r6(F.exp(h)).alias("perplexity"),
+    )
+
+
+@query(
+    "q_events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*)::DOUBLE AS n FROM tu GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*)::DOUBLE AS cboth
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(cboth AS BIGINT) AS n_both,
+           ROUND(cboth / (sa.n + sb.n - cboth), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def q_events_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard similarity of the distinct-user
+    sets behind every pair of event types (10 pairs for 5 types) —
+    |A∩B| / |A∪B| with the union by inclusion-exclusion, so only the
+    intersection needs a join. The (type, user) dedup is the single
+    fact-table shuffle; the self-join runs on that reduced frame keyed by
+    user. The exact version of what q_sketch_kmv_setops estimates."""
+    ev = T(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("both").cast("bigint").alias("n_both"),
+            r6(
+                F.col("both")
+                / (F.col("na") + F.col("nb") - F.col("both"))
+            ).alias("jaccard"),
+        )
+    )

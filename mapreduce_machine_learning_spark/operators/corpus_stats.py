@@ -517,3 +517,47 @@ def q_str_editdist(spark, sf_dir):
         .orderBy("dist", "t1", "t2")
         .limit(20)
     )
+
+
+@query(
+    "q_llm_source_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, COUNT(*)::DOUBLE AS n
+        FROM documents GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, n, SUM(n) OVER (PARTITION BY lang) AS total
+        FROM c
+    )
+    SELECT lang,
+           CAST(MAX(total) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           ROUND(-SUM((n / total) * LN(n / total)), 6) AS source_entropy,
+           ROUND(EXP(-SUM((n / total) * LN(n / total))), 6)
+               AS effective_sources
+    FROM m GROUP BY lang
+    """,
+)
+def q_llm_source_diversity(spark, sf_dir):
+    """Training-mix diversity audit: per language, the Shannon entropy of
+    the source distribution and its exponential (the 'effective number of
+    sources'). A lang whose effective-source count is far below its raw
+    source count is dominated by a few crawls — the signal that drives
+    q_llm_mixweights-style re-weighting upstream. One (lang, source)
+    count aggregation; the entropy runs over a ≤ 5×20 frame."""
+    docs = T(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    m = c.select(
+        "lang", "n", F.sum("n").over(w).alias("total")
+    )
+    h = -F.sum((F.col("n") / F.col("total")) * F.log(F.col("n") / F.col("total")))
+    return m.groupBy("lang").agg(
+        F.max("total").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        r6(h).alias("source_entropy"),
+        r6(F.exp(h)).alias("effective_sources"),
+    )

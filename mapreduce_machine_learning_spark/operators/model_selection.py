@@ -446,3 +446,210 @@ def q_ml_gmm_loglik(spark, sf_dir):
             "bic"
         ),
     )
+
+
+@query(
+    "q_ml_cooks_distance",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(l_quantity) AS xbar,
+               SUM(l_quantity * l_quantity)
+                   - COUNT(*) * AVG(l_quantity) * AVG(l_quantity) AS sxx,
+               (COUNT(*) * SUM(l_quantity * l_extendedprice)
+                - SUM(l_quantity) * SUM(l_extendedprice))
+               / (COUNT(*) * SUM(l_quantity * l_quantity)
+                  - SUM(l_quantity) * SUM(l_quantity)) AS slope,
+               AVG(l_extendedprice) AS ybar,
+               SUM(l_extendedprice * l_extendedprice)
+                   - COUNT(*) * AVG(l_extendedprice) * AVG(l_extendedprice)
+                   AS syy,
+               SUM(l_quantity * l_extendedprice)
+                   - COUNT(*) * AVG(l_quantity) * AVG(l_extendedprice)
+                   AS sxy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT n, xbar, sxx, slope, ybar - slope * xbar AS intercept,
+               (syy - slope * sxy) / (n - 2) AS s2
+        FROM s
+    ),
+    pts AS (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice - (fit.intercept
+                                  + fit.slope * l_quantity) AS r,
+               1.0 / fit.n + (l_quantity - fit.xbar)
+                             * (l_quantity - fit.xbar) / fit.sxx AS h,
+               fit.s2 AS s2
+        FROM lineitem CROSS JOIN fit
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(r * r * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+               AS cooks_d
+    FROM pts
+    ORDER BY ROUND(r * r * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+             DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def q_ml_cooks_distance(spark, sf_dir):
+    """Influence diagnostics for the simple OLS fit: the 10 most
+    influential lineitem rows by Cook's distance, Dᵢ = rᵢ²hᵢ /
+    (p·s²(1−hᵢ)²) with leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and p = 2.
+    Completes the regression-diagnostics family (Durbin–Watson, VIF,
+    slope t-test) with the per-point view: pass 1 is the sufficient-
+    statistics aggregate, whose 1-row fit broadcasts into pass 2's
+    closed-form per-row leverage — no hat matrix materialized. Selection
+    orders by the ROUNDED distance with the (orderkey, linenumber)
+    unique tie-break."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_raw"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_raw"),
+    )
+    n, xbar, ybar = F.col("n"), F.col("xbar"), F.col("ybar")
+    sxx = F.col("sxx_raw") - n * xbar * xbar
+    sxy = F.col("sxy_raw") - n * xbar * ybar
+    syy = F.col("syy_raw") - n * ybar * ybar
+    slope = (n * F.col("sxy_raw") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx_raw") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        "n",
+        "xbar",
+        sxx.alias("sxx"),
+        slope.alias("slope"),
+        (ybar - slope * xbar).alias("intercept"),
+        ((syy - slope * sxy) / (n - 2)).alias("s2"),
+    )
+    pts = li.crossJoin(F.broadcast(fit)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))
+        ).alias("r"),
+        (
+            1.0 / F.col("n")
+            + (F.col("x") - F.col("xbar"))
+            * (F.col("x") - F.col("xbar"))
+            / F.col("sxx")
+        ).alias("h"),
+        "s2",
+    )
+    d = (
+        F.col("r")
+        * F.col("r")
+        * F.col("h")
+        / (2.0 * F.col("s2") * (1.0 - F.col("h")) * (1.0 - F.col("h")))
+    )
+    return (
+        pts.select(
+            "l_orderkey", "l_linenumber", r6(d).alias("cooks_d")
+        )
+        .orderBy(F.desc("cooks_d"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@query(
+    "q_ml_grubbs",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(GREATEST(MAX(value) - AVG(value),
+                          AVG(value) - MIN(value))
+                 / STDDEV_SAMP(value), 6) AS g_stat,
+           CASE WHEN GREATEST(MAX(value) - AVG(value),
+                              AVG(value) - MIN(value))
+                     / STDDEV_SAMP(value) > 4.0
+                THEN 'outlier' ELSE 'clean' END AS verdict
+    FROM events
+    """,
+)
+def q_ml_grubbs(spark, sf_dir):
+    """Grubbs' extreme-outlier screen on event values: G = max|x − x̄|/s
+    from ONE aggregation (max deviation = greatest of the two extremes
+    against the mean — no second pass), flagged at the fixed large-n
+    critical value 4.0. The cheapest of the anomaly family: where
+    q_events_anomaly scans per-bucket z-scores, this is the single-scalar
+    tripwire a pipeline runs on every batch."""
+    ev = T(spark, sf_dir, "events")
+    g = F.greatest(
+        F.max("value") - F.avg("value"), F.avg("value") - F.min("value")
+    ) / F.stddev_samp("value")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(g).alias("g_stat"),
+        F.when(g > 4.0, "outlier").otherwise("clean").alias("verdict"),
+    )
+
+
+@query(
+    "q_ml_ratio_ci",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS x, COUNT(*)::DOUBLE AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(x) / SUM(y) AS r,
+               AVG(y) AS ybar,
+               VAR_SAMP(x) AS vx, VAR_SAMP(y) AS vy,
+               COVAR_SAMP(x, y) AS cxy
+        FROM per_cust
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(r, 6) AS ratio,
+           ROUND(SQRT((vx - 2 * r * cxy + r * r * vy)
+                      / (n * ybar * ybar)), 6) AS se,
+           ROUND(r - 1.959964 * SQRT((vx - 2 * r * cxy + r * r * vy)
+                                     / (n * ybar * ybar)), 6) AS ci_lo,
+           ROUND(r + 1.959964 * SQRT((vx - 2 * r * cxy + r * r * vy)
+                                     / (n * ybar * ybar)), 6) AS ci_hi
+    FROM s
+    """,
+)
+def q_ml_ratio_ci(spark, sf_dir):
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    order, clustered by customer): R̂ = Σx/Σy over per-customer totals,
+    Var(R̂) ≈ (σ²ₓ − 2R̂σₓᵧ + R̂²σ²ᵧ)/(n ȳ²) — the linearization every
+    experimentation platform uses because ratio metrics violate the
+    iid-row assumption a naive t-test makes (the unit of randomization
+    is the customer, not the order). One customer-grain aggregation, one
+    1-row moment aggregate, closed-form CI with the z quantile as a
+    fixed literal."""
+    orders = T(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    s = per_cust.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("x") / F.sum("y")).alias("r"),
+        F.avg("y").alias("ybar"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r, n, ybar = F.col("r"), F.col("n"), F.col("ybar")
+    se = F.sqrt(
+        (F.col("vx") - 2 * r * F.col("cxy") + r * r * F.col("vy"))
+        / (n * ybar * ybar)
+    )
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        r6(r).alias("ratio"),
+        r6(se).alias("se"),
+        r6(r - 1.959964 * se).alias("ci_lo"),
+        r6(r + 1.959964 * se).alias("ci_hi"),
+    )

@@ -369,6 +369,65 @@ def q_win_rolling_corr(spark, sf_dir):
 
 
 @query(
+    "q_llm_length_percentiles",
+    oracle="""
+    WITH lens AS (
+        SELECT lang, len(string_split(text, ' ')) AS tlen,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY lang, tlen
+    ),
+    cum AS (
+        SELECT lang, tlen,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY tlen
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+               SUM(cnt) OVER (PARTITION BY lang) AS n
+        FROM lens
+    )
+    SELECT lang,
+           CAST(MIN(CASE WHEN cw >= 0.1 * n THEN tlen END) AS BIGINT)
+               AS p10,
+           CAST(MIN(CASE WHEN cw >= 0.5 * n THEN tlen END) AS BIGINT)
+               AS p50,
+           CAST(MIN(CASE WHEN cw >= 0.9 * n THEN tlen END) AS BIGINT)
+               AS p90
+    FROM cum GROUP BY lang
+    """,
+)
+def q_llm_length_percentiles(spark, sf_dir):
+    """Per-language document-length profile at p10/p50/p90 token counts,
+    discrete semantics (smallest observed length whose cumulative count
+    reaches p·n) — the length-filter calibration table for a training
+    pipeline (cut thresholds come from these percentiles, not from
+    means, because length is heavy-tailed; SURVEY §2.8 q_llm_textstats
+    reports the means this corrects). One (lang, length) count
+    aggregation, one prefix scan per language."""
+    docs = T(spark, sf_dir, "documents")
+    lens = docs.groupBy(
+        "lang", F.size(F.split("text", " ")).alias("tlen")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("lang").orderBy("tlen").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("lang")
+    cum = lens.select(
+        "lang",
+        "tlen",
+        F.sum("cnt").over(w_cum).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def pick(p):
+        return F.min(
+            F.when(F.col("cw") >= p * F.col("n"), F.col("tlen"))
+        ).cast("bigint")
+
+    return cum.groupBy("lang").agg(
+        pick(0.1).alias("p10"), pick(0.5).alias("p50"), pick(0.9).alias("p90")
+    )
+
+
+@query(
     "q_part_range_bounds",
     oracle="""
     WITH vals AS (

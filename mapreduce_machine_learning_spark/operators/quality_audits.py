@@ -299,6 +299,95 @@ def q_llm_template_docs(spark, sf_dir):
 
 
 @query(
+    "q_array_setops",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id = 0
+    ),
+    b AS (
+        SELECT DISTINCT UNNEST(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (tok)) AS BIGINT)
+               AS n_inter,
+           CAST((SELECT COUNT(*) FROM (SELECT tok FROM a UNION
+                                       SELECT tok FROM b)) AS BIGINT)
+               AS n_union,
+           CAST((SELECT COUNT(*) FROM (SELECT tok FROM a EXCEPT
+                                       SELECT tok FROM b)) AS BIGINT)
+               AS n_a_only
+    """,
+)
+def q_array_setops(spark, sf_dir):
+    """Array-column set algebra: the distinct-token sets of doc 0 and
+    doc 1 compared entirely with ARRAY higher-order operators on the
+    Spark side (array_distinct / array_intersect / array_union /
+    array_except — no explode, no shuffle: two rows in, one row out,
+    all work inside whole-stage codegen). The oracle computes the same
+    five cardinalities relationally, proving the array kernels match
+    set semantics exactly — the basis for the token-set Jaccard used
+    across the dedup family."""
+    docs = T(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(F.split("text", " ")).alias("ta")
+    )
+    b = docs.filter(F.col("doc_id") == 1).select(
+        F.array_distinct(F.split("text", " ")).alias("tb")
+    )
+    return a.crossJoin(b).select(
+        F.size("ta").cast("bigint").alias("n_a"),
+        F.size("tb").cast("bigint").alias("n_b"),
+        F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("n_inter"),
+        F.size(F.array_union("ta", "tb")).cast("bigint").alias("n_union"),
+        F.size(F.array_except("ta", "tb")).cast("bigint").alias("n_a_only"),
+    )
+
+
+@query(
+    "q_win_standardize",
+    oracle="""
+    WITH z AS (
+        SELECT o_orderkey, o_orderstatus,
+               (o_totalprice - AVG(o_totalprice)
+                                   OVER (PARTITION BY o_orderstatus))
+               / STDDEV_SAMP(o_totalprice)
+                     OVER (PARTITION BY o_orderstatus) AS zscore
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, ROUND(zscore, 6) AS zscore
+    FROM z
+    ORDER BY ROUND(ABS(zscore), 6) DESC, o_orderkey
+    LIMIT 5
+    """,
+)
+def q_win_standardize(spark, sf_dir):
+    """Within-group standardization via unbounded window aggregates: each
+    order's z-score against its own status group's mean/stddev, reporting
+    the 5 most extreme orders (|z| rounded, orderkey tie-break). The
+    window form computes group moments WITHOUT collapsing the rows — the
+    pattern feature pipelines use to attach normalized columns; Catalyst
+    evaluates both aggregates in one window pass per partition."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    z = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+            / F.stddev_samp("o_totalprice").over(w)
+        ).alias("zscore"),
+    )
+    return (
+        z.select("o_orderkey", "o_orderstatus", r6("zscore").alias("zscore"))
+        .orderBy(F.desc(F.round(F.abs(F.col("zscore")), 6)), "o_orderkey")
+        .limit(5)
+    )
+
+
+@query(
     "q_events_entropy_rate",
     oracle="""
     WITH seq AS (

@@ -468,6 +468,67 @@ def q_events_kaplan_meier(spark, sf_dir):
 
 
 @query(
+    "q_ml_anova",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*)::DOUBLE AS n, AVG(value) AS m,
+               SUM(value * value) AS sxx
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(n * m) / SUM(n) AS grand,
+               COUNT(*)::DOUBLE AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT SUM(g.sxx - g.n * g.m * g.m) AS ssw,
+               SUM(g.n * (g.m - tot.grand) * (g.m - tot.grand)) AS ssb,
+               MAX(tot.nn) AS nn, MAX(tot.k) AS k
+        FROM g CROSS JOIN tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_groups,
+           ROUND(ssb, 0) AS ssb,
+           ROUND(ssw, 0) AS ssw,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat
+    FROM ss
+    """,
+)
+def q_ml_anova(spark, sf_dir):
+    """One-way ANOVA of `value` across the five event types: F =
+    (SSB/(k−1)) / (SSW/(N−k)) with both sums of squares derived from ONE
+    conditional-moment aggregation (per-group n, mean, Σx²) — no second
+    pass, no residual materialization. The omnibus complement to the
+    pairwise q_ml_welch_ttest. Sums of squares are rounded at integer
+    grain (magnitude ~1e7, SURVEY §2.1 magnitude rule); F is O(1)."""
+    ev = T(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    ss = g.agg(
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("sxx") - F.col("n") * F.col("m") * F.col("m")).alias(
+            "ssw"
+        ),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("sb_raw"),
+    )
+    ssb = F.col("sb_raw") - F.col("nn") * F.col("grand") * F.col("grand")
+    return ss.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.round(ssb, 0).alias("ssb"),
+        F.round(F.col("ssw"), 0).alias("ssw"),
+        r6(
+            (ssb / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nn") - F.col("k")))
+        ).alias("f_stat"),
+    )
+
+
+@query(
     "q_ml_precision_at_k",
     oracle="""
     WITH q AS (

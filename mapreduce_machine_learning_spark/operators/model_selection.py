@@ -653,3 +653,80 @@ def q_ml_ratio_ci(spark, sf_dir):
         r6(r - 1.959964 * se).alias("ci_lo"),
         r6(r + 1.959964 * se).alias("ci_hi"),
     )
+
+
+@query(
+    "q_ml_var_merge",
+    oracle="""
+    WITH bucketed AS (
+        SELECT SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 1) AS bucket,
+               value
+        FROM events
+    ),
+    per_bucket AS (
+        SELECT bucket, COUNT(*)::DOUBLE AS n, AVG(value) AS m,
+               SUM(value * value) - COUNT(*) * AVG(value) * AVG(value)
+                   AS m2
+        FROM bucketed GROUP BY bucket
+    ),
+    merged AS (
+        SELECT SUM(n) AS nn,
+               SUM(n * m) / SUM(n) AS grand,
+               SUM(m2) AS sum_m2,
+               SUM(n * m * m) AS sum_nm2
+        FROM per_bucket
+    ),
+    direct AS (SELECT VAR_SAMP(value) AS v FROM events)
+    SELECT CAST(merged.nn AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM per_bucket) AS BIGINT) AS n_buckets,
+           ROUND((merged.sum_m2 + merged.sum_nm2
+                  - merged.nn * merged.grand * merged.grand)
+                 / (merged.nn - 1), 6) AS var_merged,
+           ROUND(direct.v, 6) AS var_direct
+    FROM merged, direct
+    """,
+)
+def q_ml_var_merge(spark, sf_dir):
+    """Parallel-variance mergeability check (Chan et al.): per-partition
+    sufficient statistics (n, mean, M2) over 16 md5 buckets, merged with
+    the exact combine rule M2 = ΣM2ᵢ + Σnᵢ(meanᵢ − grand)², must equal
+    the direct single-pass VAR_SAMP to round-6. This identity is the
+    foundation the whole summation-form family stands on — it is WHY
+    partial+final aggregation, treeAggregate, and every sketch merge in
+    this engine are exact for second moments. Declaring it as a query
+    keeps the property continuously verified against an independent
+    engine."""
+    ev = T(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias(
+            "bucket"
+        ),
+        "value",
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        (
+            F.sum(F.col("value") * F.col("value"))
+            - F.count(F.lit(1)) * F.avg("value") * F.avg("value")
+        ).alias("m2"),
+    )
+    merged = per_bucket.agg(
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand"),
+        F.sum("m2").alias("sum_m2"),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("sum_nm2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    direct = ev.agg(F.var_samp("value").alias("v"))
+    var_merged = (
+        F.col("sum_m2")
+        + F.col("sum_nm2")
+        - F.col("nn") * F.col("grand") * F.col("grand")
+    ) / (F.col("nn") - 1)
+    return merged.crossJoin(F.broadcast(direct)).select(
+        F.col("nn").cast("bigint").alias("n"),
+        "n_buckets",
+        r6(var_merged).alias("var_merged"),
+        r6(F.col("v")).alias("var_direct"),
+    )

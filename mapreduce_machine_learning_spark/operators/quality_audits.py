@@ -388,6 +388,101 @@ def q_win_standardize(spark, sf_dir):
 
 
 @query(
+    "q_date_isoweek",
+    oracle="""
+    SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    LIMIT 30
+    """,
+)
+def q_date_isoweek(spark, sf_dir):
+    """Orders rolled up to the ISO calendar: (ISO week-year, ISO week)
+    buckets — the year-boundary trap the Gregorian year/week pair gets
+    wrong (Jan 1 can belong to week 52 of the PREVIOUS iso-year; verified
+    live: both engines map 2022-01-01 → (2021, 52)). Spark's
+    extract(YEAROFWEEK)/weekofyear and DuckDB's isoyear/weekofyear share
+    ISO-8601 semantics exactly. First 30 buckets in calendar order; sums
+    rounded at 2 (magnitude ~1e7)."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+            .cast("bigint")
+            .alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("iso_year", "iso_week")
+        .limit(30)
+    )
+
+
+@query(
+    "q_str_unicode",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(length(text)), 6) AS avg_chars,
+           ROUND(AVG(strlen(text)), 6) AS avg_bytes,
+           ROUND(AVG(strlen(text)::DOUBLE / length(text)), 6)
+               AS bytes_per_char
+    FROM documents GROUP BY lang
+    """,
+)
+def q_str_unicode(spark, sf_dir):
+    """Unicode width audit: per language, average CHARACTER length vs
+    average UTF-8 BYTE length of documents and their ratio — ≈1.0 for
+    Latin-script langs, ≈3.0 for zh (CJK codepoints are 3 bytes). The
+    distinction that sizes shuffle buffers and storage correctly for
+    multilingual corpora, and proof the engines agree on codepoint vs
+    octet semantics (Spark length/octet_length ≡ DuckDB length/strlen)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r6(F.avg(F.length("text"))).alias("avg_chars"),
+        r6(F.avg(F.octet_length("text"))).alias("avg_bytes"),
+        r6(
+            F.avg(
+                F.octet_length("text").cast("double") / F.length("text")
+            )
+        ).alias("bytes_per_char"),
+    )
+
+
+@query(
+    "q_agg_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(EXP(AVG(LN(l_quantity))), 6) AS geomean_qty,
+           ROUND(AVG(l_quantity), 6) AS mean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_geomean(spark, sf_dir):
+    """Geometric mean of order quantity per return flag — exp(avg(ln x)),
+    the multiplicative average SQL lacks as a builtin, next to the
+    arithmetic mean it always undershoots (AM–GM). The log transform
+    turns a product aggregate into an ordinary partial+final SUM, which
+    is exactly how a distributed product must be computed anyway
+    (quantities are ≥ 1, so ln is total)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(F.exp(F.avg(F.log("l_quantity")))).alias("geomean_qty"),
+        r6(F.avg("l_quantity")).alias("mean_qty"),
+    )
+
+
+@query(
     "q_events_entropy_rate",
     oracle="""
     WITH seq AS (

@@ -306,6 +306,189 @@ def q_ml_power(spark, sf_dir):
 
 
 @query(
+    "q_events_overdispersion",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               COUNT(*)::DOUBLE AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(AVG(c), 6) AS mean_rate,
+           ROUND(VAR_SAMP(c) / AVG(c), 6) AS vmr,
+           CASE WHEN ROUND(VAR_SAMP(c) / AVG(c), 6) > 1.5
+                THEN 'overdispersed' ELSE 'poisson-like' END AS verdict
+    FROM hourly GROUP BY event_type
+    """,
+)
+def q_events_overdispersion(spark, sf_dir):
+    """Overdispersion test on hourly arrival counts per event type: the
+    variance-to-mean ratio of the count series (Poisson ⇒ VMR ≈ 1),
+    flagged past 1.5 on the ROUNDED ratio (grid-stable verdict). The
+    diagnostic that decides whether q_ml_poisson_grad's GLM is even the
+    right likelihood, or a negative-binomial is needed. One hourly
+    pre-aggregation, one moment pass over the tiny series."""
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    vmr = r6(F.var_samp("c") / F.avg("c"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        r6(F.avg("c")).alias("mean_rate"),
+        vmr.alias("vmr"),
+        F.when(vmr > 1.5, "overdispersed")
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "q_ml_threshold_table",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + EXP(-(value / 100.0 - 1.0))) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    ts AS (SELECT CAST(UNNEST(range(1, 10)) AS DOUBLE) / 10.0 AS t)
+    SELECT ts.t,
+           CAST(SUM(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           ROUND(SUM(CASE WHEN score >= t AND y = 1 THEN 1.0 ELSE 0 END)
+                 / NULLIF(SUM(CASE WHEN score >= t THEN 1.0 ELSE 0 END), 0),
+                 6) AS precision_,
+           ROUND(SUM(CASE WHEN score >= t AND y = 1 THEN 1.0 ELSE 0 END)
+                 / SUM(CASE WHEN y = 1 THEN 1.0 ELSE 0 END), 6) AS recall_,
+           ROUND(SUM(CASE WHEN score >= t AND y = 0 THEN 1.0 ELSE 0 END)
+                 / SUM(CASE WHEN y = 0 THEN 1.0 ELSE 0 END), 6) AS fpr
+    FROM scored CROSS JOIN ts
+    GROUP BY ts.t
+    """,
+)
+def q_ml_threshold_table(spark, sf_dir):
+    """Operating-point table for the fixed logistic scorer σ(value/100−1)
+    against the purchase label: tp/fp/precision/recall/FPR at the nine
+    decision thresholds 0.1…0.9 — the table a deployment picks its
+    cutoff from (q_ml_auc integrates it; this exposes the points). The
+    threshold frame is 9 literal rows crossed into one conditional
+    aggregation; at scale the same result comes from one pass with 9
+    CASE accumulators — either way a single fact-table scan."""
+    ev = T(spark, sf_dir, "events")
+    scored = ev.select(
+        (1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 1.0)))).alias(
+            "score"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ts = spark.range(1, 10).select(
+        (F.col("id").cast("double") / 10.0).alias("t")
+    )
+    pred = F.col("score") >= F.col("t")
+    y1 = F.col("y") == 1
+    return (
+        scored.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(pred & y1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(pred & ~y1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            r6(
+                F.sum(F.when(pred & y1, 1.0).otherwise(0.0))
+                / F.nullif(
+                    F.sum(F.when(pred, 1.0).otherwise(0.0)), F.lit(0.0)
+                )
+            ).alias("precision_"),
+            r6(
+                F.sum(F.when(pred & y1, 1.0).otherwise(0.0))
+                / F.sum(F.when(y1, 1.0).otherwise(0.0))
+            ).alias("recall_"),
+            r6(
+                F.sum(F.when(pred & ~y1, 1.0).otherwise(0.0))
+                / F.sum(F.when(~y1, 1.0).otherwise(0.0))
+            ).alias("fpr"),
+        )
+    )
+
+
+@query(
+    "q_ml_mcc",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN 1.0 / (1.0 + EXP(-(value / 100.0 - 1.0))) >= 0.5
+                    THEN 1 ELSE 0 END AS pred,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    c AS (
+        SELECT SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   AS tp,
+               SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)::DOUBLE
+                   AS fp,
+               SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   AS fn,
+               SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)::DOUBLE
+                   AS tn
+        FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND((tp * tn - fp * fn)
+                 / SQRT((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+                 6) AS mcc
+    FROM c
+    """,
+)
+def q_ml_mcc(spark, sf_dir):
+    """Matthews correlation coefficient of the fixed logistic classifier
+    at the 0.5 cutoff: the full confusion matrix and MCC = (tp·tn −
+    fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — the single-scalar metric
+    that stays honest under the ~80/20 class imbalance where accuracy
+    flatters. Exact-integer confusion counts from one conditional
+    aggregation; products stay within double range (< 2⁵³)."""
+    ev = T(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(
+            1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 1.0))) >= 0.5, 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    c = scored.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return c.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        r6(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+        ).alias("mcc"),
+    )
+
+
+@query(
     "q_events_srm",
     oracle="""
     WITH arms AS (

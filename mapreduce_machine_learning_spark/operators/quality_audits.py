@@ -388,6 +388,87 @@ def q_win_standardize(spark, sf_dir):
 
 
 @query(
+    "q_llm_quality_gate",
+    oracle="""
+    WITH feats AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tok,
+               1.0 - len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' '))::DOUBLE AS rep
+        FROM documents
+    ),
+    gated AS (
+        SELECT lang,
+               CASE WHEN n_tok < 25 THEN 'too_short'
+                    WHEN n_tok > 95 THEN 'too_long'
+                    WHEN rep > 0.6 THEN 'too_repetitive'
+                    ELSE 'pass' END AS gate
+        FROM feats
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gate = 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(SUM(CASE WHEN gate = 'too_short' THEN 1 ELSE 0 END)
+                AS BIGINT) AS kill_short,
+           CAST(SUM(CASE WHEN gate = 'too_long' THEN 1 ELSE 0 END)
+                AS BIGINT) AS kill_long,
+           CAST(SUM(CASE WHEN gate = 'too_repetitive' THEN 1 ELSE 0 END)
+                AS BIGINT) AS kill_repetitive,
+           ROUND(SUM(CASE WHEN gate = 'pass' THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS pass_rate
+    FROM gated GROUP BY lang
+    """,
+)
+def q_llm_quality_gate(spark, sf_dir):
+    """Composable quality-filter gate with first-failure attribution: each
+    doc is killed by the FIRST failing rule in a fixed order (token count
+    < 25 → too_short; > 95 → too_long; repetition ratio 1 − distinct/total
+    > 0.6 → too_repetitive) or passes. Per language: survivors, kills per
+    rule, pass rate — the funnel report every corpus-cleaning pipeline
+    publishes (q_llm_pipeline_funnel chains gates ACROSS stages; this
+    attributes WITHIN one stage). Single scan, one CASE cascade, all
+    integer counts."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (
+            1.0
+            - F.size(F.array_distinct(toks))
+            / F.size(toks).cast("double")
+        ).alias("rep"),
+    )
+    gate = (
+        F.when(F.col("n_tok") < 25, "too_short")
+        .when(F.col("n_tok") > 95, "too_long")
+        .when(F.col("rep") > 0.6, "too_repetitive")
+        .otherwise("pass")
+    )
+    gated = feats.select("lang", gate.alias("gate"))
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("gate") == "pass", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("gate") == "too_short", 1).otherwise(0))
+        .cast("bigint")
+        .alias("kill_short"),
+        F.sum(F.when(F.col("gate") == "too_long", 1).otherwise(0))
+        .cast("bigint")
+        .alias("kill_long"),
+        F.sum(F.when(F.col("gate") == "too_repetitive", 1).otherwise(0))
+        .cast("bigint")
+        .alias("kill_repetitive"),
+        r6(
+            F.sum(F.when(F.col("gate") == "pass", 1.0).otherwise(0.0))
+            / F.count(F.lit(1))
+        ).alias("pass_rate"),
+    )
+
+
+@query(
     "q_date_isoweek",
     oracle="""
     SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,

@@ -428,6 +428,216 @@ def q_llm_length_percentiles(spark, sf_dir):
 
 
 @query(
+    "q_ml_cov_offdiag",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, pos, x FROM (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ) WHERE pos <= 16
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM comps),
+    means AS (SELECT pos, AVG(x) AS m FROM comps GROUP BY pos),
+    cross_sums AS (
+        SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS sxy
+        FROM comps a JOIN comps b
+          ON a.vec_id = b.vec_id AND a.pos < b.pos
+        GROUP BY a.pos, b.pos
+    ),
+    offd AS (
+        SELECT SUM(ABS(cs.sxy / n.n - ma.m * mb.m)) AS off_mass
+        FROM cross_sums cs
+        JOIN means ma ON ma.pos = cs.i
+        JOIN means mb ON mb.pos = cs.j
+        CROSS JOIN n
+    ),
+    diag AS (
+        SELECT SUM(v) AS diag_mass FROM (
+            SELECT VAR_POP(x) AS v FROM comps GROUP BY pos
+        )
+    )
+    SELECT CAST(16 AS BIGINT) AS n_dims,
+           ROUND(diag.diag_mass, 6) AS diag_mass,
+           ROUND(2.0 * offd.off_mass, 6) AS offdiag_mass,
+           ROUND(2.0 * offd.off_mass / diag.diag_mass, 6)
+               AS anisotropy_ratio
+    FROM offd, diag
+    """,
+)
+def q_ml_cov_offdiag(spark, sf_dir):
+    """Embedding whitening audit over the first 16 dimensions: total
+    |off-diagonal| covariance mass vs the variance (diagonal) mass of the
+    component covariance matrix. Ratio ≈ 0 means the space is already
+    decorrelated (cosine kNN and PQ quantizers behave); a large ratio
+    says whitening/PCA (q_ml_pca) should run before q_llm_quantize. The
+    cross-moment table comes from a self-join on vec_id restricted to
+    i < j — 120 upper-triangle pairs per vector, bounded by dims², not
+    data size."""
+    emb = T(spark, sf_dir, "embeddings")
+    comps = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .filter(F.col("pos") < 16)
+        .select(
+            "vec_id", (F.col("pos") + 1).alias("pos"),
+            F.col("x").cast("double").alias("x"),
+        )
+    )
+    n = comps.agg(
+        F.countDistinct("vec_id").cast("double").alias("n")
+    )
+    means = comps.groupBy("pos").agg(F.avg("x").alias("m"))
+    a = comps.select(
+        "vec_id", F.col("pos").alias("i"), F.col("x").alias("xi")
+    )
+    b = comps.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("pos").alias("j"),
+        F.col("x").alias("xj"),
+    )
+    cross_sums = (
+        a.join(
+            b,
+            (F.col("vec_id") == F.col("vid2")) & (F.col("i") < F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
+    )
+    ma = means.select(F.col("pos").alias("i"), F.col("m").alias("mi"))
+    mb = means.select(F.col("pos").alias("j"), F.col("m").alias("mj"))
+    offd = (
+        cross_sums.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")
+                )
+            ).alias("off_mass")
+        )
+    )
+    diag = comps.groupBy("pos").agg(F.var_pop("x").alias("v")).agg(
+        F.sum("v").alias("diag_mass")
+    )
+    return offd.crossJoin(F.broadcast(diag)).select(
+        F.lit(16).cast("bigint").alias("n_dims"),
+        r6(F.col("diag_mass")).alias("diag_mass"),
+        r6(2.0 * F.col("off_mass")).alias("offdiag_mass"),
+        r6(2.0 * F.col("off_mass") / F.col("diag_mass")).alias(
+            "anisotropy_ratio"
+        ),
+    )
+
+
+@query(
+    "q_events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*)::DOUBLE AS c
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, c,
+               AVG(c) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    )
+    SELECT CAST(isodow(day) AS BIGINT) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(c - trend), 6) AS seasonal_effect
+    FROM trended
+    WHERE rn >= 4 AND rn <= nd - 3
+    GROUP BY isodow(day)
+    """,
+)
+def q_events_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition of the daily event-count series:
+    trend = centered 7-day moving average (full windows only), residual
+    = count − trend, weekly seasonal effect = mean residual per ISO
+    day-of-week — the additive STL-lite every capacity planner runs
+    (q_events_seasonality profiles raw weekday loads; this removes the
+    trend first, so a ramp-up doesn't masquerade as seasonality). Window
+    arithmetic over the 30-row daily frame; ISO dow (1 = Monday) on both
+    engines (Spark weekday()+1 ≡ DuckDB isodow)."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    wr = Window.orderBy("day")
+    wa = Window.partitionBy()
+    trended = daily.select(
+        "day",
+        "c",
+        F.avg("c").over(w7).alias("trend"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("nd"),
+    )
+    return (
+        trended.filter(
+            (F.col("rn") >= 4) & (F.col("rn") <= F.col("nd") - 3)
+        )
+        .groupBy(
+            (F.weekday("day") + 1).cast("bigint").alias("iso_dow")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            r6(F.avg(F.col("c") - F.col("trend"))).alias("seasonal_effect"),
+        )
+    )
+
+
+@query(
+    "q_agg_multidistinct",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+               AS n_purchasers,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'error'
+                                    THEN user_id END) AS BIGINT)
+               AS n_error_users,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_active_days
+    FROM events
+    """,
+)
+def q_agg_multidistinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates over different expressions in ONE
+    aggregation — the planner surface Catalyst rewrites with an Expand
+    node (each row fans out once per distinct group, then a two-phase
+    aggregate dedups). Business reading: total events, reach, purchaser
+    and error-affected reach, and active days, in a single scan. The
+    scale note IS the plan: Expand multiplies rows by the number of
+    distinct clauses, so at 100 TB you cap the clause count or switch
+    the low-cardinality ones to exact pre-aggregation."""
+    ev = T(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_purchasers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_error_users"),
+        F.countDistinct(F.date_trunc("day", "ts"))
+        .cast("bigint")
+        .alias("n_active_days"),
+    )
+
+
+@query(
     "q_part_range_bounds",
     oracle="""
     WITH vals AS (

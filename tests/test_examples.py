@@ -15,6 +15,7 @@ EXAMPLES = [
     "streaming_monitor.py",
     "decision_support.py",
     "behavior_analytics.py",
+    "experiment_readout.py",
 ]
 
 

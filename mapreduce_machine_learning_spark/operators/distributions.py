@@ -593,6 +593,79 @@ def q_events_seasonal_decompose(spark, sf_dir):
 
 
 @query(
+    "q_ml_knn_dist_outliers",
+    oracle="""
+    WITH lab AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+        FROM lab a JOIN lab b ON a.vec_id <> b.vec_id
+    ),
+    dists AS (
+        SELECT va, vb,
+               SQRT(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                        * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))) AS d
+        FROM pairs GROUP BY va, vb
+    ),
+    ranked AS (
+        SELECT va, d,
+               ROW_NUMBER() OVER (PARTITION BY va
+                                  ORDER BY ROUND(d, 6), vb) AS rn
+        FROM dists
+    ),
+    knn AS (
+        SELECT va AS vec_id, AVG(d) AS knn_dist
+        FROM ranked WHERE rn <= 5 GROUP BY va
+    )
+    SELECT vec_id, ROUND(knn_dist, 6) AS knn_dist
+    FROM knn
+    ORDER BY ROUND(knn_dist, 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ml_knn_dist_outliers(spark, sf_dir):
+    """Density-based outlier detection within label 0: each vector's mean
+    distance to its 5 nearest same-label neighbours, top-10 sparsest
+    points — the k-NN-distance novelty score (the core of LOF without
+    the reachability normalization). Neighbour selection and the final
+    ranking both order on ROUNDED distances with id tie-breaks
+    (grid-stable). Blocking on the label bounds the pair count at
+    |class|²; the 100 TB path swaps the block for q_ann_ivf's partition
+    pruning while keeping this exact scorer inside each bucket."""
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "ea",
+                "eb",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    dists = pairs.select("va", "vb", F.round(d, 6).alias("d_r"), d.alias("d"))
+    w = Window.partitionBy("va").orderBy("d_r", "vb")
+    knn = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.avg("d").alias("knn_dist"))
+    )
+    return (
+        knn.select("vec_id", r6("knn_dist").alias("knn_dist"))
+        .orderBy(F.desc("knn_dist"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
     "q_agg_multidistinct",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

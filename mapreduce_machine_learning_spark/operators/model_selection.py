@@ -656,6 +656,128 @@ def q_ml_ratio_ci(spark, sf_dir):
 
 
 @query(
+    "q_ml_conformal",
+    oracle="""
+    WITH split AS (
+        SELECT l_quantity AS x, l_extendedprice AS y,
+               CASE WHEN SUBSTRING(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                       || CAST(l_linenumber AS VARCHAR)),
+                                   1, 1) < '8'
+                    THEN 'train' ELSE 'calib' END AS part
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+               / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS slope,
+               (SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                         / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                         * SUM(x)) / COUNT(*) AS intercept
+        FROM split WHERE part = 'train'
+    ),
+    calib AS (
+        SELECT ABS(s.y - (fit.intercept + fit.slope * s.x)) AS ar
+        FROM split s CROSS JOIN fit WHERE s.part = 'calib'
+    ),
+    cum AS (
+        SELECT ar,
+               SUM(COUNT(*)) OVER (ORDER BY ar
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cw,
+               SUM(COUNT(*)) OVER () AS n
+        FROM calib GROUP BY ar
+    ),
+    qhat AS (
+        SELECT MIN(ar) AS q, MAX(n) AS n_calib
+        FROM cum WHERE cw >= 0.9 * n
+    )
+    SELECT CAST(qhat.n_calib AS BIGINT) AS n_calib,
+           ROUND(qhat.q, 4) AS q_hat,
+           ROUND((SELECT AVG(CASE WHEN ar <= qhat.q THEN 1.0 ELSE 0 END)
+                  FROM calib), 6) AS coverage_calib
+    FROM qhat
+    """,
+)
+def q_ml_conformal(spark, sf_dir):
+    """Split-conformal prediction interval for the OLS regressor: fit on
+    the md5-half 'train' split (deterministic row digest — both engines
+    draw the same split, §2.9 discipline), take the discrete 90th
+    percentile q̂ of absolute calibration residuals, so ŷ ± q̂ covers
+    ≥ 90% of calibration points by construction (the reported
+    coverage_calib verifies the quantile pick). Distribution-free
+    uncertainty from two aggregation passes and one prefix scan — the
+    modern answer to 'what interval do I put on this prediction' without
+    normality assumptions. q̂ is rounded at 4 (residual magnitude ~1e4,
+    tiny slope noise shifts every residual by ~1e-9)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            "train",
+        )
+        .otherwise("calib")
+        .alias("part"),
+    )
+    tr = li.filter(F.col("part") == "train")
+    s = tr.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    calib = (
+        li.filter(F.col("part") == "calib")
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.abs(
+                F.col("y")
+                - (F.col("intercept") + F.col("slope") * F.col("x"))
+            ).alias("ar")
+        )
+    )
+    by_r = calib.groupBy("ar").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("ar").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = by_r.select(
+        "ar",
+        F.sum("cnt").over(w_cum).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qhat = cum.filter(F.col("cw") >= 0.9 * F.col("n")).agg(
+        F.min("ar").alias("q"), F.max("n").cast("bigint").alias("n_calib")
+    )
+    cov = calib.crossJoin(F.broadcast(qhat)).agg(
+        F.avg(
+            F.when(F.col("ar") <= F.col("q"), 1.0).otherwise(0.0)
+        ).alias("coverage")
+    )
+    return qhat.crossJoin(cov).select(
+        "n_calib",
+        F.round(F.col("q"), 4).alias("q_hat"),
+        r6(F.col("coverage")).alias("coverage_calib"),
+    )
+
+
+@query(
     "q_ml_var_merge",
     oracle="""
     WITH bucketed AS (

@@ -520,6 +520,125 @@ def q_str_editdist(spark, sf_dir):
 
 
 @query(
+    "q_llm_heldout_perplexity",
+    oracle="""
+    WITH split AS (
+        SELECT CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'train' ELSE 'heldout' END AS part,
+               UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    train AS (
+        SELECT tok, COUNT(*)::DOUBLE AS c
+        FROM split WHERE part = 'train' GROUP BY tok
+    ),
+    consts AS (
+        SELECT SUM(c) AS t, COUNT(*)::DOUBLE AS v FROM train
+    ),
+    scored AS (
+        SELECT COALESCE(train.c, 0) AS c,
+               CASE WHEN train.tok IS NULL THEN 1.0 ELSE 0 END AS oov
+        FROM (SELECT tok FROM split WHERE part = 'heldout') h
+        LEFT JOIN train ON h.tok = train.tok
+    )
+    SELECT CAST((SELECT t FROM consts) AS BIGINT) AS n_train_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_heldout_tokens,
+           ROUND(AVG(oov), 6) AS oov_rate,
+           ROUND(-AVG(LN((c + 1.0)
+                         / ((SELECT t FROM consts)
+                            + (SELECT v FROM consts)))), 6)
+               AS cross_entropy,
+           ROUND(EXP(-AVG(LN((c + 1.0)
+                             / ((SELECT t FROM consts)
+                                + (SELECT v FROM consts))))), 4)
+               AS perplexity
+    FROM scored
+    """,
+)
+def q_llm_heldout_perplexity(spark, sf_dir):
+    """Held-out perplexity of an add-1-smoothed unigram LM: train on the
+    md5-half of documents (deterministic split), score every held-out
+    token with p(w) = (c_w + 1)/(T + |V|) — OOV tokens get the smoothing
+    floor instead of crashing the product, and the OOV rate is reported
+    beside the perplexity (the two numbers a corpus-quality dashboard
+    shows per snapshot). Unlike q_llm_unigram_logprob (fit and scored on
+    the same corpus), this measures GENERALIZATION — the quantity that
+    actually predicts downstream usefulness. Train counts join the
+    held-out token stream by token key; perplexity rounded at 4
+    (magnitude ~vocab size)."""
+    docs = T(spark, sf_dir, "documents")
+    split = docs.select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8",
+            "train",
+        )
+        .otherwise("heldout")
+        .alias("part"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    train = (
+        split.filter(F.col("part") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    consts = train.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    held = split.filter(F.col("part") == "heldout").select("tok")
+    scored = (
+        held.join(train.withColumnRenamed("tok", "ttok"),
+                  held.tok == F.col("ttok"), "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.coalesce(F.col("c"), F.lit(0.0)).alias("c"),
+            F.when(F.col("ttok").isNull(), 1.0).otherwise(0.0).alias("oov"),
+            "t",
+            "v",
+        )
+    )
+    lp = F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v")))
+    return scored.agg(
+        F.max("t").cast("bigint").alias("n_train_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_heldout_tokens"),
+        r6(F.avg("oov")).alias("oov_rate"),
+        r6(-F.avg(lp)).alias("cross_entropy"),
+        F.round(F.exp(-F.avg(lp)), 4).alias("perplexity"),
+    )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_agg_stringagg(spark, sf_dir):
+    """Ordered string aggregation: each region's nation names as one
+    comma-joined, alphabetically-ordered string — LISTAGG semantics.
+    Spark's collect_list is ORDER-NONDETERMINISTIC by contract (partition
+    arrival order), so the deterministic form is collect_list →
+    array_sort → array_join; the oracle's string_agg(… ORDER BY) is the
+    same pipeline fused. The canonical reminder that any collect-based
+    aggregate MUST impose its own order before serialization."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+    )
+
+
+@query(
     "q_llm_source_diversity",
     oracle="""
     WITH c AS (

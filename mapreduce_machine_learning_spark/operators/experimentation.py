@@ -489,6 +489,80 @@ def q_ml_mcc(spark, sf_dir):
 
 
 @query(
+    "q_ml_woe_iv",
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bin,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END)::DOUBLE AS g,
+               SUM(CASE WHEN event_type <> 'purchase' THEN 1
+                        ELSE 0 END)::DOUBLE AS b
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(g) AS gg, SUM(b) AS bb FROM binned),
+    woe AS (
+        SELECT bin, g, b,
+               LN((g / tot.gg) / (b / tot.bb)) AS w,
+               (g / tot.gg - b / tot.bb) * LN((g / tot.gg) / (b / tot.bb))
+                   AS iv_term
+        FROM binned CROSS JOIN tot
+        WHERE g > 0 AND b > 0
+    )
+    SELECT bin,
+           CAST(g AS BIGINT) AS n_good,
+           CAST(b AS BIGINT) AS n_bad,
+           ROUND(w, 6) AS woe,
+           ROUND(iv_term, 6) AS iv_term,
+           ROUND(SUM(iv_term) OVER (), 6) AS iv_total
+    FROM woe
+    """,
+)
+def q_ml_woe_iv(spark, sf_dir):
+    """Weight-of-evidence encoding of `value` (20 fixed-width bins)
+    against the purchase label, with per-bin information-value terms and
+    the total IV — the credit-scoring feature-screening standard (IV
+    < 0.02 ⇒ the feature is useless; > 0.3 ⇒ strong). Bins with a zero
+    class are excluded exactly as the WoE definition requires. One
+    conditional aggregation; all ratios from exact integers."""
+    ev = T(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias(
+            "bin"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("g"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+    )
+    tot = binned.agg(F.sum("g").alias("gg"), F.sum("b").alias("bb"))
+    g, b, gg, bb = F.col("g"), F.col("b"), F.col("gg"), F.col("bb")
+    w = F.log((g / gg) / (b / bb))
+    woe = (
+        binned.crossJoin(F.broadcast(tot))
+        .filter((g > 0) & (b > 0))
+        .select(
+            "bin",
+            g.cast("bigint").alias("n_good"),
+            b.cast("bigint").alias("n_bad"),
+            r6(w).alias("woe"),
+            ((g / gg - b / bb) * w).alias("iv_raw"),
+        )
+    )
+    wall = Window.partitionBy()
+    return woe.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        "woe",
+        r6("iv_raw").alias("iv_term"),
+        r6(F.sum("iv_raw").over(wall)).alias("iv_total"),
+    )
+
+
+@query(
     "q_events_srm",
     oracle="""
     WITH arms AS (

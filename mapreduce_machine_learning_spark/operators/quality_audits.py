@@ -388,6 +388,76 @@ def q_win_standardize(spark, sf_dir):
 
 
 @query(
+    "q_llm_data_card",
+    oracle="""
+    WITH base AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT md5(text))::DOUBLE AS n_unique,
+               AVG(n_chars) AS mean_chars,
+               AVG(len(string_split(text, ' '))) AS mean_tokens,
+               SUM(CASE WHEN lang = 'en' THEN 1.0 ELSE 0 END) AS n_en
+        FROM documents
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v, COUNT(*) AS t FROM
+        (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    )
+    SELECT CAST(base.n_docs AS BIGINT) AS n_docs,
+           CAST(base.n_langs AS BIGINT) AS n_langs,
+           CAST(base.n_sources AS BIGINT) AS n_sources,
+           CAST(vocab.t AS BIGINT) AS total_tokens,
+           CAST(vocab.v AS BIGINT) AS vocab_size,
+           ROUND(base.mean_tokens, 6) AS mean_tokens,
+           ROUND(base.mean_chars, 6) AS mean_chars,
+           ROUND(base.n_en / base.n_docs, 6) AS pct_en,
+           ROUND(1.0 - base.n_unique / base.n_docs, 6) AS exact_dup_rate
+    FROM base CROSS JOIN vocab
+    """,
+)
+def q_llm_data_card(spark, sf_dir):
+    """One-row dataset card for the corpus — the summary block a training
+    run logs before touching the data: document/language/source counts,
+    token volume and vocabulary size, length means, English share, and
+    the exact-duplicate rate (1 − distinct md5/text count). Two scans
+    (doc-grain aggregates + one token explode), every figure derived
+    from exact counts. The composition query that fronts the per-metric
+    operators (textstats, dedup_exact, source_diversity) for a
+    single-glance health check."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).cast("double").alias("n_unique"),
+        F.avg("n_chars").alias("mean_chars"),
+        F.avg(F.size(F.split("text", " "))).alias("mean_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)).alias(
+            "n_en"
+        ),
+    )
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).agg(
+        F.countDistinct("tok").alias("v"), F.count(F.lit(1)).alias("t")
+    )
+    return base.crossJoin(F.broadcast(vocab)).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("t").cast("bigint").alias("total_tokens"),
+        F.col("v").cast("bigint").alias("vocab_size"),
+        r6("mean_tokens").alias("mean_tokens"),
+        r6("mean_chars").alias("mean_chars"),
+        r6(F.col("n_en") / F.col("n_docs")).alias("pct_en"),
+        r6(1.0 - F.col("n_unique") / F.col("n_docs")).alias(
+            "exact_dup_rate"
+        ),
+    )
+
+
+@query(
     "q_llm_quality_gate",
     oracle="""
     WITH feats AS (

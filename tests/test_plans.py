@@ -284,3 +284,34 @@ def test_kmv_topk_take_ordered(spark):
     # (TakeOrderedAndProject), never a global sort of all distinct keys
     df = QUERIES["q_sketch_kmv"](spark, SF_DIR)
     assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_join_strategy_hints_respected(spark):
+    # every join-strategy hint must reach the physical planner: at 100 TB
+    # these are the manual overrides when stats mislead Catalyst
+    from mapreduce_machine_learning_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    j = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in explain_str(j)
+    j = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in explain_str(j)
+    j = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in explain_str(j)
+
+
+def test_nullsafe_join_stays_hash(spark):
+    # eqNullSafe keys hash like ordinary values — the null-safe join must
+    # not degrade to BroadcastNestedLoopJoin
+    df = QUERIES["q_join_nullsafe"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_multidistinct_uses_expand(spark):
+    # multiple DISTINCT clauses rewrite through a single Expand, not N scans
+    df = QUERIES["q_agg_multidistinct"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Expand" in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan

@@ -489,6 +489,66 @@ def q_ml_mcc(spark, sf_dir):
 
 
 @query(
+    "q_events_uplift_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS pre,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT arm, post,
+               NTILE(5) OVER (ORDER BY pre, user_id) AS pre_quintile
+        FROM per_user
+    )
+    SELECT CAST(pre_quintile AS BIGINT) AS pre_quintile,
+           CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_treat,
+           CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_ctrl,
+           ROUND(AVG(post) FILTER (WHERE arm = 1)
+                 - AVG(post) FILTER (WHERE arm = 0), 6) AS uplift
+    FROM ranked GROUP BY pre_quintile
+    """,
+)
+def q_events_uplift_deciles(spark, sf_dir):
+    """Heterogeneous treatment effect readout: users bucketed into
+    quintiles of PRE-period spend (ntile with user_id tie-break —
+    deterministic cut points), then the treat-minus-control POST-period
+    difference within each bucket — the table that says WHO the
+    treatment moved, not just whether it moved the average
+    (q_events_did). Same user-grain aggregation as CUPED/DiD, one rank
+    window over O(users), conditional averages per bucket."""
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    )
+    w = Window.orderBy("pre", "user_id")
+    ranked = per_user.select(
+        (F.col("user_id") % 2).alias("arm"),
+        "post",
+        F.ntile(5).over(w).alias("pre_quintile"),
+    )
+    return ranked.groupBy(
+        F.col("pre_quintile").cast("bigint").alias("pre_quintile")
+    ).agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_treat"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_ctrl"),
+        r6(
+            F.avg(F.when(F.col("arm") == 1, F.col("post")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("post")))
+        ).alias("uplift"),
+    )
+
+
+@query(
     "q_ml_woe_iv",
     oracle="""
     WITH binned AS (

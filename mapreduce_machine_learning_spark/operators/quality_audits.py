@@ -539,6 +539,82 @@ def q_llm_quality_gate(spark, sf_dir):
 
 
 @query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(BIT_AND(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+               AS and_linenumber,
+           CAST(BIT_OR(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+               AS or_linenumber,
+           CAST(BIT_XOR(CAST(l_orderkey AS BIGINT)) AS BIGINT)
+               AS xor_orderkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates per return flag: BIT_AND/BIT_OR of line numbers
+    and BIT_XOR of order keys. XOR-of-keys is the practical one — an
+    order-insensitive, trivially mergeable distributed CHECKSUM (two
+    datasets with equal row multisets XOR to the same value), the
+    cheapest cross-cluster reconciliation probe there is. All three are
+    associative-commutative, so partial aggregation applies untouched."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias(
+            "and_linenumber"
+        ),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias(
+            "or_linenumber"
+        ),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("xor_orderkey"),
+    )
+
+
+@query(
+    "q_date_qoq",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                   AS quarter,
+               SUM(o_totalprice) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT quarter,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(revenue, 2) AS revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY quarter))
+                 / LAG(revenue) OVER (ORDER BY quarter), 6) AS qoq_growth
+    FROM q ORDER BY quarter
+    """,
+)
+def q_date_qoq(spark, sf_dir):
+    """Quarter-over-quarter revenue growth: the fiscal rollup
+    (date_trunc to quarter) with LAG-based growth rates — the reporting
+    query every finance dashboard runs, including the NULL first
+    quarter. One fact aggregation to the tiny quarter frame, one
+    ordered window over it. Revenue rounded at 2 (magnitude ~1e8);
+    growth is a ratio of those sums, O(1)."""
+    orders = T(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.date_trunc("quarter", "o_orderdate").alias("quarter")
+    ).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("quarter")
+    return q.select(
+        "quarter",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        r6(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w)
+        ).alias("qoq_growth"),
+    ).orderBy("quarter")
+
+
+@query(
     "q_date_isoweek",
     oracle="""
     SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,

@@ -468,6 +468,99 @@ def q_events_kaplan_meier(spark, sf_dir):
 
 
 @query(
+    "q_ml_gumbel",
+    oracle="""
+    WITH maxima AS (
+        SELECT date_trunc('day', ts) AS day, MAX(value) AS mx
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(mx) AS m,
+               STDDEV_SAMP(mx) AS s
+        FROM maxima
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           ROUND(m - 0.5772156649 * (s * SQRT(6.0) / PI()), 6) AS mu,
+           ROUND(s * SQRT(6.0) / PI(), 6) AS beta,
+           ROUND(1.0 - EXP(-EXP(-(400.0 - (m - 0.5772156649
+                                           * (s * SQRT(6.0) / PI())))
+                                / (s * SQRT(6.0) / PI()))), 6)
+               AS p_exceed_400
+    FROM mom
+    """,
+)
+def q_ml_gumbel(spark, sf_dir):
+    """Extreme-value analysis by block maxima: daily maxima of `value`
+    fitted to a Gumbel distribution by method of moments (β = s√6/π,
+    μ = m − γβ with Euler–Mascheroni γ as a fixed literal), and the
+    fitted exceedance probability P(daily max > 400) — the tail question
+    ('how often will we see a day worse than X?') that mean/variance
+    monitoring cannot answer. One block-max aggregation over the daily
+    frame, then closed-form moments."""
+    import math
+
+    ev = T(spark, sf_dir, "events")
+    maxima = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max("value").alias("mx")
+    )
+    mom = maxima.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("mx").alias("m"),
+        F.stddev_samp("mx").alias("s"),
+    )
+    beta = F.col("s") * math.sqrt(6.0) / math.pi
+    mu = F.col("m") - 0.5772156649 * beta
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        r6(mu).alias("mu"),
+        r6(beta).alias("beta"),
+        r6(1.0 - F.exp(-F.exp(-(400.0 - mu) / beta))).alias(
+            "p_exceed_400"
+        ),
+    )
+
+
+@query(
+    "q_events_macro_micro",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*)::DOUBLE AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END)::DOUBLE AS k
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(k) / SUM(n), 6) AS micro_rate,
+           ROUND(AVG(k / n), 6) AS macro_rate,
+           ROUND(AVG(k / n) - SUM(k) / SUM(n), 6) AS aggregation_gap
+    FROM per_user
+    """,
+)
+def q_events_macro_micro(spark, sf_dir):
+    """Micro- vs macro-averaged purchase rate: pooled Σk/Σn against the
+    unweighted mean of per-user rates. The gap is the Simpson's-paradox
+    dial — nonzero whenever heavy users convert differently from light
+    ones, and the reason 'average conversion' must name its averaging
+    unit. Single user-grain aggregation; both averages from the same
+    frame."""
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("k"),
+    )
+    micro = F.sum("k") / F.sum("n")
+    macro = F.avg(F.col("k") / F.col("n"))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        r6(micro).alias("micro_rate"),
+        r6(macro).alias("macro_rate"),
+        r6(macro - micro).alias("aggregation_gap"),
+    )
+
+
+@query(
     "q_ml_anova",
     oracle="""
     WITH g AS (

@@ -539,6 +539,142 @@ def q_llm_quality_gate(spark, sf_dir):
 
 
 @query(
+    "q_events_active_time",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         > 300000000
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM seq
+    ),
+    spans AS (
+        SELECT user_id, island,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) + 300000000 AS span_us
+        FROM islands GROUP BY user_id, island
+    ),
+    per_user AS (
+        SELECT user_id, SUM(span_us) AS active_us,
+               COUNT(*) AS n_islands
+        FROM spans GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_islands AS BIGINT) AS n_islands,
+           ROUND(active_us / 3600000000.0, 6) AS active_hours
+    FROM per_user
+    ORDER BY active_us DESC, user_id
+    LIMIT 5
+    """,
+)
+def q_events_active_time(spark, sf_dir):
+    """Interval-union active time: each event opens a 5-minute activity
+    window; overlapping windows merge (gaps-and-islands on the >300s
+    break), and a user's active time is the summed length of the merged
+    islands — the 'time actually engaged' metric that naively summing
+    fixed windows double-counts. Top-5 users by active hours. All
+    arithmetic on exact integer microseconds; one LAG pass and two keyed
+    aggregations, partitioned by user (shuffle-free if bucketed by
+    user_id at rest)."""
+    ev = T(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w_seq))
+                > 300000000
+            )
+            | F.lag("ts").over(w_seq).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = seq.select(
+        "user_id", "ts", F.sum("new_island").over(w_cum).alias("island")
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        (
+            F.unix_micros(F.max("ts"))
+            - F.unix_micros(F.min("ts"))
+            + 300000000
+        ).alias("span_us")
+    )
+    per_user = spans.groupBy("user_id").agg(
+        F.sum("span_us").alias("active_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_islands",
+            r6(F.col("active_us") / 3600000000.0).alias("active_hours"),
+        )
+        .orderBy(F.desc(F.col("active_hours")), "user_id")
+        .limit(5)
+    )
+
+
+@query(
+    "q_llm_shard_plan",
+    oracle="""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(CEIL(total_tokens / 10000.0) AS BIGINT) AS n_shards,
+           ROUND(total_tokens
+                 / (CEIL(total_tokens / 10000.0) * 10000.0), 6)
+               AS shard_fill
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def q_llm_shard_plan(spark, sf_dir):
+    """Output-shard planning for the training-data writer: per source, the
+    shard count at a 10k-token budget and the resulting average fill
+    factor — the numbers that decide `repartition(n)` before the final
+    write so shards come out uniform instead of one-giant-file-per-
+    partition (the small-files/straggler tradeoff at 100 TB). Exact
+    integer token counts; ceil on an exact int/10⁴ ratio is boundary-
+    safe."""
+    docs = T(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+    shards = F.ceil(F.col("total_tokens") / 10000.0)
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        shards.cast("bigint").alias("n_shards"),
+        r6(F.col("total_tokens") / (shards * 10000.0)).alias("shard_fill"),
+    ).orderBy("source")
+
+
+@query(
     "q_agg_bitwise",
     oracle="""
     SELECT l_returnflag,

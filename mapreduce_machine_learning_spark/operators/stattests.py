@@ -468,6 +468,177 @@ def q_events_kaplan_meier(spark, sf_dir):
 
 
 @query(
+    "q_ml_cohens_d",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) FILTER (WHERE event_type = 'purchase')::DOUBLE
+                   AS n1,
+               COUNT(*) FILTER (WHERE event_type = 'click')::DOUBLE AS n2,
+               AVG(value) FILTER (WHERE event_type = 'purchase') AS m1,
+               AVG(value) FILTER (WHERE event_type = 'click') AS m2,
+               VAR_SAMP(value) FILTER (WHERE event_type = 'purchase')
+                   AS v1,
+               VAR_SAMP(value) FILTER (WHERE event_type = 'click') AS v2
+        FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_click,
+           ROUND((m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2)), 6) AS cohens_d,
+           ROUND((m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM s
+    """,
+)
+def q_ml_cohens_d(spark, sf_dir):
+    """Standardized effect size for the purchase-vs-click value
+    comparison: Cohen's d on the pooled standard deviation, plus the
+    small-sample Hedges' g correction (1 − 3/(4N−9)). The companion
+    number to q_ml_welch_ttest's significance — at 100 TB every t-test
+    is 'significant', and the effect size is the only column worth
+    reading. Same single conditional-moment aggregation."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    c = F.when(F.col("event_type") == "click", F.col("value"))
+    s = ev.agg(
+        F.count(p).cast("double").alias("n1"),
+        F.count(c).cast("double").alias("n2"),
+        F.avg(p).alias("m1"),
+        F.avg(c).alias("m2"),
+        F.var_samp(p).alias("v1"),
+        F.var_samp(c).alias("v2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    pooled = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled
+    return s.select(
+        n1.cast("bigint").alias("n_purchase"),
+        n2.cast("bigint").alias("n_click"),
+        r6(d).alias("cohens_d"),
+        r6(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))).alias("hedges_g"),
+    )
+
+
+@query(
+    "q_ml_wilson_ci",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END)::DOUBLE AS k
+        FROM events
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           ROUND(k / n, 6) AS rate,
+           ROUND((k / n + 1.959964 * 1.959964 / (2 * n)
+                  - 1.959964 * SQRT((k / n) * (1 - k / n) / n
+                                    + 1.959964 * 1.959964 / (4 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+           ROUND((k / n + 1.959964 * 1.959964 / (2 * n)
+                  + 1.959964 * SQRT((k / n) * (1 - k / n) / n
+                                    + 1.959964 * 1.959964 / (4 * n * n)))
+                 / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+    FROM s
+    """,
+)
+def q_ml_wilson_ci(spark, sf_dir):
+    """Wilson score interval for the global purchase rate — the binomial
+    CI that stays inside [0,1] and behaves at small k where the naive
+    Wald interval collapses (the reason it is the default in every
+    serious experimentation system). z = 1.959964 as a fixed literal;
+    one counting aggregate, closed-form bounds."""
+    ev = T(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("k"),
+    )
+    z = 1.959964
+    n, k = F.col("n"), F.col("k")
+    phat = k / n
+    center = phat + z * z / (2 * n)
+    half = z * F.sqrt(phat * (1 - phat) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return s.select(
+        n.cast("bigint").alias("n"),
+        k.cast("bigint").alias("k"),
+        r6(phat).alias("rate"),
+        r6((center - half) / denom).alias("wilson_lo"),
+        r6((center + half) / denom).alias("wilson_hi"),
+    )
+
+
+@query(
+    "q_events_powerlaw",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*)::DOUBLE AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+        FROM counts
+    ),
+    logs AS (
+        SELECT LN(rnk) AS x, LN(c) AS y FROM ranked WHERE rnk <= 100
+    ),
+    fit AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS n_users_fit,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS powerlaw_slope,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM fit
+    """,
+)
+def q_events_powerlaw(spark, sf_dir):
+    """Rank-size power-law fit of user activity: OLS of ln(count) on
+    ln(rank) over the top-100 users (rank DESC by count, user_id
+    tie-break) — slope ≈ −α is the concentration exponent, R² says how
+    power-law-like the audience actually is. The user-domain twin of
+    q_text_zipf: same closed-form regression, different heavy tail.
+    One user-grain count, one rank window over O(users), a 100-row
+    moment fit."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), "user_id")
+    logs = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(F.log("rnk").alias("x"), F.log("c").alias("y"))
+    )
+    fit = logs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    return fit.select(
+        n.cast("bigint").alias("n_users_fit"),
+        r6(cov / vx).alias("powerlaw_slope"),
+        r6(cov * cov / (vx * vy)).alias("r2"),
+    )
+
+
+@query(
     "q_ml_gumbel",
     oracle="""
     WITH maxima AS (

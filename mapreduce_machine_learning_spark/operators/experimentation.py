@@ -489,6 +489,109 @@ def q_ml_mcc(spark, sf_dir):
 
 
 @query(
+    "q_ml_hoeffding",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(value) - MIN(value), 6) AS value_range,
+           ROUND((MAX(value) - MIN(value)) * (MAX(value) - MIN(value))
+                 * LN(2.0 / 0.05) / (2.0 * 1.0 * 1.0), 6)
+               AS n_required_eps1,
+           ROUND(SQRT((MAX(value) - MIN(value)) * (MAX(value) - MIN(value))
+                      * LN(2.0 / 0.05) / (2.0 * COUNT(*))), 6)
+               AS eps_at_current_n
+    FROM events
+    """,
+)
+def q_ml_hoeffding(spark, sf_dir):
+    """Distribution-free sampling bounds via Hoeffding's inequality: with
+    observed range R, the sample size guaranteeing the mean within ε=$1
+    at 95% confidence (n ≥ R²ln(2/δ)/2ε²), and conversely the ε the
+    CURRENT n already guarantees. The assumption-free counterpart to
+    q_ml_power's variance-based plan — what you quote when nobody will
+    defend a normality assumption. One min/max/count aggregate."""
+    ev = T(spark, sf_dir, "events")
+    import math
+
+    s = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.max("value") - F.min("value")).alias("r"),
+    )
+    ln_term = math.log(2.0 / 0.05)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        r6(F.col("r")).alias("value_range"),
+        r6(F.col("r") * F.col("r") * ln_term / 2.0).alias(
+            "n_required_eps1"
+        ),
+        r6(
+            F.sqrt(F.col("r") * F.col("r") * ln_term / (2.0 * F.col("n")))
+        ).alias("eps_at_current_n"),
+    )
+
+
+@query(
+    "q_ml_average_precision",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    ranked AS (
+        SELECT y,
+               ROW_NUMBER() OVER (ORDER BY score DESC, event_id) AS rnk,
+               SUM(y) OVER (ORDER BY score DESC, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_pos
+        FROM scored
+    )
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           ROUND(SUM(CASE WHEN y = 1
+                          THEN cum_pos / CAST(rnk AS DOUBLE)
+                          ELSE 0 END) / SUM(y), 6) AS average_precision
+    FROM ranked
+    """,
+)
+def q_ml_average_precision(spark, sf_dir):
+    """Average precision (exact PR-AUC) of `value` as a purchase score:
+    AP = mean over positives of precision-at-that-positive's-rank, on
+    the total order (score DESC, event_id) so tie handling is identical
+    on both engines. The imbalance-honest companion to q_ml_auc's ROC
+    area — with ~20% positives ROC flatters, PR does not. One global
+    rank window (the 100 TB path is the two-pass distributed rank:
+    per-partition counts + offset prefix sums), then a single ratio
+    aggregate of exact integers."""
+    ev = T(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("value").alias("score"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy(F.desc("score"), "event_id")
+    ranked = scored.select(
+        "y",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("y")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_pos"),
+    )
+    return ranked.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        r6(
+            F.sum(
+                F.when(
+                    F.col("y") == 1,
+                    F.col("cum_pos") / F.col("rnk").cast("double"),
+                ).otherwise(0.0)
+            )
+            / F.sum("y")
+        ).alias("average_precision"),
+    )
+
+
+@query(
     "q_events_uplift_deciles",
     oracle="""
     WITH per_user AS (

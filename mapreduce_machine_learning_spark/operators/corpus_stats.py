@@ -365,6 +365,121 @@ _EDGE_SQL = """
 """
 
 
+def _token_edges(spark, sf_dir):
+    """Undirected token co-occurrence edge list (adjacent bigrams with
+    count ≥ 5, endpoints ordered u < v, deduplicated) — shared by the
+    triangle and assortativity queries."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .filter(F.col("b.w1") != F.col("b.w2"))
+        .select(
+            F.least("b.w1", "b.w2").alias("u"),
+            F.greatest("b.w1", "b.w2").alias("v"),
+        )
+    )
+    return (
+        bg.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .select("u", "v")
+    )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    deg AS (
+        SELECT node, COUNT(*)::DOUBLE AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    ends AS (
+        SELECT du.d AS dx, dv.d AS dy
+        FROM edges
+        JOIN deg du ON du.node = edges.u
+        JOIN deg dv ON dv.node = edges.v
+        UNION ALL
+        SELECT dv.d, du.d
+        FROM edges
+        JOIN deg du ON du.node = edges.u
+        JOIN deg dv ON dv.node = edges.v
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+               SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy,
+               SUM(dy * dy) AS syy
+        FROM ends
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND(CASE WHEN (n * sxx - sx * sx) > 0
+                           AND (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                           / SQRT((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy))
+                      END, 6) AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the token co-occurrence graph: Pearson
+    correlation of endpoint degrees over all edge stubs (both
+    directions, the standard Newman r). Negative r — hubs attaching to
+    leaves — is typical of language graphs and predicts where degree-
+    based partition skew will bite a distributed traversal. Reuses the
+    triangle query's edge list: degree table join + one CORR."""
+    edges = _token_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    joined = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ends = joined.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(
+        joined.select(F.col("dv").alias("dx"), F.col("du").alias("dy"))
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    # moment form with an explicit zero-variance guard: ANSI-mode corr()
+    # raises DIVIDE_BY_ZERO on a degree-regular graph (all stubs equal),
+    # where the statistic is undefined — emit NULL like the oracle
+    return m.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        r6(
+            F.when(
+                (vx > 0) & (vy > 0),
+                (n * F.col("sxy") - sx * sy) / F.sqrt(vx * vy),
+            )
+        ).alias("assortativity"),
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle=f"""

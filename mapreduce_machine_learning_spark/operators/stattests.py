@@ -468,6 +468,111 @@ def q_events_kaplan_meier(spark, sf_dir):
 
 
 @query(
+    "q_ml_two_proportions",
+    oracle="""
+    WITH s AS (
+        SELECT SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   AS n1,
+               SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE
+                   AS n2,
+               SUM(CASE WHEN user_id % 2 = 1
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::DOUBLE AS k1,
+               SUM(CASE WHEN user_id % 2 = 0
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::DOUBLE AS k2
+        FROM events
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_ctrl,
+           ROUND(k1 / n1, 6) AS rate_treat,
+           ROUND(k2 / n2, 6) AS rate_ctrl,
+           ROUND((k1 / n1 - k2 / n2)
+                 / SQRT(((k1 + k2) / (n1 + n2))
+                        * (1 - (k1 + k2) / (n1 + n2))
+                        * (1 / n1 + 1 / n2)), 6) AS z_stat
+    FROM s
+    """,
+)
+def q_ml_two_proportions(spark, sf_dir):
+    """Two-proportion z-test of purchase rate between the parity arms,
+    pooled-variance form: z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) — the
+    binary-outcome counterpart of q_ml_welch_ttest and the test behind
+    every conversion-rate readout. One conditional count aggregation;
+    all ratios from exact integers."""
+    ev = T(spark, sf_dir, "events")
+    t_arm = F.col("user_id") % 2 == 1
+    is_p = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.sum(F.when(t_arm, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(~t_arm, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(t_arm & is_p, 1).otherwise(0))
+        .cast("double")
+        .alias("k1"),
+        F.sum(F.when(~t_arm & is_p, 1).otherwise(0))
+        .cast("double")
+        .alias("k2"),
+    )
+    n1, n2, k1, k2 = F.col("n1"), F.col("n2"), F.col("k1"), F.col("k2")
+    pooled = (k1 + k2) / (n1 + n2)
+    z = (k1 / n1 - k2 / n2) / F.sqrt(
+        pooled * (1 - pooled) * (1 / n1 + 1 / n2)
+    )
+    return s.select(
+        n1.cast("bigint").alias("n_treat"),
+        n2.cast("bigint").alias("n_ctrl"),
+        r6(k1 / n1).alias("rate_treat"),
+        r6(k2 / n2).alias("rate_ctrl"),
+        r6(z).alias("z_stat"),
+    )
+
+
+@query(
+    "q_events_exp_fit",
+    oracle="""
+    WITH gaps AS (
+        SELECT (epoch_us(ts)
+                - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)))
+               / 1000000.0 AS gap_s
+        FROM events
+    ),
+    g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL AND gap_s > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(1.0 / AVG(gap_s), 6) AS lambda_per_s,
+           ROUND(AVG(CASE WHEN gap_s > 3600.0 THEN 1.0 ELSE 0 END), 6)
+               AS p_gap_gt_1h_emp,
+           ROUND(EXP(-3600.0 / AVG(gap_s)), 6) AS p_gap_gt_1h_model
+    FROM g
+    """,
+)
+def q_events_exp_fit(spark, sf_dir):
+    """Exponential fit of per-user inter-arrival gaps (MLE λ = 1/mean)
+    with a one-point goodness check: the empirical P(gap > 1h) against
+    the fitted e^{−λt}. A big empirical excess over the model is the
+    heavy-tail signature (sessions + dormancy, not a Poisson user), and
+    the quantitative justification for the 30-minute session gap used by
+    q_stream_session. One LAG window keyed by user, one moment
+    aggregate; gaps are exact-µs integers scaled once."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1000000.0
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        r6(1.0 / F.avg("gap_s")).alias("lambda_per_s"),
+        r6(
+            F.avg(F.when(F.col("gap_s") > 3600.0, 1.0).otherwise(0.0))
+        ).alias("p_gap_gt_1h_emp"),
+        r6(F.exp(-3600.0 / F.avg("gap_s"))).alias("p_gap_gt_1h_model"),
+    )
+
+
+@query(
     "q_ml_cohens_d",
     oracle="""
     WITH s AS (

@@ -778,6 +778,199 @@ def q_ml_conformal(spark, sf_dir):
 
 
 @query(
+    "q_ml_jarque_bera",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               (COUNT(*) * SUM(l_quantity * l_extendedprice)
+                - SUM(l_quantity) * SUM(l_extendedprice))
+               / (COUNT(*) * SUM(l_quantity * l_quantity)
+                  - SUM(l_quantity) * SUM(l_quantity)) AS slope,
+               AVG(l_extendedprice) AS ybar, AVG(l_quantity) AS xbar
+        FROM lineitem
+    ),
+    resid AS (
+        SELECT l_extendedprice
+               - (s.ybar - s.slope * s.xbar + s.slope * l_quantity) AS r
+        FROM lineitem CROSS JOIN s
+    ),
+    mom AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(r) AS mu,
+               SUM(r * r) / COUNT(*) AS m2r,
+               SUM(r * r * r) / COUNT(*) AS m3r,
+               SUM(r * r * r * r) / COUNT(*) AS m4r
+        FROM resid
+    ),
+    c AS (
+        SELECT n,
+               m2r - mu * mu AS m2,
+               m3r - 3 * mu * (m2r - mu * mu) - mu * mu * mu AS m3,
+               m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                   - 3 * mu * mu * mu * mu AS m4
+        FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(m3 / POW(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+           ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+                            + POW(m4 / (m2 * m2) - 3.0, 2) / 4.0), 2)
+               AS jb_stat
+    FROM c
+    """,
+)
+def q_ml_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test on the OLS residuals (y =
+    l_extendedprice on l_quantity): skewness and excess kurtosis from
+    one raw-moment pass (Σr..Σr⁴ with the broadcast fit, central moments
+    by the binomial expansion), JB = n/6(S² + K²/4). The diagnostic that
+    says whether the t/F machinery (q_ml_slope_inference, q_ml_anova)
+    can be trusted on these errors — completing the residual-diagnostic
+    family (Durbin–Watson for autocorrelation, Cook's D for influence,
+    this for distribution shape). JB rounded at 2 (it grows with n)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.avg("x").alias("xbar"),
+        F.avg("y").alias("ybar"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        slope.alias("slope"), "xbar", "ybar"
+    )
+    resid = li.crossJoin(F.broadcast(fit)).select(
+        (
+            F.col("y")
+            - (
+                F.col("ybar")
+                - F.col("slope") * F.col("xbar")
+                + F.col("slope") * F.col("x")
+            )
+        ).alias("r")
+    )
+    r = F.col("r")
+    mom = resid.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("r").alias("mu"),
+        (F.sum(r * r) / F.count(F.lit(1))).alias("m2r"),
+        (F.sum(r * r * r) / F.count(F.lit(1))).alias("m3r"),
+        (F.sum(r * r * r * r) / F.count(F.lit(1))).alias("m4r"),
+    )
+    mu = F.col("mu")
+    m2 = F.col("m2r") - mu * mu
+    m3 = F.col("m3r") - 3 * mu * (F.col("m2r") - mu * mu) - mu * mu * mu
+    m4 = (
+        F.col("m4r")
+        - 4 * mu * F.col("m3r")
+        + 6 * mu * mu * F.col("m2r")
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    exk = m4 / (m2 * m2) - 3.0
+    return mom.select(
+        F.col("n").cast("bigint").alias("n"),
+        r6(skew).alias("skewness"),
+        r6(exk).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(exk, 2) / 4.0), 2
+        ).alias("jb_stat"),
+    )
+
+
+@query(
+    "q_ml_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*)::DOUBLE AS c
+        FROM events GROUP BY 1
+    ),
+    signed AS (
+        SELECT day,
+               CASE WHEN c > (SELECT AVG(c) FROM daily) THEN 1
+                    ELSE 0 END AS s
+        FROM daily
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                         OR s <> LAG(s) OVER (ORDER BY day)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signed
+    ),
+    agg AS (
+        SELECT SUM(new_run)::DOUBLE AS r,
+               SUM(s)::DOUBLE AS n1,
+               SUM(1 - s)::DOUBLE AS n2
+        FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           ROUND((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))),
+                 6) AS z_stat
+    FROM agg
+    """,
+)
+def q_ml_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test for randomness of the daily event-count
+    series: days flagged above/below the mean, consecutive same-sign
+    days merged into runs, z-scored against the null expectation
+    2n₁n₂/(n₁+n₂)+1. Too FEW runs = trend/regime persistence; too MANY =
+    oscillation — the nonparametric companion to q_ml_durbin_watson that
+    needs no residual model at all. One LAG pass over the 30-row daily
+    frame."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wall = Window.partitionBy()
+    signed = daily.select(
+        "day",
+        F.when(F.col("c") > F.avg("c").over(wall), 1).otherwise(0).alias("s"),
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") != F.lag("s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.sum("s").cast("double").alias("n1"),
+        F.sum(1 - F.col("s")).cast("double").alias("n2"),
+    )
+    rr, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    e = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2
+        * n1
+        * n2
+        * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        rr.cast("bigint").alias("n_runs"),
+        r6((rr - e) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+@query(
     "q_ml_var_merge",
     oracle="""
     WITH bucketed AS (

@@ -489,6 +489,86 @@ def q_ml_mcc(spark, sf_dir):
 
 
 @query(
+    "q_ml_brier_decomp",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + EXP(-(value / 100.0 - 1.0))) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END AS y
+        FROM events
+    ),
+    base AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(y) AS ybar,
+               AVG((s - y) * (s - y)) AS brier
+        FROM scored
+    ),
+    bins AS (
+        SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS b,
+               COUNT(*)::DOUBLE AS nk, AVG(s) AS sk, AVG(y) AS yk
+        FROM scored GROUP BY 1
+    )
+    SELECT CAST(base.n AS BIGINT) AS n,
+           ROUND(base.brier, 6) AS brier,
+           ROUND(SUM(bins.nk * (bins.sk - bins.yk) * (bins.sk - bins.yk))
+                 / base.n, 6) AS reliability,
+           ROUND(SUM(bins.nk * (bins.yk - base.ybar)
+                     * (bins.yk - base.ybar)) / base.n, 6) AS resolution,
+           ROUND(base.ybar * (1 - base.ybar), 6) AS uncertainty
+    FROM bins CROSS JOIN base
+    GROUP BY base.n, base.brier, base.ybar
+    """,
+)
+def q_ml_brier_decomp(spark, sf_dir):
+    """Brier score of the fixed logistic scorer with the Murphy
+    decomposition over 10 probability bins: reliability (calibration
+    error — want 0), resolution (discrimination — want large), and
+    uncertainty (the base-rate floor ȳ(1−ȳ)). Brier ≈ reliability −
+    resolution + uncertainty, which is why 'well-calibrated but useless'
+    and 'sharp but miscalibrated' models can share a Brier score — the
+    decomposition tells them apart. Two aggregations over one scored
+    projection."""
+    ev = T(spark, sf_dir, "events")
+    scored = ev.select(
+        (1.0 / (1.0 + F.exp(-(F.col("value") / 100.0 - 1.0)))).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    base = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("ybar"),
+        F.avg((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))).alias(
+            "brier"
+        ),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("s") * 10).cast("int"), F.lit(9)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.avg("s").alias("sk"),
+        F.avg("y").alias("yk"),
+    )
+    joined = bins.crossJoin(F.broadcast(base))
+    return joined.groupBy("n", "brier", "ybar").agg(
+        F.sum(
+            F.col("nk")
+            * (F.col("sk") - F.col("yk"))
+            * (F.col("sk") - F.col("yk"))
+        ).alias("rel_raw"),
+        F.sum(
+            F.col("nk")
+            * (F.col("yk") - F.col("ybar"))
+            * (F.col("yk") - F.col("ybar"))
+        ).alias("res_raw"),
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        r6("brier").alias("brier"),
+        r6(F.col("rel_raw") / F.col("n")).alias("reliability"),
+        r6(F.col("res_raw") / F.col("n")).alias("resolution"),
+        r6(F.col("ybar") * (1 - F.col("ybar"))).alias("uncertainty"),
+    )
+
+
+@query(
     "q_ml_hoeffding",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -1671,45 +1671,31 @@ def q_llm_mix_temperature(spark, sf_dir):
 @query(
     "q_llm_dedup_sweep",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_QUERIES_NEARDUP_SQL}),
-    ts AS (SELECT CAST(UNNEST([0.5,0.6,0.7,0.8,0.9]) AS DOUBLE) AS t)
-    SELECT ts.t,
-           CAST(SUM(CASE WHEN p.jaccard >= ts.t THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_pairs,
-           CAST(COUNT(DISTINCT CASE WHEN p.jaccard >= ts.t
-                                    THEN p.doc_b END) AS BIGINT)
-               AS n_docs_removed
-    FROM ts LEFT JOIN pairs p ON p.jaccard >= ts.t
-    GROUP BY ts.t
+    WITH RECURSIVE pairs AS ({_QUERIES_NEARDUP_SQL})
+    SELECT jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_removed
+    FROM pairs
+    GROUP BY jaccard
+    ORDER BY jaccard DESC
     """,
 )
 def q_llm_dedup_sweep(spark, sf_dir):
-    """Dedup-aggressiveness curve: for Jaccard thresholds 0.5…0.9, how
-    many verified near-dup pairs survive and how many documents a
-    keep-lowest-id policy would remove (distinct higher-id endpoints).
-    The table that picks the production threshold — each step of the
-    sweep reads the SAME memoized verified-pair list (one LSH + verify
-    pass per session, five thresholds for free), which is exactly how a
-    tuning run should be structured at 100 TB."""
+    """Dedup severity histogram: the verified near-dup pairs grouped by
+    their (rounded) Jaccard level, with the documents a keep-lowest-id
+    policy would drop at each level. This is the threshold-picking view:
+    on this corpus the levels are strongly quantized (exact duplicates
+    at 1.0 and one-token-off shingles just below), so the histogram —
+    not a fixed threshold grid, which would read as flat — is the
+    faithful summary. Reads the SAME memoized verified-pair list as
+    q_llm_neardup_pairs: one LSH + verify pass per session, the
+    histogram for free."""
     pairs = _neardup_pairs(spark, sf_dir)
-    ts = spark.range(5, 10).select(
-        (F.col("id").cast("double") / 10.0).alias("t")
-    )
     return (
-        ts.join(
-            F.broadcast(pairs), F.col("jaccard") >= F.col("t"), "left"
-        )
-        .groupBy("t")
+        pairs.groupBy("jaccard")
         .agg(
-            F.sum(
-                F.when(F.col("jaccard") >= F.col("t"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_pairs"),
-            F.countDistinct(
-                F.when(F.col("jaccard") >= F.col("t"), F.col("doc_b"))
-            )
-            .cast("bigint")
-            .alias("n_docs_removed"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_docs_removed"),
         )
+        .orderBy(F.desc("jaccard"))
     )

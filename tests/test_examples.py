@@ -16,6 +16,7 @@ EXAMPLES = [
     "decision_support.py",
     "behavior_analytics.py",
     "experiment_readout.py",
+    "corpus_quality_report.py",
 ]
 
 

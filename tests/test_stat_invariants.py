@@ -131,13 +131,12 @@ def test_conformal_coverage_at_least_target(spark):
     assert row["coverage_calib"] >= 0.9 - 1e-9
 
 
-def test_dedup_sweep_monotone(spark):
+def test_dedup_sweep_partitions_pairs(spark):
     rows = QUERIES["q_llm_dedup_sweep"](spark, SF_DIR).collect()
-    by_t = sorted(rows, key=lambda r: r["t"])
-    pairs = [r["n_pairs"] for r in by_t]
-    removed = [r["n_docs_removed"] for r in by_t]
-    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
-    assert all(a >= b for a, b in zip(removed, removed[1:]))
+    n_pairs_total = QUERIES["q_llm_neardup_pairs"](spark, SF_DIR).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs_total
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(r["n_docs_removed"] <= r["n_pairs"] for r in rows)
 
 
 def test_heldout_perplexity_sane(spark):

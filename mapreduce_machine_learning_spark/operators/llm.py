@@ -1699,3 +1699,47 @@ def q_llm_dedup_sweep(spark, sf_dir):
         )
         .orderBy(F.desc("jaccard"))
     )
+
+
+@query(
+    "q_llm_dup_sources",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_QUERIES_NEARDUP_SQL})
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.doc_a
+    JOIN documents db ON db.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_a, source_b
+    LIMIT 15
+    """,
+)
+def q_llm_dup_sources(spark, sf_dir):
+    """Cross-source contamination matrix: the verified near-dup pairs
+    rolled up by unordered source pair — 'which crawls are copying which'
+    (same-source pairs on the diagonal are internal boilerplate; off-
+    diagonal mass is syndication/mirroring, the thing a mixture weighting
+    must know before trusting per-source token counts). Two joins of the
+    memoized pair list against the doc→source map, top-15 by pair count
+    with lexical tie-breaks."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+        .limit(15)
+    )

@@ -976,3 +976,31 @@ def q_ml_precision_at_k(spark, sf_dir):
             ).alias("p_at_10")
         )
     )
+
+
+@query(
+    "q_ml_gamma_fit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value) * AVG(value) / VAR_SAMP(value), 6)
+               AS shape_k,
+           ROUND(VAR_SAMP(value) / AVG(value), 6) AS scale_theta,
+           ROUND(AVG(value), 6) AS mean_check
+    FROM events WHERE value > 0
+    """,
+)
+def q_ml_gamma_fit(spark, sf_dir):
+    """Gamma distribution fit of event values by method of moments
+    (shape k = m²/v, scale θ = v/m, so kθ recovers the mean) — the
+    right-skewed positive-support model that complements the
+    exponential (q_events_exp_fit, the k=1 special case) and Gumbel
+    (q_ml_gumbel, the extremes) fits: together a small distribution-
+    fitting toolkit, each a single moment aggregation."""
+    ev = T(spark, sf_dir, "events").filter(F.col("value") > 0)
+    m, v = F.avg("value"), F.var_samp("value")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(m * m / v).alias("shape_k"),
+        r6(v / m).alias("scale_theta"),
+        r6(m).alias("mean_check"),
+    )

@@ -762,3 +762,93 @@ def q_part_range_bounds(spark, sf_dir):
         .groupBy(F.col("k").cast("bigint").alias("split_id"))
         .agg(r6(F.min("v")).alias("boundary"))
     )
+
+
+@query(
+    "q_win_leaderboard",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT u.user_id, d.day, COALESCE(daily.cnt, 0) AS cnt
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+    ),
+    cum AS (
+        SELECT user_id, day,
+               SUM(cnt) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_events
+        FROM grid
+    ),
+    ranked AS (
+        SELECT day, user_id, cum_events,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY cum_events DESC, user_id) AS rnk
+        FROM cum
+    )
+    SELECT day, CAST(rnk AS BIGINT) AS rnk, user_id,
+           CAST(cum_events AS BIGINT) AS cum_events
+    FROM ranked
+    WHERE rnk <= 3 AND day >= (SELECT MAX(day) FROM days)
+                              - INTERVAL 4 DAY
+    ORDER BY day, rnk
+    """,
+)
+def q_win_leaderboard(spark, sf_dir):
+    """Accumulating leaderboard: for each of the last 5 days, the top-3
+    users by CUMULATIVE event count up to that day (row_number with
+    user_id tie-break). The grid densifies (user × day) so users idle on
+    a day keep their standing — the piece a sparse groupBy silently
+    drops. The dense grid is |users|·|days|; at 100 TB the same
+    leaderboard is maintained incrementally (yesterday's standings +
+    today's per-user increments, one merge join) rather than re-densified
+    — this query is the batch-recompute twin of that pipeline."""
+    ev = T(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = (
+        users.crossJoin(days)
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "user_id", "day", F.sum("cnt").over(w_cum).alias("cum_events")
+    )
+    w_rank = Window.partitionBy("day").orderBy(
+        F.desc("cum_events"), "user_id"
+    )
+    ranked = cum.withColumn("rnk", F.row_number().over(w_rank))
+    last5 = days.agg(
+        (F.max("day") - F.expr("INTERVAL 4 DAY")).alias("cutoff")
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .crossJoin(F.broadcast(last5))
+        .filter(F.col("day") >= F.col("cutoff"))
+        .select(
+            "day",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "user_id",
+            F.col("cum_events").cast("bigint").alias("cum_events"),
+        )
+        .orderBy("day", "rnk")
+    )

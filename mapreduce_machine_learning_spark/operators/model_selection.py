@@ -1045,3 +1045,65 @@ def q_ml_var_merge(spark, sf_dir):
         r6(var_merged).alias("var_merged"),
         r6(F.col("v")).alias("var_direct"),
     )
+
+
+@query(
+    "q_ml_ccc",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*)::DOUBLE AS c
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT c AS y, LAG(c) OVER (ORDER BY day) AS x FROM daily
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(x) AS mx, AVG(y) AS my,
+               VAR_POP(x) AS vx, VAR_POP(y) AS vy,
+               COVAR_POP(x, y) AS cxy
+        FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(cxy / SQRT(vx * vy), 6) AS pearson_r,
+           ROUND(2 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) AS ccc
+    FROM m
+    """,
+)
+def q_ml_ccc(spark, sf_dir):
+    """Lin's concordance correlation between the naive persistence
+    forecast (yesterday's count) and the actual daily count: CCC =
+    2σxy/(σx²+σy²+(μx−μy)²) — agreement with the 45° line, not just
+    linear association, so a biased or rescaled forecast is penalized
+    where Pearson r (reported beside it) would not be. Population
+    moments over the paired daily frame."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("c").alias("y"), F.lag("c").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+        F.covar_pop("x", "y").alias("cxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        r6(F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy"))).alias(
+            "pearson_r"
+        ),
+        r6(
+            2 * F.col("cxy")
+            / (
+                F.col("vx")
+                + F.col("vy")
+                + (F.col("mx") - F.col("my")) * (F.col("mx") - F.col("my"))
+            )
+        ).alias("ccc"),
+    )

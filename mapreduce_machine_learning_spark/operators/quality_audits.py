@@ -964,3 +964,76 @@ def q_events_audience_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_stream_watermark_budget",
+    oracle="""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS high_water
+        FROM events
+    ),
+    late AS (
+        SELECT (epoch_us(high_water) - epoch_us(ts)) / 1000000.0
+                   AS late_s
+        FROM arr WHERE ts < high_water
+    ),
+    cum AS (
+        SELECT late_s,
+               SUM(COUNT(*)) OVER (ORDER BY late_s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cw,
+               SUM(COUNT(*)) OVER () AS n
+        FROM late GROUP BY late_s
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_late,
+           ROUND(MIN(CASE WHEN cw >= 0.5 * n THEN late_s END), 6)
+               AS p50_late_s,
+           ROUND(MIN(CASE WHEN cw >= 0.99 * n THEN late_s END), 6)
+               AS p99_late_s,
+           ROUND(MAX(late_s), 6) AS max_late_s
+    FROM cum
+    """,
+)
+def q_stream_watermark_budget(spark, sf_dir):
+    """Watermark sizing from measured disorder: among LATE events (those
+    arriving after a later-timestamped event, per q_stream_disorder's
+    high-water construction), the discrete p50/p99/max lateness in
+    seconds. `withWatermark(ts, p99)` keeps 99% of late data while
+    bounding state — this query turns the disorder measurement into the
+    exact delay budget to configure, instead of a guessed '1 hour'.
+    Lateness values are exact-µs integers scaled once; quantiles are
+    discrete picks on the distinct-lateness frame."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = ev.select("ts", F.max("ts").over(w).alias("high_water"))
+    late = arr.filter(F.col("ts") < F.col("high_water")).select(
+        (
+            (F.unix_micros("high_water") - F.unix_micros("ts")) / 1000000.0
+        ).alias("late_s")
+    )
+    by_l = late.groupBy("late_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("late_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = by_l.select(
+        "late_s",
+        F.sum("cnt").over(w_cum).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def pick(p):
+        return F.min(
+            F.when(F.col("cw") >= p * F.col("n"), F.col("late_s"))
+        )
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_late"),
+        r6(pick(0.5)).alias("p50_late_s"),
+        r6(pick(0.99)).alias("p99_late_s"),
+        r6(F.max("late_s")).alias("max_late_s"),
+    )

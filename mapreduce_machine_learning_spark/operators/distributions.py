@@ -852,3 +852,70 @@ def q_win_leaderboard(spark, sf_dir):
         )
         .orderBy("day", "rnk")
     )
+
+
+@query(
+    "q_llm_embed_alignment",
+    oracle="""
+    WITH pairs AS (
+        SELECT da.lang AS lang_a, db.lang AS lang_b,
+               ea.embedding AS va, eb.embedding AS vb
+        FROM documents da
+        JOIN documents db ON db.doc_id = da.doc_id + 1
+        JOIN embeddings ea ON ea.vec_id = da.doc_id
+        JOIN embeddings eb ON eb.vec_id = db.doc_id
+    ),
+    comps AS (
+        SELECT lang_a = lang_b AS same_lang,
+               ROW_NUMBER() OVER () AS pid,
+               UNNEST(va) AS x, UNNEST(vb) AS y
+        FROM pairs
+    ),
+    cos AS (
+        SELECT same_lang,
+               SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                   AS c
+        FROM comps GROUP BY same_lang, pid
+    )
+    SELECT same_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(c), 6) AS mean_cosine
+    FROM cos GROUP BY same_lang
+    """,
+)
+def q_llm_embed_alignment(spark, sf_dir):
+    """Does the embedding space encode language? Adjacent-id document
+    pairs (a deterministic, unbiased-by-content sample — ids are
+    assigned independently of text) joined to their vectors via the 1:1
+    doc↔vec mapping; mean cosine within same-language pairs vs
+    cross-language pairs. A same≫cross gap means language dominates the
+    geometry — exactly what q_llm_dedup_semantic needs to know before
+    thresholding cosine across languages. Pair count is O(docs), each
+    pair one 64-dim dot product."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    da = docs.select(
+        F.col("doc_id").alias("ida"), F.col("lang").alias("lang_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("idb"), F.col("lang").alias("lang_b")
+    )
+    ea = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = (
+        da.join(db, F.col("idb") == F.col("ida") + 1)
+        .join(ea, "ida")
+        .join(eb, "idb")
+    )
+    from mapreduce_machine_learning_spark.functions import cosine
+
+    cos = pairs.select(
+        (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+        cosine("va", "vb").alias("c"),
+    )
+    return cos.groupBy("same_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        r6(F.avg("c")).alias("mean_cosine"),
+    )

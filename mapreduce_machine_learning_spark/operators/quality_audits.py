@@ -1037,3 +1037,97 @@ def q_stream_watermark_budget(spark, sf_dir):
         r6(pick(0.99)).alias("p99_late_s"),
         r6(F.max("late_s")).alias("max_late_s"),
     )
+
+
+@query(
+    "q_events_volatility",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(value) AS total
+        FROM events GROUP BY 1
+    ),
+    rets AS (
+        SELECT (total - LAG(total) OVER (ORDER BY day))
+               / LAG(total) OVER (ORDER BY day) AS r
+        FROM daily
+    )
+    SELECT CAST(COUNT(r) AS BIGINT) AS n_days,
+           ROUND(AVG(r), 6) AS mean_return,
+           ROUND(STDDEV_SAMP(r), 6) AS daily_vol,
+           ROUND(AVG(r) / STDDEV_SAMP(r), 6) AS sharpe_like
+    FROM rets WHERE r IS NOT NULL
+    """,
+)
+def q_events_volatility(spark, sf_dir):
+    """Volatility profile of the daily value series: day-over-day
+    relative changes, their mean and standard deviation, and the
+    mean/vol ratio — the Sharpe-shaped stability score that pairs with
+    q_events_drawdown (that one measures the worst excursion; this the
+    typical wiggle). One daily aggregation, one LAG window, one moment
+    pass."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("total")
+    )
+    w = Window.orderBy("day")
+    rets = daily.select(
+        (
+            (F.col("total") - F.lag("total").over(w))
+            / F.lag("total").over(w)
+        ).alias("r")
+    ).filter(F.col("r").isNotNull())
+    return rets.agg(
+        F.count("r").cast("bigint").alias("n_days"),
+        r6(F.avg("r")).alias("mean_return"),
+        r6(F.stddev_samp("r")).alias("daily_vol"),
+        r6(F.avg("r") / F.stddev_samp("r")).alias("sharpe_like"),
+    )
+
+
+@query(
+    "q_events_early_ltv_corr",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN value
+                        ELSE 0 END) AS week1,
+               SUM(value) AS total
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CORR(week1, total), 6) AS corr_week1_total,
+           ROUND(REGR_SLOPE(total, week1), 6) AS slope,
+           ROUND(REGR_INTERCEPT(total, week1), 6) AS intercept
+    FROM per_user
+    """,
+)
+def q_events_early_ltv_corr(spark, sf_dir):
+    """Early-signal LTV predictivity: per user, first-week spend vs
+    30-day total spend — correlation plus the OLS line that turns a
+    week-1 observation into a lifetime forecast (the model behind
+    'projected LTV' dashboards, fit in one aggregate; the cohort curve
+    itself is q_events_cohort_ltv). First-week spend is part of the
+    total, so the correlation has a mechanical floor — the slope and
+    intercept are the actionable outputs."""
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "week1"
+        ),
+        F.sum("value").alias("total"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        r6(F.corr("week1", "total")).alias("corr_week1_total"),
+        r6(
+            F.covar_samp("week1", "total") / F.var_samp("week1")
+        ).alias("slope"),
+        r6(
+            F.avg("total")
+            - F.covar_samp("week1", "total")
+            / F.var_samp("week1")
+            * F.avg("week1")
+        ).alias("intercept"),
+    )

@@ -856,3 +856,59 @@ def q_events_srm(spark, sf_dir):
         r6(chi2).alias("chi2"),
         F.when(chi2 > 3.841459, "mismatch").otherwise("ok").alias("verdict"),
     )
+
+
+@query(
+    "q_events_segment_migration",
+    oracle="""
+    WITH halves AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS v1,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS v2
+        FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT NTILE(4) OVER (ORDER BY v1, user_id) AS seg1,
+               NTILE(4) OVER (ORDER BY v2, user_id) AS seg2
+        FROM halves
+    )
+    SELECT CAST(seg1 AS BIGINT) AS seg_before,
+           CAST(seg2 AS BIGINT) AS seg_after,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM seg GROUP BY seg1, seg2
+    ORDER BY seg_before, seg_after
+    """,
+)
+def q_events_segment_migration(spark, sf_dir):
+    """Segment migration matrix: users quartiled by spend in each half of
+    the window (ntile with user_id tie-break — deterministic cuts), and
+    the 4×4 transition counts between the two segmentations — the
+    'are our whales still whales' view behind every retention deck
+    (diagonal = stable, below = decaying, above = growing). One
+    user-grain aggregation, two rank windows over O(users)."""
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    halves = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "v1"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("v2"),
+    )
+    w1 = Window.orderBy("v1", "user_id")
+    w2 = Window.orderBy("v2", "user_id")
+    seg = halves.select(
+        F.ntile(4).over(w1).alias("seg1"),
+        F.ntile(4).over(w2).alias("seg2"),
+    )
+    return (
+        seg.groupBy(
+            F.col("seg1").cast("bigint").alias("seg_before"),
+            F.col("seg2").cast("bigint").alias("seg_after"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("seg_before", "seg_after")
+    )

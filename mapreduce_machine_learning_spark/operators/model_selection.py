@@ -1107,3 +1107,59 @@ def q_ml_ccc(spark, sf_dir):
             )
         ).alias("ccc"),
     )
+
+
+@query(
+    "q_ml_pinball",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*)::DOUBLE AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    feat AS (
+        SELECT cnt,
+               AVG(cnt) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS ma7,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(AVG(CASE WHEN cnt >= ma7 THEN 0.5 * (cnt - ma7)
+                          ELSE 0.5 * (ma7 - cnt) END), 6) AS pinball_p50,
+           ROUND(AVG(CASE WHEN cnt >= ma7 THEN 0.9 * (cnt - ma7)
+                          ELSE 0.1 * (ma7 - cnt) END), 6) AS pinball_p90
+    FROM feat WHERE rn >= 9
+    """,
+)
+def q_ml_pinball(spark, sf_dir):
+    """Pinball (quantile) loss of the trailing-7-day-mean forecast at
+    τ = 0.5 and τ = 0.9: the asymmetric loss that scores a forecast AS A
+    QUANTILE — p90 pinball penalizes under-forecasting 9× more than
+    over-forecasting, which is how capacity forecasts should be scored
+    (q_events_forecast_eval's MAE treats both errors alike). Same daily
+    frame and windows as the MAE backtest, one extra CASE."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    feat = daily.select(
+        "cnt",
+        F.avg("cnt").over(w.rowsBetween(-7, -1)).alias("ma7"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 9)
+    err = F.col("cnt") - F.col("ma7")
+
+    def pinball(tau):
+        return F.avg(
+            F.when(err >= 0, tau * err).otherwise((tau - 1) * err)
+        )
+
+    return feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        r6(pinball(0.5)).alias("pinball_p50"),
+        r6(pinball(0.9)).alias("pinball_p90"),
+    )

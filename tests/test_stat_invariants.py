@@ -160,6 +160,77 @@ def test_triangle_gcc_bounds(spark):
     assert row["n_wedges"] >= row["n_triangles"]
 
 
+def test_wilson_brackets_rate(spark):
+    row = QUERIES["q_ml_wilson_ci"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["wilson_lo"] <= row["rate"] <= row["wilson_hi"] <= 1.0
+
+
+def test_gamma_fit_recovers_mean(spark):
+    row = QUERIES["q_ml_gamma_fit"](spark, SF_DIR).collect()[0]
+    assert row["shape_k"] > 0 and row["scale_theta"] > 0
+    assert (
+        abs(row["shape_k"] * row["scale_theta"] - row["mean_check"]) < 1e-3
+    )
+
+
+def test_gumbel_probability_bounds(spark):
+    row = QUERIES["q_ml_gumbel"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["p_exceed_400"] <= 1.0
+    assert row["beta"] > 0
+
+
+def test_effect_size_direction_matches_ttest(spark):
+    d = QUERIES["q_ml_cohens_d"](spark, SF_DIR).collect()[0]
+    t = QUERIES["q_ml_welch_ttest"](spark, SF_DIR).collect()[0]
+    assert (d["cohens_d"] > 0) == (t["t_stat"] > 0)
+    assert abs(d["hedges_g"]) <= abs(d["cohens_d"]) + 1e-12
+
+
+def test_powerlaw_fit_negative_slope(spark):
+    row = QUERIES["q_events_powerlaw"](spark, SF_DIR).collect()[0]
+    assert row["powerlaw_slope"] < 0  # rank-size curves decrease
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_pinball_p50_is_half_mae(spark):
+    pb = QUERIES["q_ml_pinball"](spark, SF_DIR).collect()[0]
+    assert pb["pinball_p50"] >= 0 and pb["pinball_p90"] >= 0
+
+
+def test_segment_migration_partitions_users(spark):
+    rows = QUERIES["q_events_segment_migration"](spark, SF_DIR).collect()
+    cuped = QUERIES["q_events_cuped"](spark, SF_DIR).collect()[0]
+    assert sum(r["n_users"] for r in rows) == cuped["n_users"]
+    assert all(1 <= r["seg_before"] <= 4 for r in rows)
+
+
+def test_watermark_budget_ordered_quantiles(spark):
+    row = QUERIES["q_stream_watermark_budget"](spark, SF_DIR).collect()[0]
+    disorder = QUERIES["q_stream_disorder"](spark, SF_DIR).collect()
+    n_late_total = sum(r["n_late"] for r in disorder)
+    if n_late_total == 0:
+        # a perfectly ordered stream has no lateness distribution
+        assert row["p50_late_s"] is None
+        return
+    assert row["n_late"] == n_late_total
+    assert 0 <= row["p50_late_s"] <= row["p99_late_s"] <= row["max_late_s"]
+
+
+def test_average_precision_bounds(spark):
+    row = QUERIES["q_ml_average_precision"](spark, SF_DIR).collect()[0]
+    base_rate = row["n_pos"] / row["n_total"]
+    # AP of any ranking is at least ~the positive base rate, at most 1
+    assert base_rate * 0.5 <= row["average_precision"] <= 1.0
+
+
+def test_brier_decomposition_consistent(spark):
+    row = QUERIES["q_ml_brier_decomp"](spark, SF_DIR).collect()[0]
+    # Murphy identity holds up to within-bin variance of the forecasts
+    approx = row["reliability"] - row["resolution"] + row["uncertainty"]
+    assert abs(row["brier"] - approx) < 0.05
+    assert row["reliability"] >= 0 and row["resolution"] >= 0
+
+
 def test_srm_chi2_consistent_with_counts(spark):
     row = QUERIES["q_events_srm"](spark, SF_DIR).collect()[0]
     n, t = row["n_treat"] + row["n_ctrl"], row["n_treat"]

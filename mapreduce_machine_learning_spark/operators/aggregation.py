@@ -317,7 +317,8 @@ def q_agg_pivot(spark, sf_dir):
     "q_agg_collect",
     oracle="""
     SELECT c_mktsegment,
-           (list_sort(list(c_custkey)))[1:3] AS first_keys,
+           array_to_string((list_sort(list(c_custkey)))[1:3], ',')
+               AS first_keys,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM customer
     GROUP BY c_mktsegment
@@ -326,14 +327,17 @@ def q_agg_pivot(spark, sf_dir):
 def q_agg_collect(spark, sf_dir):
     """Array aggregation with a deterministic in-array order: the 3 smallest
     custkeys per segment. collect_list order is partition-dependent, so the
-    sort_array makes it reproducible — the rule for ANY array_agg at scale."""
+    sort_array makes it reproducible — the rule for ANY array_agg at scale.
+    The array is serialized to a comma-joined string because the driver's
+    order-insensitive hasher requires hashable (flat) cell values
+    (VERDICT.md round 1, "What's wrong")."""
     return (
         T(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 3).alias(
-                "first_keys"
-            ),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("c_custkey")), 1, 3)
+            ).alias("first_keys"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )

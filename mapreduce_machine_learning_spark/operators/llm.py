@@ -240,34 +240,54 @@ def _neardup_pairs(spark, sf_dir):
     return _materialize(spark, sf_dir, "neardup_pairs", build)
 
 
+def _cand_pairs(spark, sf_dir):
+    """Distinct LSH candidate pairs (≥1 shared band), materialized once per
+    session: the verify stage consumes the pair stream AND its distinct doc
+    ids (to bound the token-array broadcast), so the band self-join must not
+    run twice."""
+
+    def build():
+        # the band table is itself memoized (_bands), so Catalyst's two
+        # scans of the self-join subtree read a materialized RDD — the
+        # explode + 16-way md5 min-agg signature pipeline never runs twice
+        bands = _bands(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    return _materialize(spark, sf_dir, "cand_pairs", build)
+
+
 def _neardup_pairs_plan(spark, sf_dir):
-    # the band table is itself memoized (_bands), so Catalyst's two scans of
-    # the self-join subtree read a materialized RDD — the explode + 16-way
-    # md5 min-agg signature pipeline never runs twice
-    bands = _bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _cand_pairs(spark, sf_dir)
     # Intersections via per-doc token ARRAYS broadcast to the pair stream —
     # size(array_intersect(a, b)) per pair — instead of exploding (doc,
     # token) and double-joining on token (which put a |pairs|·|tokens/doc|
     # ≈ half-billion-row intermediate through two shuffles at sf0.1; the
     # array form measured ~4× faster end to end). The doc→array map is
-    # bounded by the candidate DOC set, not the pair set: at 100 TB the
-    # arrays side is semi-join-restricted to candidates first, and if even
+    # bounded by the candidate DOC set, not the pair set: the arrays side is
+    # semi-join-restricted to the distinct candidate ids BEFORE the
+    # broadcast hint (cand_ids below), so what ships to every executor is
+    # the docs that survived LSH banding, never the whole corpus. If even
     # that outgrows a broadcast the exploded-join form (git history) is the
     # shuffle-based fallback — same values either way.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     # Token sets as xxhash64 INT arrays, not strings: array_intersect only
     # feeds Jaccard through |A∩B| and |A|, |B| — any injective token→int64
     # map preserves those counts, and the engine-internal hash never crosses
@@ -277,6 +297,7 @@ def _neardup_pairs_plan(spark, sf_dir):
     # ~|vocab|²/2⁶⁵ per doc ≈ 1e-15, ~2e-11 corpus-wide.
     tok_arrays = (
         T(spark, sf_dir, "documents")
+        .join(cand_ids, "doc_id", "left_semi")
         .select(
             "doc_id",
             F.transform(
@@ -1682,8 +1703,12 @@ def q_llm_mix_temperature(spark, sf_dir):
 )
 def q_llm_dedup_sweep(spark, sf_dir):
     """Dedup severity histogram: the verified near-dup pairs grouped by
-    their (rounded) Jaccard level, with the documents a keep-lowest-id
-    policy would drop at each level. This is the threshold-picking view:
+    their (rounded) Jaccard level, with the distinct higher-id members of
+    pairs at each level (n_docs_removed counts distinct doc_b per level —
+    a doc appearing at several levels is counted at each, and a doc_b may
+    itself be a doc_a of another pair, so this is a per-level victim
+    count, not a cumulative removal plan). This is the threshold-picking
+    view:
     on this corpus the levels are strongly quantized (exact duplicates
     at 1.0 and one-token-off shingles just below), so the histogram —
     not a fixed threshold grid, which would read as flat — is the

@@ -542,7 +542,7 @@ def q_llm_quality_gate(spark, sf_dir):
     "q_events_active_time",
     oracle="""
     WITH seq AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts)
                          - epoch_us(LAG(ts) OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id))
@@ -555,7 +555,7 @@ def q_llm_quality_gate(spark, sf_dir):
     islands AS (
         SELECT user_id, ts,
                SUM(new_island) OVER (PARTITION BY user_id
-                                     ORDER BY ts
+                                     ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS island
         FROM seq
@@ -592,6 +592,7 @@ def q_events_active_time(spark, sf_dir):
     seq = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (
                 F.unix_micros("ts")
@@ -604,7 +605,10 @@ def q_events_active_time(spark, sf_dir):
         .otherwise(0)
         .alias("new_island"),
     )
-    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # Cumulative-island window tie-breaks on event_id to match the (ts,
+    # event_id) order new_island was derived under: duplicate (user_id, ts)
+    # rows would otherwise make island ids order-dependent across engines.
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     islands = seq.select(

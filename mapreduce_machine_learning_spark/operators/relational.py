@@ -355,22 +355,39 @@ def q_join_cross(spark, sf_dir):
     """,
 )
 def q_join_range(spark, sf_dir):
-    """Interval self-join: event pairs of the same user within 5 minutes.
-    Executes as an equi-join on user_id with the time predicate as a
-    post-join filter — per-user groups are small here. 100 TB strategy
-    (SURVEY.md §4): bin ts into 5-minute buckets and equi-join on
-    (user, bucket)∪(user, bucket+1) before filtering, turning the O(n²)
-    theta-join into a bounded equi-join; AQE splits residual hot users."""
-    e1 = T(spark, sf_dir, "events").alias("e1")
-    e2 = T(spark, sf_dir, "events").alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+    """Interval self-join: event pairs of the same user within 5 minutes,
+    executed as a BINNED EQUI-JOIN (SURVEY.md §4): ts is floored into
+    5-minute buckets; the left side is exploded to {bucket, bucket+1} so
+    every qualifying pair (0 < ts2−ts1 ≤ 5 min spans at most one bucket
+    boundary) meets on exactly one (user_id, bucket) key; the exact interval
+    predicate remains as a residual filter. The join key space is
+    (user × time-bucket), so hot users no longer form O(n²) per-user
+    comparison groups — the theta-join is now a bounded equi-join that
+    shuffles on a composite key AQE can further split. Each pair meets on
+    ONE key value (e2's own bucket), so no dedup step is needed."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.floor(us / 300000000)  # 5 min = 3e8 µs, exact integer math
+    e1 = ev.select(
+        "user_id",
+        F.col("ts").alias("ts1"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bkt"),
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts2"),
+        bucket.alias("bkt2"),
+    )
+    residual = (F.col("ts2") > F.col("ts1")) & (
+        F.unix_micros("ts2") <= F.unix_micros("ts1") + 300000000
     )
     return (
-        e1.join(e2, cond)
-        .groupBy(F.col("e1.user_id").alias("user_id"))
+        e1.join(
+            e2,
+            (F.col("user_id") == F.col("u2")) & (F.col("bkt") == F.col("bkt2")),
+        )
+        .filter(residual)
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("pairs"))
     )
 

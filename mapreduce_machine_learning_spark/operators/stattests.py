@@ -454,16 +454,20 @@ def q_events_kaplan_meier(spark, sf_dir):
             ).over(w_asc)
         ).alias("s"),
     )
+    # Sort/limit on the exact integer dur_us BEFORE projecting it away:
+    # ordering on the rounded dur_days (~86 ms resolution) could select a
+    # different 30-row prefix than the oracle's ORDER BY dur_us when distinct
+    # durations fall within the rounding quantum at the cutoff.
     return (
         km.filter(F.col("deaths") > 0)
+        .orderBy("dur_us")
+        .limit(30)
         .select(
             r6(F.col("dur_us") / 86400000000.0).alias("dur_days"),
             F.col("deaths").cast("bigint").alias("deaths"),
             F.col("at_risk").cast("bigint").alias("at_risk"),
             r6("s").alias("survival"),
         )
-        .orderBy((F.col("dur_days") * 86400000000.0))
-        .limit(30)
     )
 
 

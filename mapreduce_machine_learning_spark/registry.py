@@ -56,9 +56,103 @@ def _load_operator_modules() -> None:
     )
 
 
+# SURVEY.md §2 contract queries, in §2 table order. These must reach the
+# driver's correctness window before any extension query: the driver checks
+# the first N entries of ``queries()`` in registration order, so ordering IS
+# the gate (VERDICT.md round 1, "Next round" #1).
+CONTRACT_QUERIES: tuple[str, ...] = (
+    # §2.2 relational core
+    "q_scan_stats", "q_scan_project", "q_filter_pred", "q_filter_like",
+    "q_join_inner", "q_join_broadcast", "q_join_multi", "q_join_left",
+    "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
+    "q_join_cross", "q_join_range", "q_join_asof",
+    # §2.4 windows / top-k
+    "q_win_rank", "q_win_lag", "q_win_running", "q_win_moving",
+    "q_win_range", "q_win_ntile", "q_win_firstlast", "q_win_pctrank",
+    "q_topk_global", "q_topk_pergroup",
+    # §2.6 ML kernels
+    "q_ml_linreg_stats", "q_ml_linreg_gram", "q_ml_gnb_params",
+    "q_ml_logreg_grad", "q_ml_kmeans_step", "q_ml_gmm_estep", "q_ml_knn",
+    # §2.7 streaming (batch-equivalent)
+    "q_stream_tumble", "q_stream_sliding", "q_stream_session",
+    "q_stream_latedata",
+    # §2.8 LLM pipeline
+    "q_llm_dedup_exact", "q_llm_minhash", "q_llm_neardup_pairs",
+    "q_llm_sim_threshold", "q_llm_tfidf", "q_llm_textstats",
+    "q_llm_multimodal",
+    # §2.10 UDF surface
+    "q_udf_python", "q_udf_pandas", "q_udaf_grouplinfit", "q_udtf_expand",
+    # §2.5 set ops & scalar functions
+    "q_set_unionall", "q_set_union", "q_set_intersect", "q_set_except",
+    "q_str_funcs", "q_str_regexp", "q_date_funcs", "q_math_funcs",
+    "q_case_cast", "q_array_funcs", "q_explode_tokens", "q_map_json",
+    # §2.3 aggregation (already driver-green in round 1 → listed last so the
+    # 50-entry window spends its budget on the never-checked families first)
+    "q_agg_global", "q_agg_group", "q_agg_distinct", "q_agg_having",
+    "q_agg_stats", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_agg_approx",
+)
+
+
+def _driver_done_queries() -> set[str]:
+    """Query ids with a green driver correctness row in any past round.
+
+    A full-oracle query is *done* once ``hash_match`` is true; a rows-only
+    query (no oracle, SURVEY §2.1) is done once it ran without error
+    (``err == "no_oracle"`` with a recorded row count). Reading the driver's
+    own ``CORRECTNESS_r*.json`` files makes the ordering self-maintaining:
+    each round the never-checked queries rotate to the front of the window.
+    """
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    done: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                report = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(report, dict):
+            continue
+        for name, row in report.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                done.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                done.add(name)
+    return done
+
+
+def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
+    """Registration order for the driver: contract-first, never-green-first.
+
+    Priority buckets: (0) contract queries with no green driver row yet, in
+    SURVEY §2 table order; (1) extension queries with no green row, in module
+    registration order; (2) everything already driver-green. Within a bucket
+    the order is deterministic, so reruns of the same round are stable.
+    """
+    done = _driver_done_queries()
+    contract_rank = {name: i for i, name in enumerate(CONTRACT_QUERIES)}
+    reg_rank = {name: i for i, name in enumerate(queries)}
+
+    def key(name: str) -> tuple[int, int]:
+        if name in contract_rank and name not in done:
+            return (0, contract_rank[name])
+        if name not in done:
+            return (1, reg_rank[name])
+        bucket = 2 if name in contract_rank else 3
+        return (bucket, contract_rank.get(name, reg_rank[name]))
+
+    return {name: queries[name] for name in sorted(queries, key=key)}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_operator_modules()
-    return dict(_QUERIES)
+    return _ordered(dict(_QUERIES))
 
 
 _SQL_KEYWORDS = {

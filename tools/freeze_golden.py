@@ -33,12 +33,31 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 and sys.argv[1] == "--only" else None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--only":
+        only = set(argv[1:])
+        if not only:
+            raise SystemExit("--only requires at least one query id")
+    elif argv:
+        raise SystemExit(f"unexpected arguments {argv!r}; usage: "
+                         "freeze_golden.py [--only q_a q_b ...]")
+    else:
+        only = None
     out = os.path.join(ROOT, "tests", "golden.json")
     golden = {}
     if only is not None and os.path.exists(out):
         with open(out) as f:
-            golden = json.load(f)["queries"]
+            existing = json.load(f)
+        # Refuse to mix hashes frozen on different datasets: the untouched
+        # entries' fingerprint must match the data we are about to hash.
+        current_fp = fingerprint_testdata(SF_DIR)
+        if existing.get("fingerprint") != current_fp:
+            raise SystemExit(
+                "testdata fingerprint changed since golden.json was frozen "
+                f"({existing.get('fingerprint')!r} != {current_fp!r}); "
+                "run a full refreeze instead of --only"
+            )
+        golden = existing["queries"]
         unknown = only - set(all_queries())
         if unknown:
             raise SystemExit(f"unknown query ids: {sorted(unknown)}")

@@ -347,6 +347,121 @@ from mapreduce_machine_learning_spark.registry import _ORACLES as _registered_or
 _QUERIES_NEARDUP_SQL = _registered_oracles["q_llm_neardup_pairs"]
 
 
+_BLOCK_CAP = 256  # max vectors per BLAS sub-block (bounds task memory)
+
+
+def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
+    """Within-block cosine pairs (blk, ia, ib, cos) with raw cos > min_cos,
+    scored as CHUNK-PAIR gram matrices so task memory is bounded.
+
+    Input: (blk, vid, vec). Each block is split into ⌈n/cap⌉ chunks
+    (vid mod nchunks — deterministic, derived in-plan from the block count);
+    every chunk pair (ci ≤ cj) becomes one applyInPandas group holding at
+    most 2·cap vectors, scored as one float64 BLAS matmul (MA·MBᵀ, or the
+    upper triangle of MA·MAᵀ when ci == cj). Every unordered pair lands in
+    exactly one group — its own chunk pair — so no dedup step is needed.
+
+    This replaces the round-1 one-group-per-label layout whose hot block
+    put a whole label's matrix in a single Python worker (VERDICT round 1,
+    "Next round" #6): rows are replicated nchunks times (block-matrix
+    multiply), memory per task is O(cap·dim), and the n² flops spread over
+    nchunks² tasks. The min_cos prefilter runs inside numpy so only
+    qualifying pairs cross Arrow back to the JVM."""
+    import pandas as pd
+
+    w = Window.partitionBy("blk")
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap))
+    )
+    chunked = df.select(
+        "blk", "vid", "vec", F.pmod(F.col("vid"), nchunks).alias("chunk")
+    )
+    cl = chunked.select("blk", "chunk").distinct()
+    cp = (
+        cl.alias("x")
+        .join(
+            cl.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.chunk") <= F.col("y.chunk")),
+        )
+        .select(
+            F.col("x.blk").alias("pblk"),
+            F.col("x.chunk").alias("ci"),
+            F.col("y.chunk").alias("cj"),
+        )
+    )
+    asg_a = (
+        chunked.alias("r")
+        .join(
+            cp.alias("p"),
+            (F.col("r.blk") == F.col("p.pblk"))
+            & (F.col("r.chunk") == F.col("p.ci")),
+        )
+        .select(
+            F.col("p.pblk").alias("blk"),
+            F.col("p.ci").alias("ci"),
+            F.col("p.cj").alias("cj"),
+            F.lit(0).alias("side"),
+            F.col("r.vid").alias("vid"),
+            F.col("r.vec").alias("vec"),
+        )
+    )
+    asg_b = (
+        chunked.alias("r")
+        .join(
+            cp.alias("p"),
+            (F.col("r.blk") == F.col("p.pblk"))
+            & (F.col("r.chunk") == F.col("p.cj"))
+            & (F.col("p.ci") != F.col("p.cj")),
+        )
+        .select(
+            F.col("p.pblk").alias("blk"),
+            F.col("p.ci").alias("ci"),
+            F.col("p.cj").alias("cj"),
+            F.lit(1).alias("side"),
+            F.col("r.vid").alias("vid"),
+            F.col("r.vec").alias("vec"),
+        )
+    )
+
+    def _score(pdf):
+        import numpy as np
+
+        A = pdf[pdf["side"] == 0]
+        MA = np.stack(A["vec"].to_numpy()).astype("float64")
+        na = np.sqrt((MA * MA).sum(axis=1))
+        B = pdf[pdf["side"] == 1]
+        if len(B):
+            MB = np.stack(B["vec"].to_numpy()).astype("float64")
+            nb = np.sqrt((MB * MB).sum(axis=1))
+            C = (MA @ MB.T) / np.outer(na, nb)
+            ii, jj = np.nonzero(C > min_cos)
+            ia = A["vid"].to_numpy()[ii]
+            ib = B["vid"].to_numpy()[jj]
+            cos = C[ii, jj]
+        else:
+            C = (MA @ MA.T) / np.outer(na, na)
+            iu, ju = np.triu_indices(len(MA), k=1)
+            keep = C[iu, ju] > min_cos
+            ia = A["vid"].to_numpy()[iu[keep]]
+            ib = A["vid"].to_numpy()[ju[keep]]
+            cos = C[iu, ju][keep]
+        return pd.DataFrame(
+            {
+                "blk": np.full(len(ia), pdf["blk"].iloc[0], dtype="int64"),
+                "ia": np.minimum(ia, ib),
+                "ib": np.maximum(ia, ib),
+                "cos": cos,
+            }
+        )
+
+    return (
+        asg_a.unionByName(asg_b)
+        .groupBy("blk", "ci", "cj")
+        .applyInPandas(_score, schema="blk long, ia long, ib long, cos double")
+    )
+
+
 @query(
     "q_llm_sim_threshold",
     oracle="""
@@ -377,39 +492,31 @@ def q_llm_sim_threshold(spark, sf_dir):
     contract threshold is 0.3, not SURVEY's 0.9: the synthetic embeddings
     are not label-clustered (max within-label cosine ≈ 0.47), so 0.9 selects
     nothing. 100 TB path: replace the label block with LSH/IVF buckets."""
-    # Each label block scored as ONE numpy gram matrix via Arrow-batched
-    # applyInPandas (see q_llm_dedup_semantic for the full rationale): the
-    # n² cosines cost one BLAS matmul per block instead of n² higher-order
-    # dot evaluations, and only the per-label summary leaves Python. The
-    # final rounding stays Spark-side so the r6 contract is uniform.
-    def _block_stats(pdf):
-        import numpy as np
-        import pandas as pd
-
-        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        nrm = np.sqrt((M * M).sum(axis=1))
-        C = (M @ M.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(M), k=1)
-        cos = C[iu, ju]
-        keep = cos > 0.3
-        if not keep.any():
-            return pd.DataFrame({"label": [], "pairs": [], "max_sim": []})
-        return pd.DataFrame(
-            {
-                "label": [pdf["label"].iloc[0]],
-                "pairs": [int(keep.sum())],
-                "max_sim": [float(cos[keep].max())],
-            }
-        )
-
+    # Label blocks scored as CHUNK-PAIR gram matrices (BLAS inside Arrow
+    # applyInPandas, task memory capped at 2·256 vectors — see
+    # _blocked_cosine_pairs): the n² cosines still cost matmuls, but a hot
+    # label now spreads over nchunks² tasks instead of OOMing one Python
+    # worker. The final rounding stays Spark-side so the r6 contract is
+    # uniform.
+    pairs = _blocked_cosine_pairs(
+        T(spark, sf_dir, "embeddings").select(
+            F.col("label").alias("blk"),
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("vec"),
+        ),
+        min_cos=0.3,
+    )
     return (
-        T(spark, sf_dir, "embeddings")
-        .select("label", "vec_id", "embedding")
-        .groupBy("label")
-        .applyInPandas(
-            _block_stats, schema="label long, pairs long, max_sim double"
+        pairs.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.max("cos").alias("max_sim"),
         )
-        .select("label", "pairs", r6(F.col("max_sim")).alias("max_sim"))
+        .select(
+            F.col("blk").alias("label"),
+            "pairs",
+            r6(F.col("max_sim")).alias("max_sim"),
+        )
     )
 
 
@@ -807,31 +914,34 @@ def q_llm_dedup_semantic(spark, sf_dir):
     (label here, ANN/IVF cells at 100 TB) → pairwise cosine inside blocks →
     components → survivor policy.
 
-    Each label block is scored as ONE gram matrix in numpy (Arrow-batched
-    applyInPandas): M·Mᵀ beats 200k per-pair higher-order dot products ~3×,
-    and IS the 100 TB pattern — blocks arrive as Arrow record batches, BLAS
-    does the math. Float64 accumulation matches the oracle's
-    element-cast-to-DOUBLE sum to ~1e-15, far below the round-6 threshold
-    grid. And because edges exist only WITHIN a block by construction,
-    components never cross blocks — so the union-find runs in the same
-    Python pass over the in-memory edge list (O(block·α)), and only 4
-    numbers per label ever leave the worker. No distributed iteration at
-    all: the plan is scan → one groupBy shuffle → 10-row aggregate
-    (replaces a 20-round label-propagation loop; measured ~5× faster). The
-    generic cross-block path (functions.graph.connected_components) remains
-    the tool for UNblocked edge lists (q_graph_components)."""
+    Pair scoring runs as CHUNK-PAIR gram matrices (BLAS inside Arrow
+    applyInPandas, task memory capped at 2·256 vectors — see
+    _blocked_cosine_pairs), so a hot label spreads over nchunks² tasks
+    instead of putting its whole matrix in one Python worker. Float64
+    accumulation matches the oracle's element-cast-to-DOUBLE sum to
+    ~1e-15, far below the round-6 threshold grid. Because edges exist only
+    WITHIN a label by construction, components never cross labels — so
+    union-find runs per label over the EDGE list (already thresholded:
+    O(duplicate pairs), orders of magnitude below the scored pair count),
+    and untouched vectors are singleton survivors by arithmetic
+    (survivors = n − touched + components). No distributed iteration at
+    all (replaces a 20-round label-propagation loop; measured ~5×
+    faster). The generic cross-block path
+    (functions.graph.connected_components) remains the tool for UNblocked
+    edge lists (q_graph_components)."""
+    import pandas as pd
 
-    def _block_stats(pdf):
-        import numpy as np
-        import pandas as pd
+    edges = _blocked_cosine_pairs(
+        T(spark, sf_dir, "embeddings").select(
+            F.col("label").alias("blk"),
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("vec"),
+        ),
+        min_cos=0.39,  # raw prefilter; exact rounded threshold below
+    ).filter(F.round("cos", 6) > 0.4)
 
-        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        n = len(M)
-        nrm = np.sqrt((M * M).sum(axis=1))
-        C = (M @ M.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(n, k=1)
-        keep = np.round(C[iu, ju], 6) > 0.4
-        parent = np.arange(n)
+    def _components(pdf):
+        parent: dict = {}
 
         def find(i):
             while parent[i] != i:
@@ -839,28 +949,36 @@ def q_llm_dedup_semantic(spark, sf_dir):
                 i = parent[i]
             return i
 
-        for a, b in zip(iu[keep], ju[keep]):
+        for a, b in zip(pdf["ia"], pdf["ib"]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        roots = {find(i) for i in range(n)}
+        roots = {find(i) for i in parent}
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
-                "vectors": [n],
-                "survivors": [len(roots)],
-                "dropped": [n - len(roots)],
+                "label": [int(pdf["blk"].iloc[0])],
+                "touched": [len(parent)],
+                "comps": [len(roots)],
             }
         )
 
-    return (
+    comp = edges.groupBy("blk").applyInPandas(
+        _components, schema="label int, touched long, comps long"
+    )
+    counts = (
         T(spark, sf_dir, "embeddings")
-        .select("label", "vec_id", "embedding")
         .groupBy("label")
-        .applyInPandas(
-            _block_stats,
-            schema="label int, vectors long, survivors long, dropped long",
-        )
+        .agg(F.count(F.lit(1)).alias("vectors"))
+    )
+    touched = F.coalesce(F.col("touched"), F.lit(0))
+    comps = F.coalesce(F.col("comps"), F.lit(0))
+    return counts.join(F.broadcast(comp), "label", "left").select(
+        "label",
+        "vectors",
+        (F.col("vectors") - touched + comps).alias("survivors"),
+        (touched - comps).alias("dropped"),
     )
 
 

@@ -37,6 +37,7 @@ def _load_operator_modules() -> None:
     from mapreduce_machine_learning_spark.operators import (  # noqa: F401
         aggregation,
         analytics,
+        ann,
         corpus_stats,
         distributions,
         experimentation,

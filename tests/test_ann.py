@@ -1,0 +1,118 @@
+"""ANN (random-hyperplane LSH) invariants: recall vs the exact brute-force
+baseline, index structure, and plan shape (no all-pairs comparison)."""
+
+from pyspark.sql import functions as F
+
+from mapreduce_machine_learning_spark.operators import ann
+from mapreduce_machine_learning_spark.registry import all_queries
+from tests.conftest import SF_DIR_T2
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_knn_recall_vs_exact(spark):
+    """The LSH probe must retrieve a majority of the true top-10 at sf0.01
+    (measured 6/10 with 12×4-bit bands on this near-uniform corpus; a drop
+    below 5 means the signature or probe path broke, not the data)."""
+    approx = {
+        r.vec_id for r in _q("q_llm_ann_knn")(spark, SF_DIR_T2).collect()
+    }
+    exact = {r.vec_id for r in _q("q_ml_knn")(spark, SF_DIR_T2).collect()}
+    assert len(approx) == 10
+    assert len(approx & exact) >= 5
+
+
+def test_pairs_topk_recall_vs_exact(spark):
+    """Pair retrieval: every one of the exact top-20 cosine pairs must share
+    at least one LSH bucket (measured 20/20 at sf0.01 — OR-amplification
+    over 12 bands makes missing a 0.45+ pair a ~1e-3 event per pair)."""
+    emb = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b")
+    )
+    from mapreduce_machine_learning_spark.functions import cosine
+
+    exact_top = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine("e_a", "e_b").alias("cos"))
+        .orderBy(F.desc("cos"), "vec_a", "vec_b")
+        .limit(20)
+        .collect()
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in _q("q_llm_ann_pairs")(spark, SF_DIR_T2).collect()
+    }
+    missed = [
+        (r.vec_a, r.vec_b)
+        for r in exact_top
+        if (r.vec_a, r.vec_b) not in got
+    ]
+    assert not missed, f"true top-20 pairs missed by LSH: {missed}"
+
+
+def test_bucket_sizes_bound_rerank(spark):
+    """Index sanity: every band key is a 4-bit integer, all 12 bands are
+    populated, and no bucket exceeds a quarter of the corpus (the skew
+    bound that keeps per-bucket rerank tasks even)."""
+    buckets = _q("q_llm_ann_buckets")(spark, SF_DIR_T2).collect()
+    n = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet").count()
+    assert {r.band_id for r in buckets} == set(range(ann._RP_BANDS))
+    assert all(0 <= r.band_key < (1 << ann._RP_BITS) for r in buckets)
+    assert max(r.bucket_size for r in buckets) <= n / 4
+
+
+def test_knn_plan_probes_not_allpairs(spark):
+    """The ANN knn plan must contain no nested-loop/cartesian join of the
+    embedding table against itself — candidates come from the band-key
+    equi-join (semi-join probe), then a broadcast of the 1-row query."""
+    df = _q("q_llm_ann_knn")(spark, SF_DIR_T2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the 1-row query-vector broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "LeftSemi" in plan
+
+
+def test_ivf_recall_and_pruning(spark):
+    """IVF probe (4/16 cells) must achieve full recall@10 at sf0.01 while
+    scanning a strict subset of the corpus — the data-adaptive index beats
+    the oblivious LSH on this near-uniform corpus (1.0 vs 0.6 recall at
+    less scan). Candidate count is bounded by the probed cells' sizes."""
+    ivf = {
+        r.vec_id for r in _q("q_llm_ann_ivf_knn")(spark, SF_DIR_T2).collect()
+    }
+    exact = {r.vec_id for r in _q("q_ml_knn")(spark, SF_DIR_T2).collect()}
+    assert len(ivf & exact) >= 9
+
+    cells = {
+        r.cid: r.cell_size
+        for r in _q("q_llm_ann_ivf_cells")(spark, SF_DIR_T2).collect()
+    }
+    n = sum(cells.values())
+    # probing nprobe cells scans less than half the corpus even if the
+    # probe lands on the largest cells
+    largest = sorted(cells.values(), reverse=True)[: ann._IVF_NPROBE]
+    assert sum(largest) < n / 2
+
+
+def test_ivf_cells_partition_every_vector(spark):
+    """Cell assignment is a partition: every vector lands in exactly one
+    cell and every centroid's own cell contains the centroid (cos=1 with
+    itself beats any other centroid, up to exact ties)."""
+    cells = ann._ivf_cells(spark, SF_DIR_T2).collect()
+    n = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet").count()
+    assert len(cells) == n
+    assert len({r.vec_id for r in cells}) == n
+    own = {r.vec_id: r.cid for r in cells}
+    for cid in ann._IVF_CENTROID_IDS:
+        if cid in own:
+            assert own[cid] == cid

@@ -315,3 +315,40 @@ def test_multidistinct_uses_expand(spark):
     plan = explain_str(df)
     assert "Expand" in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    # the 5-minute interval self-join must plan as a hash/merge EQUI-join
+    # on (user, bucket) with the interval predicate as residual — never a
+    # nested-loop theta-join (the O(per-user-n²) shape at scale)
+    df = QUERIES["q_join_range"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_neardup_broadcast_is_candidate_bounded(spark):
+    # the token-array side broadcast to the pair stream must be restricted
+    # to LSH candidate doc ids (a LeftSemi against the candidate set)
+    # BEFORE the broadcast — never the whole documents table
+    from mapreduce_machine_learning_spark.operators.llm import (
+        _neardup_pairs_plan,
+    )
+
+    plan = explain_str(_neardup_pairs_plan(spark, SF_DIR))
+    semi_before_broadcast = False
+    for chunk in plan.split("BroadcastExchange")[1:]:
+        # the broadcast inputs that scan documents must sit above a semi join
+        head = chunk.split("BroadcastHashJoin")[0]
+        if "documents.parquet" in head:
+            semi_before_broadcast = "LeftSemi" in head
+            assert semi_before_broadcast, head
+            break
+    else:
+        # plan printer may order operators differently; fall back to a
+        # global containment check: any documents scan feeding this plan
+        # must be under a LeftSemi
+        assert "LeftSemi" in plan, plan

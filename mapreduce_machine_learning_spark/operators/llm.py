@@ -1886,3 +1886,163 @@ def q_llm_dup_sources(spark, sf_dir):
         .orderBy(F.desc("n_pairs"), "source_a", "source_b")
         .limit(15)
     )
+
+
+@query(
+    "q_llm_dedup_incremental",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    inc AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    ex AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id % 10 <> 0
+    ),
+    exact AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ex e ON i.h = e.h),
+    cand AS (
+        SELECT DISTINCT bi.doc_id AS inc_id, be.doc_id AS ex_id
+        FROM bands bi
+        JOIN bands be ON bi.band_id = be.band_id
+                     AND bi.band_key = be.band_key
+        WHERE bi.doc_id % 10 = 0 AND be.doc_id % 10 <> 0
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM toks GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.inc_id, c.ex_id, CAST(COUNT(*) AS DOUBLE) AS ni
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.inc_id
+        JOIN toks tb ON tb.doc_id = c.ex_id AND tb.token = ta.token
+        GROUP BY c.inc_id, c.ex_id
+    ),
+    near AS (
+        SELECT DISTINCT i.inc_id AS doc_id
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.inc_id
+        JOIN sizes sb ON sb.doc_id = i.ex_id
+        WHERE i.ni / (sa.n + sb.n - i.ni) >= 0.5
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS incoming,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM exact)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup,
+           CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM exact)
+                          AND doc_id IN (SELECT doc_id FROM near)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS near_dup,
+           CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM exact)
+                          AND doc_id NOT IN (SELECT doc_id FROM near)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS unique_docs
+    FROM inc
+    GROUP BY lang
+    """,
+)
+def q_llm_dedup_incremental(spark, sf_dir):
+    """Incremental (delta) dedup — the production daily-ingest shape: an
+    incoming batch (doc_id % 10 = 0, a deterministic 10% slice) is deduped
+    AGAINST the existing corpus (the other 90%), never rescanning
+    corpus×corpus. Classification per incoming doc, in precedence order:
+    exact_dup (md5(text) already present), else near_dup (shares ≥1 MinHash
+    band with an existing doc AND verified Jaccard ≥ 0.5), else unique.
+    Output: per-language counts of each class.
+
+    Scale shape: the existing corpus participates only through (a) its
+    16-byte md5 keys (semi-join) and (b) its band table — both of which a
+    production pipeline maintains as persisted incremental state rather
+    than recomputing (the band table is append-only under ingest, which is
+    why LSH is the industry-standard incremental dedup index). The
+    candidate join is incoming-bands × existing-bands on the band key —
+    work scales with the DELTA, not the corpus. Batch-internal duplicates
+    (incoming × incoming) are deliberately out of scope here: that is the
+    ordinary full-batch dedup (q_llm_dedup_exact / q_llm_neardup_pairs)
+    run on the delta alone."""
+    docs = T(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 10 == 0
+    inc = docs.filter(is_inc).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    ex_hashes = docs.filter(~is_inc).select(F.md5("text").alias("h"))
+    exact_ids = inc.join(ex_hashes, "h", "left_semi").select("doc_id")
+
+    bands = _bands(spark, sf_dir)
+    bi = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("inc_id"), "band_id", "band_key"
+    )
+    be = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("ex_id"), "band_id", "band_key"
+    )
+    cand = (
+        bi.join(be, ["band_id", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    # verify with the same candidate-bounded token-array pattern as
+    # _neardup_pairs_plan: arrays are built only for docs that appear in a
+    # candidate pair, then broadcast to the pair stream
+    cand_ids = (
+        cand.select(F.col("inc_id").alias("doc_id"))
+        .union(cand.select(F.col("ex_id").alias("doc_id")))
+        .distinct()
+    )
+    tok_arrays = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split("text", " ")),
+                lambda t: F.xxhash64(t),
+            ).alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks").cast("double"))
+    )
+    ta = tok_arrays.select(
+        F.col("doc_id").alias("inc_id"),
+        F.col("toks").alias("a_toks"),
+        F.col("n_tok").alias("a_n"),
+    )
+    tb = tok_arrays.select(
+        F.col("doc_id").alias("ex_id"),
+        F.col("toks").alias("b_toks"),
+        F.col("n_tok").alias("b_n"),
+    )
+    n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+    jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
+    near_ids = (
+        cand.join(F.broadcast(ta), "inc_id")
+        .join(F.broadcast(tb), "ex_id")
+        .filter(3.0 * F.least("a_n", "b_n") >= F.col("a_n") + F.col("b_n"))
+        .select("inc_id", "ex_id", n_inter.alias("n_inter"), "a_n", "b_n")
+        .filter(jac >= 0.5)
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = (
+        inc.join(
+            exact_ids.withColumn("is_exact", F.lit(1)), "doc_id", "left"
+        )
+        .join(near_ids.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce("is_exact", F.lit(0)).alias("is_exact"),
+            F.coalesce("is_near", F.lit(0)).alias("is_near"),
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("incoming"),
+        F.sum("is_exact").cast("bigint").alias("exact_dup"),
+        F.sum(
+            F.when((F.col("is_exact") == 0) & (F.col("is_near") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("near_dup"),
+        F.sum(
+            F.when((F.col("is_exact") == 0) & (F.col("is_near") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("unique_docs"),
+    )

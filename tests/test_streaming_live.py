@@ -236,3 +236,41 @@ def test_session_window_live_equals_batch(spark):
     expected = [r for r in batch_rows if r[1] <= wm]
     assert live_rows == sorted(expected)
     assert len(live_rows) > 0
+
+
+def test_incremental_dedup_probe_stream_equals_batch(spark):
+    """Streaming ingest-dedup: the stream-static LSH band probe must flag
+    exactly the candidate (incoming, existing) pairs the batch incremental
+    dedup derives — including that the row-wise stateless MinHash
+    signature (array_min over transform) equals the batch explode→MIN
+    aggregation."""
+    from mapreduce_machine_learning_spark.operators.llm import _bands
+    from mapreduce_machine_learning_spark.streaming.live import (
+        incremental_dedup_probe_stream,
+    )
+
+    live = run_to_memory(
+        spark,
+        incremental_dedup_probe_stream(spark, SF_DIR),
+        "inc_dedup_probe",
+        "append",
+    )
+    got = {(r.inc_id, r.ex_id) for r in live.collect()}
+
+    bands = _bands(spark, SF_DIR)
+    bi = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("inc_id"), "band_id", "band_key"
+    )
+    be = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("ex_id"), "band_id", "band_key"
+    )
+    want = {
+        (r.inc_id, r.ex_id)
+        for r in bi.join(be, ["band_id", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+        .collect()
+    }
+    # live emits one row per matching band; the distinct pair sets must
+    # agree exactly
+    assert got == want

@@ -77,13 +77,21 @@ def main() -> None:
         "q_llm_ann_knn",
         "q_llm_ann_ivf_knn",
     ]
+    def reset_memo() -> None:
+        # unpersist the localCheckpoint blocks BEFORE dropping the refs —
+        # otherwise orphaned cached RDDs sit in storage memory until the
+        # ContextCleaner runs, skewing the cold timings below
+        for df in llm_ops._MATERIALIZED.values():
+            df.unpersist()
+        llm_ops._MATERIALIZED.clear()
+
     extra: dict[str, float] = {}
     for name in llm_chain:
         if name not in queries:
             continue
-        llm_ops._MATERIALIZED.clear()
+        reset_memo()
         queries[name](spark, sf_dir).collect()  # warm (JIT/IO), then cold-time
-        llm_ops._MATERIALIZED.clear()
+        reset_memo()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         extra[name] = round(time.perf_counter() - t0, 4)

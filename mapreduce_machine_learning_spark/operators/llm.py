@@ -270,34 +270,46 @@ def _cand_pairs(spark, sf_dir):
     return _materialize(spark, sf_dir, "cand_pairs", build)
 
 
-def _neardup_pairs_plan(spark, sf_dir):
-    cand = _cand_pairs(spark, sf_dir)
-    # Intersections via per-doc token ARRAYS broadcast to the pair stream —
-    # size(array_intersect(a, b)) per pair — instead of exploding (doc,
-    # token) and double-joining on token (which put a |pairs|·|tokens/doc|
-    # ≈ half-billion-row intermediate through two shuffles at sf0.1; the
-    # array form measured ~4× faster end to end). The doc→array map is
-    # bounded by the candidate DOC set, not the pair set: the arrays side is
-    # semi-join-restricted to the distinct candidate ids BEFORE the
-    # broadcast hint (cand_ids below), so what ships to every executor is
-    # the docs that survived LSH banding, never the whole corpus. If even
-    # that outgrows a broadcast the exploded-join form (git history) is the
-    # shuffle-based fallback — same values either way.
+def _verified_jaccard(docs, cand, left, right, threshold=0.5):
+    """Exact-Jaccard verification of a candidate pair stream: returns
+    ``(left, right, jac)`` for pairs with raw distinct-token Jaccard
+    ≥ threshold. Shared by the full near-dup pipeline (doc_a/doc_b) and
+    the incremental ingest dedup (inc_id/ex_id).
+
+    Intersections run on per-doc token ARRAYS broadcast to the pair stream
+    — size(array_intersect(a, b)) per pair — instead of exploding (doc,
+    token) and double-joining on token (which put a |pairs|·|tokens/doc|
+    ≈ half-billion-row intermediate through two shuffles at sf0.1; the
+    array form measured ~4× faster end to end). The doc→array map is
+    bounded by the candidate DOC set, not the pair set: the arrays side is
+    semi-join-restricted to the distinct candidate ids BEFORE the broadcast
+    hint, so what ships to every executor is the docs that survived LSH
+    banding, never the whole corpus. If even that outgrows a broadcast the
+    exploded-join form (git history) is the shuffle-based fallback — same
+    values either way.
+
+    Token sets are xxhash64 INT arrays, not strings: array_intersect only
+    feeds Jaccard through |A∩B| and |A|, |B| — any injective token→int64
+    map preserves those counts, and the engine-internal hash never crosses
+    to the oracle (which intersects the raw strings). Integer hash-set
+    probes measured ~1.5× faster end-to-end than string probes on the
+    6.7M-pair stream. Collision risk (would shrink a count by 1):
+    ~|vocab|²/2⁶⁵ per doc ≈ 1e-15, ~2e-11 corpus-wide.
+
+    The length prefilter is LOSSLESS for the threshold: Jaccard is
+    maximized at |A∩B| = min(|A|,|B|), so jac ≥ t requires
+    (1 + 1/t)·min ≥ |A|+|B| (3·min at t = 0.5). Two double compares prune
+    a candidate before the O(|A|+|B|) array_intersect ever runs — the
+    classic length filter from the set-similarity-join literature (PPJoin
+    family), and the reason verification scales with the SURVIVING pair
+    count, not the raw LSH candidate count."""
     cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.col(left).alias("doc_id"))
+        .union(cand.select(F.col(right).alias("doc_id")))
         .distinct()
     )
-    # Token sets as xxhash64 INT arrays, not strings: array_intersect only
-    # feeds Jaccard through |A∩B| and |A|, |B| — any injective token→int64
-    # map preserves those counts, and the engine-internal hash never crosses
-    # to the oracle (which intersects the raw strings). Integer hash-set
-    # probes measured ~1.5× faster end-to-end than string probes on the
-    # 6.7M-pair stream. Collision risk (would shrink a count by 1):
-    # ~|vocab|²/2⁶⁵ per doc ≈ 1e-15, ~2e-11 corpus-wide.
     tok_arrays = (
-        T(spark, sf_dir, "documents")
-        .join(cand_ids, "doc_id", "left_semi")
+        docs.join(cand_ids, "doc_id", "left_semi")
         .select(
             "doc_id",
             F.transform(
@@ -308,33 +320,37 @@ def _neardup_pairs_plan(spark, sf_dir):
         .withColumn("n_tok", F.size("toks").cast("double"))
     )
     ta = tok_arrays.select(
-        F.col("doc_id").alias("a_id"),
+        F.col("doc_id").alias(left),
         F.col("toks").alias("a_toks"),
         F.col("n_tok").alias("a_n"),
     )
     tb = tok_arrays.select(
-        F.col("doc_id").alias("b_id"),
+        F.col("doc_id").alias(right),
         F.col("toks").alias("b_toks"),
         F.col("n_tok").alias("b_n"),
     )
     n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
     return (
-        cand.join(F.broadcast(ta), F.col("doc_a") == F.col("a_id"))
-        .join(F.broadcast(tb), F.col("doc_b") == F.col("b_id"))
-        # length prefilter — LOSSLESS for the ≥0.5 threshold: Jaccard is
-        # maximized at |A∩B| = min(|A|,|B|), so jac ≥ 0.5 requires
-        # 3·min ≥ |A|+|B|. Two double compares prune a candidate before the
-        # O(|A|+|B|) array_intersect ever runs — the classic positional/
-        # length filter from set-similarity-join literature (PPJoin family),
-        # and the reason the verification stage scales with the SURVIVING
-        # pair count, not the raw LSH candidate count.
+        cand.join(F.broadcast(ta), left)
+        .join(F.broadcast(tb), right)
         .filter(
-            3.0 * F.least("a_n", "b_n") >= F.col("a_n") + F.col("b_n")
+            (1.0 + 1.0 / threshold) * F.least("a_n", "b_n")
+            >= F.col("a_n") + F.col("b_n")
         )
-        .select("doc_a", "doc_b", "a_n", "b_n", n_inter.alias("n_inter"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
+        .select(left, right, "a_n", "b_n", n_inter.alias("n_inter"))
+        .filter(jac >= threshold)
+        .select(left, right, jac.alias("jac"))
+    )
+
+
+def _neardup_pairs_plan(spark, sf_dir):
+    cand = _cand_pairs(spark, sf_dir)
+    verified = _verified_jaccard(
+        T(spark, sf_dir, "documents"), cand, "doc_a", "doc_b"
+    )
+    return (
+        verified.select("doc_a", "doc_b", r6(F.col("jac")).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(1000)
     )
@@ -355,7 +371,10 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
     scored as CHUNK-PAIR gram matrices so task memory is bounded.
 
     Input: (blk, vid, vec). Each block is split into ⌈n/cap⌉ chunks
-    (vid mod nchunks — deterministic, derived in-plan from the block count);
+    (xxhash64(vid) mod nchunks — deterministic, derived in-plan from the
+    block count; hashing first means chunk sizes stay balanced even when
+    vids are strided or clustered, where a raw vid mod would collapse a
+    whole block into one chunk and re-create the hot-task layout);
     every chunk pair (ci ≤ cj) becomes one applyInPandas group holding at
     most 2·cap vectors, scored as one float64 BLAS matmul (MA·MBᵀ, or the
     upper triangle of MA·MAᵀ when ci == cj). Every unordered pair lands in
@@ -374,7 +393,10 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
         F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap))
     )
     chunked = df.select(
-        "blk", "vid", "vec", F.pmod(F.col("vid"), nchunks).alias("chunk")
+        "blk",
+        "vid",
+        "vec",
+        F.pmod(F.xxhash64(F.col("vid")), nchunks).alias("chunk"),
     )
     cl = chunked.select("blk", "chunk").distinct()
     cp = (
@@ -1979,43 +2001,10 @@ def q_llm_dedup_incremental(spark, sf_dir):
         .select("inc_id", "ex_id")
         .distinct()
     )
-    # verify with the same candidate-bounded token-array pattern as
-    # _neardup_pairs_plan: arrays are built only for docs that appear in a
-    # candidate pair, then broadcast to the pair stream
-    cand_ids = (
-        cand.select(F.col("inc_id").alias("doc_id"))
-        .union(cand.select(F.col("ex_id").alias("doc_id")))
-        .distinct()
-    )
-    tok_arrays = (
-        docs.join(cand_ids, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.transform(
-                F.array_distinct(F.split("text", " ")),
-                lambda t: F.xxhash64(t),
-            ).alias("toks"),
-        )
-        .withColumn("n_tok", F.size("toks").cast("double"))
-    )
-    ta = tok_arrays.select(
-        F.col("doc_id").alias("inc_id"),
-        F.col("toks").alias("a_toks"),
-        F.col("n_tok").alias("a_n"),
-    )
-    tb = tok_arrays.select(
-        F.col("doc_id").alias("ex_id"),
-        F.col("toks").alias("b_toks"),
-        F.col("n_tok").alias("b_n"),
-    )
-    n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
-    jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
+    # verify with the same candidate-bounded token-array machinery as the
+    # full pipeline (see _verified_jaccard)
     near_ids = (
-        cand.join(F.broadcast(ta), "inc_id")
-        .join(F.broadcast(tb), "ex_id")
-        .filter(3.0 * F.least("a_n", "b_n") >= F.col("a_n") + F.col("b_n"))
-        .select("inc_id", "ex_id", n_inter.alias("n_inter"), "a_n", "b_n")
-        .filter(jac >= 0.5)
+        _verified_jaccard(docs, cand, "inc_id", "ex_id")
         .select(F.col("inc_id").alias("doc_id"))
         .distinct()
     )

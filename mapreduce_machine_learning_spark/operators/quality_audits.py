@@ -625,14 +625,19 @@ def q_events_active_time(spark, sf_dir):
         F.sum("span_us").alias("active_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
     )
+    # Sort/limit on the exact integer active_us BEFORE projecting it away
+    # (same rule as q_events_kaplan_meier): ordering on the rounded
+    # active_hours could pick a different 5-row prefix than the oracle's
+    # ORDER BY active_us when two users differ by less than the rounding
+    # quantum at the cutoff.
     return (
-        per_user.select(
+        per_user.orderBy(F.desc("active_us"), "user_id")
+        .limit(5)
+        .select(
             "user_id",
             "n_islands",
             r6(F.col("active_us") / 3600000000.0).alias("active_hours"),
         )
-        .orderBy(F.desc(F.col("active_hours")), "user_id")
-        .limit(5)
     )
 
 

@@ -95,6 +95,9 @@ CONTRACT_QUERIES: tuple[str, ...] = (
 )
 
 
+_DONE_CACHE: Optional[set] = None
+
+
 def _driver_done_queries() -> set[str]:
     """Query ids with a green driver correctness row in any past round.
 
@@ -103,10 +106,16 @@ def _driver_done_queries() -> set[str]:
     (``err == "no_oracle"`` with a recorded row count). Reading the driver's
     own ``CORRECTNESS_r*.json`` files makes the ordering self-maintaining:
     each round the never-checked queries rotate to the front of the window.
+    Memoized per process — callers invoke all_queries() per lookup and the
+    report set only changes between rounds.
     """
     import glob
     import json
     import os
+
+    global _DONE_CACHE
+    if _DONE_CACHE is not None:
+        return _DONE_CACHE
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     done: set[str] = set()
@@ -125,6 +134,7 @@ def _driver_done_queries() -> set[str]:
                 done.add(name)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 done.add(name)
+    _DONE_CACHE = done
     return done
 
 

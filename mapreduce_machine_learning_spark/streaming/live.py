@@ -27,21 +27,26 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.io import normalize_timestamps, prepare
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet, with the same timestamp
-    normalization as the batch loader (io.load_table). The file source
-    requires a *directory*, so the read-only parquet file is exposed through
-    a symlink in a temp dir (no data copy)."""
+def _parquet_file_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """File-source stream over one read-only parquet table. The file source
+    requires a *directory*, so the file is exposed through a symlink in a
+    temp dir (no data copy); schema comes from a static read."""
     import os
 
     prepare(spark)
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    stage = tempfile.mkdtemp(prefix=f"{table}_stream_")
+    os.symlink(src, os.path.join(stage, f"{table}.parquet"))
     static = spark.read.parquet(src)
-    return normalize_timestamps(
-        spark.readStream.schema(static.schema).parquet(stage)
-    )
+    return spark.readStream.schema(static.schema).parquet(stage)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed events with the same timestamp normalization as the batch
+    loader (io.load_table)."""
+    return normalize_timestamps(_parquet_file_stream(spark, sf_dir, "events"))
 
 
 def tumbling_agg(ev: DataFrame, watermark: str | None = "1 hour") -> DataFrame:
@@ -171,16 +176,8 @@ def session_agg(ev: DataFrame, watermark: str = "30 minutes") -> DataFrame:
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents parquet (same symlink staging
-    as events_stream — the file source needs a directory)."""
-    import os
-
-    prepare(spark)
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    stage = tempfile.mkdtemp(prefix="docs_stream_")
-    os.symlink(src, os.path.join(stage, "documents.parquet"))
-    static = spark.read.parquet(src)
-    return spark.readStream.schema(static.schema).parquet(stage)
+    """Streamed documents (no timestamp column to normalize)."""
+    return _parquet_file_stream(spark, sf_dir, "documents")
 
 
 def incremental_dedup_probe_stream(

@@ -847,3 +847,59 @@ def q_agg_gini(spark, sf_dir):
             - (F.max("n") + 1) / F.max("n")
         ).alias("gini"),
     )
+
+
+_FD_CANDIDATES = (
+    # (label, table, lhs, rhs) — mixed true/false dependencies so the
+    # check exercises both outcomes
+    ("n_nationkey->n_name", "nation", "n_nationkey", "n_name"),
+    ("o_orderkey->o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+    ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+)
+
+_FD_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT '{label}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS lhs_groups,
+           CAST(SUM(CASE WHEN ys > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+           SUM(CASE WHEN ys > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS ys
+          FROM {table} GROUP BY {lhs})"""
+    for label, table, lhs, rhs in _FD_CANDIDATES
+)
+
+
+@query("q_profile_fd", oracle=_FD_SQL)
+def q_profile_fd(spark, sf_dir):
+    """Functional-dependency profiling (distributed dependency discovery,
+    VLDB'19 family): for each candidate FD X→Y, X determines Y iff no X
+    group holds >1 distinct Y. Output per candidate: LHS group count,
+    violating-group count, and the verdict — the schema-quality audit that
+    decides which columns are denormalizable / safe join keys before a
+    pipeline relies on them. Each check is one groupBy(X) +
+    countDistinct(Y) partial-aggregated pass (violations counted where the
+    groups already live, only per-candidate totals cross the network);
+    candidates on the same table could further share one scan via
+    grouping-sets if the candidate list grew."""
+    results = None
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            T(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("ys"))
+        )
+        viol = F.sum(F.when(F.col("ys") > 1, 1).otherwise(0))
+        one = g.agg(
+            F.count(F.lit(1)).alias("lhs_groups"),
+            viol.cast("bigint").alias("violating_groups"),
+            (viol == 0).alias("holds"),
+        ).select(
+            F.lit(label).alias("fd"),
+            "lhs_groups",
+            "violating_groups",
+            "holds",
+        )
+        results = one if results is None else results.unionByName(one)
+    return results

@@ -76,6 +76,7 @@ def main() -> None:
         "q_ml_knn",
         "q_llm_ann_knn",
         "q_llm_ann_ivf_knn",
+        "q_llm_dedup_incremental",
     ]
     def reset_memo() -> None:
         # unpersist the localCheckpoint blocks BEFORE dropping the refs —

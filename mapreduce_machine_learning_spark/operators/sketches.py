@@ -643,10 +643,18 @@ def q_sketch_kmv_setops(spark, sf_dir):
             .limit(KMV_K)
         )
 
-    a_keys = keys(ev.filter(F.col("ts") < cutoff))
-    b_keys = keys(ev.filter(F.col("ts") >= cutoff))
-    ka = sketch(a_keys)
-    kb = sketch(b_keys)
+    # Materialize each distinct key set ONCE (localCheckpoint): the sets
+    # feed both the sketch build and the exact-truth audit, and the k-row
+    # sketches feed three set operations each — without materialization
+    # Catalyst re-derived every consumer from the raw scan (10 events scans
+    # / 8 TakeOrdereds in the round-2 plan audit). Now: 2 scans to build
+    # the key sets, 2 TakeOrdereds to sketch them, and every set operation
+    # is arithmetic over the 2k checkpointed sketch rows — the "driver-side
+    # algebra on 2k doubles" the KMV design promises.
+    a_keys = keys(ev.filter(F.col("ts") < cutoff)).localCheckpoint()
+    b_keys = keys(ev.filter(F.col("ts") >= cutoff)).localCheckpoint()
+    ka = sketch(a_keys).localCheckpoint()
+    kb = sketch(b_keys).localCheckpoint()
     ku = (
         ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
     )
@@ -656,18 +664,26 @@ def q_sketch_kmv_setops(spark, sf_dir):
         .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_common"))
     )
-    true_union = a_keys.unionByName(b_keys).distinct().agg(
-        F.count(F.lit(1)).alias("true_union")
+    # exact truth (the audit baseline) in ONE pass over a side-tagged
+    # union: |A∪B| = distinct keys, |A∩B| = keys seen on both sides
+    tagged = a_keys.withColumn("side", F.lit(0)).unionByName(
+        b_keys.withColumn("side", F.lit(1))
     )
-    true_inter = a_keys.join(b_keys, "k").agg(
-        F.count(F.lit(1)).alias("true_intersection")
+    truth = (
+        tagged.groupBy("k")
+        .agg(F.countDistinct("side").alias("ns"))
+        .agg(
+            F.count(F.lit(1)).alias("true_union"),
+            F.sum(F.when(F.col("ns") == 2, 1).otherwise(0)).alias(
+                "true_intersection"
+            ),
+        )
     )
     union_est = F.lit(KMV_K - 1) / F.col("hk")
     jacc = F.col("n_common") / KMV_K
     return (
         union_kth.crossJoin(inter_cnt)
-        .crossJoin(true_union)
-        .crossJoin(true_inter)
+        .crossJoin(truth)
         .select(
             F.col("true_union").cast("bigint").alias("true_union"),
             F.col("true_intersection")

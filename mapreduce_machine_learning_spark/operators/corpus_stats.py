@@ -368,7 +368,19 @@ _EDGE_SQL = """
 def _token_edges(spark, sf_dir):
     """Undirected token co-occurrence edge list (adjacent bigrams with
     count ≥ 5, endpoints ordered u < v, deduplicated) — shared by the
-    triangle and assortativity queries."""
+    triangle and assortativity queries, and consumed several times within
+    each, so it is materialized once per session (the same write-once
+    pattern as the dedup band table): the edge list is bounded by the
+    co-occurring vocabulary, a fraction of the corpus it derives from."""
+    from mapreduce_machine_learning_spark.operators.llm import _materialize
+
+    def build():
+        return _token_edges_plan(spark, sf_dir)
+
+    return _materialize(spark, sf_dir, "token_edges", build)
+
+
+def _token_edges_plan(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
@@ -450,22 +462,21 @@ def q_graph_assortativity(spark, sf_dir):
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     joined = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    ends = joined.select(
-        F.col("du").alias("dx"), F.col("dv").alias("dy")
-    ).unionAll(
-        joined.select(F.col("dv").alias("dx"), F.col("du").alias("dy"))
+    # the stub set is symmetric — (du,dv) and (dv,du) for every edge — so
+    # its moments are computable in ONE pass over the edges instead of a
+    # self-union that replays the join: sx=sy=Σ(du+dv), sxx=syy=Σ(du²+dv²),
+    # sxy=Σ(2·du·dv), n=2·|E|
+    m = joined.agg(
+        (2.0 * F.count(F.lit(1))).alias("n"),
+        F.sum(F.col("du") + F.col("dv")).alias("sx"),
+        F.sum(
+            F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+        ).alias("sxx"),
+        F.sum(2.0 * F.col("du") * F.col("dv")).alias("sxy"),
     )
-    m = ends.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sx")
     vx = n * F.col("sxx") - sx * sx
-    vy = n * F.col("syy") - sy * sy
+    vy = vx
     # moment form with an explicit zero-variance guard: ANSI-mode corr()
     # raises DIVIDE_BY_ZERO on a degree-regular graph (all stubs equal),
     # where the statistic is undefined — emit NULL like the oracle

@@ -1163,9 +1163,13 @@ def q_ann_recall(spark, sf_dir):
     right before you pay for the full scan."""
     from mapreduce_machine_learning_spark.operators import ml as _ml
 
-    exact = _ml.q_ml_knn(spark, sf_dir).select("vec_id")
-    ivf = q_ann_ivf(spark, sf_dir).select("vec_id")
-    lsh = q_ann_lsh(spark, sf_dir).select("vec_id")
+    # each arm's top-k (≤10 rows) is checkpointed before the audit joins:
+    # `exact` feeds two comparisons and every arm would otherwise replay
+    # its full index pipeline per consumer (12 embeddings scans in the
+    # round-2 plan audit; now each arm runs once)
+    exact = _ml.q_ml_knn(spark, sf_dir).select("vec_id").localCheckpoint()
+    ivf = q_ann_ivf(spark, sf_dir).select("vec_id").localCheckpoint()
+    lsh = q_ann_lsh(spark, sf_dir).select("vec_id").localCheckpoint()
     ivf_hits = ivf.join(exact, "vec_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

@@ -49,33 +49,39 @@ def q_events_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: users counted at a
     stage only if the stage event happened strictly after their entry into
     the previous stage (first view, then first click after that view, then
-    first purchase after that click). Each stage is a per-user MIN aggregate
-    joined forward — three shuffles on user_id, each input strictly smaller
-    than the last; the final three 1-row counts cross-join on the driver."""
+    first purchase after that click). ONE scan + ONE shuffle: each user's
+    stage timestamps are gathered in a single groupBy (min view time plus
+    the click/purchase time lists — bounded by that user's event count),
+    and the stage-entry times resolve as in-row array arithmetic
+    (array_min over a time-filtered list; an empty list propagates NULL
+    down the funnel exactly like a failed join). The previous three
+    join-forward shuffles (each re-deriving the prior stage) collapse into
+    per-user rows that never leave their partition after the first hash
+    exchange — at 100 TB the funnel costs what one keyed aggregation
+    costs."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    t_click = F.array_min(
+        F.filter("clicks", lambda t: t > F.col("t_view"))
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    staged = per_user.withColumn("t_click", t_click).withColumn(
+        "t_purchase",
+        F.array_min(F.filter("purchases", lambda t: t > F.col("t_click"))),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("stage_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase")))
+    return staged.agg(
+        F.count("t_view").alias("stage_view"),
+        F.count("t_click").alias("stage_click"),
+        F.count("t_purchase").alias("stage_purchase"),
     )
 
 
@@ -1960,41 +1966,46 @@ def q_events_funnel_windowed(spark, sf_dir):
     click only counts within 24 h of the first view, a purchase within
     24 h of that click — the attribution-window semantics every product
     funnel actually uses (the unbounded q_events_funnel over-credits
-    conversions that happen weeks later). Same plan shape as the
-    unbounded funnel — per-stage MIN aggregates joined forward on
-    user_id — with the window as an extra join-local predicate, so the
-    time bound costs nothing at scale."""
+    conversions that happen weeks later). Same single-scan,
+    single-shuffle shape as the unbounded funnel — per-user stage time
+    lists gathered in one groupBy, stage entries resolved as in-row
+    array_min over a window-bounded filter — so the attribution window
+    is two extra comparisons per candidate timestamp, not a plan
+    change."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     day = F.expr("INTERVAL 24 HOURS")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + day)
+    t_click = F.array_min(
+        F.filter(
+            "clicks",
+            lambda t: (t > F.col("t_view"))
+            & (t <= F.col("t_view") + day),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + day)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    staged = per_user.withColumn("t_click", t_click).withColumn(
+        "t_purchase",
+        F.array_min(
+            F.filter(
+                "purchases",
+                lambda t: (t > F.col("t_click"))
+                & (t <= F.col("t_click") + day),
+            )
+        ),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("stage_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click_24h")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase_24h")))
+    return staged.agg(
+        F.count("t_view").alias("stage_view"),
+        F.count("t_click").alias("stage_click_24h"),
+        F.count("t_purchase").alias("stage_purchase_24h"),
     )
 
 

@@ -208,14 +208,22 @@ def q_events_cooccur(spark, sf_dir):
     so the pair blow-up is per-basket (≤ types²), not per-event; totals are
     broadcast scalars. Counts exact, lift a round-6 ratio of exact counts."""
     ev = T(spark, sf_dir, "events")
-    basket = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).distinct()
+    # the distinct basket frame feeds both self-join sides, the per-type
+    # totals, AND the basket count — materialize it once (it is the small
+    # frame: |users|·|days|·|types| ≪ events) instead of re-deriving the
+    # events distinct per consumer; the basket count projects from it
+    basket = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     tot = basket.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n_t")
     )
     nb = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        basket.select("user_id", "day")
         .distinct()
         .agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
     )
@@ -2051,9 +2059,15 @@ def q_events_assoc_rules(spark, sf_dir):
     the join fan-out (≤5 types here; cap per-basket items on real
     data, the standard Apriori guard)."""
     ev = T(spark, sf_dir, "events")
-    basket = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).distinct()
+    # materialized once: four consumers (both join sides, singles, the
+    # basket count) would otherwise each re-derive the events distinct
+    basket = (
+        ev.select(
+            "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     nb = basket.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_baskets")
     )

@@ -942,7 +942,9 @@ def q_events_audience_overlap(spark, sf_dir):
     fact-table shuffle; the self-join runs on that reduced frame keyed by
     user. The exact version of what q_sketch_kmv_setops estimates."""
     ev = T(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # materialized once: the dedup'd (type, user) frame feeds both
+    # self-join sides and the per-type sizes
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint()
     sizes = tu.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

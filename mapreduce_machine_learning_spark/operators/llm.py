@@ -810,6 +810,9 @@ def q_llm_ngram_jaccard(spark, sf_dir):
             ).alias("shingle"),
         )
         .distinct()
+        # materialized once: the shingle set feeds both self-join sides
+        # and the per-doc sizes (three consumers, one derivation)
+        .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("double").alias("n_sh")

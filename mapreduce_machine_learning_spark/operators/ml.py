@@ -1612,13 +1612,19 @@ def q_ml_nb_multinomial(spark, sf_dir):
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    cnt = tok.groupBy(
-        F.col("lang").alias("clang"), "tok"
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
-    tot = tok.groupBy(F.col("lang").alias("tlang")).agg(
-        F.count(F.lit(1)).cast("double").alias("t")
+    # one (lang, token) count frame — |classes|·|vocab| rows, the model
+    # itself — materialized once; the class totals and vocabulary size are
+    # aggregates OF THE MODEL, so the corpus explode runs once for
+    # training instead of three times
+    cnt = (
+        tok.groupBy(F.col("lang").alias("clang"), "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint()
     )
-    vocab = tok.agg(
+    tot = cnt.groupBy(F.col("clang").alias("tlang")).agg(
+        F.sum("c").alias("t")
+    )
+    vocab = cnt.agg(
         F.countDistinct("tok").cast("double").alias("v")
     )
     prior = d.groupBy(F.col("lang").alias("plang")).agg(

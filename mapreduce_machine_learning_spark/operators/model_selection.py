@@ -154,10 +154,19 @@ def q_ml_kendall_tau(spark, sf_dir):
     Tie corrections use the standard τ-b denominator with marginal tie
     counts. All counts are exact integers on both engines."""
     li = T(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.col("l_quantity").cast("int").alias("q"),
-        F.floor(F.col("l_extendedprice") / 5000.0).cast("int").alias("pb"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("m"))
+    # the contingency table is consumed five times (both cell-join sides,
+    # the grand total, and both marginal tie counts) — materialize the
+    # ~1k-cell frame once instead of replaying the fact groupBy per arm
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("int").alias("q"),
+            F.floor(F.col("l_extendedprice") / 5000.0)
+            .cast("int")
+            .alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
+        .localCheckpoint()
+    )
     c1 = cells.select(
         F.col("q").alias("q1"), F.col("pb").alias("pb1"), F.col("m").alias("m1")
     )

@@ -68,7 +68,7 @@ def main() -> None:
     # signature→banding→verify pipeline, not a cached 1000-row sort.
     # Reported separately from the headline set so `value` stays the
     # BASELINE.md-comparable 6-query total.
-    from mapreduce_machine_learning_spark.operators import llm as llm_ops
+    from mapreduce_machine_learning_spark import runtime as engine_runtime
 
     llm_chain = [
         "q_llm_minhash",
@@ -79,12 +79,10 @@ def main() -> None:
         "q_llm_dedup_incremental",
     ]
     def reset_memo() -> None:
-        # unpersist the localCheckpoint blocks BEFORE dropping the refs —
-        # otherwise orphaned cached RDDs sit in storage memory until the
-        # ContextCleaner runs, skewing the cold timings below
-        for df in llm_ops._MATERIALIZED.values():
-            df.unpersist()
-        llm_ops._MATERIALIZED.clear()
+        # actually frees the cached blocks (persist-backed — see
+        # runtime.py) so cold timings don't run under leftover storage
+        # pressure from the previous chain query
+        engine_runtime.release_all()
 
     extra: dict[str, float] = {}
     for name in llm_chain:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 
 @query(
@@ -217,7 +218,7 @@ def q_events_cooccur(spark, sf_dir):
             "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     tot = basket.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n_t")
@@ -421,7 +422,7 @@ def q_graph_pagerank(spark, sf_dir):
     p = (
         w.join(F.broadcast(outw), "cur")
         .select("cur", "nxt", (F.col("c") / F.col("tot")).alias("prob"))
-        .localCheckpoint()  # 25 rows; reused by both unrolled iterations —
+        .transform(_ckpt)  # 25 rows; reused by both unrolled iterations —
         # without this Catalyst re-derives the window+agg chain per use
     )
     pr1 = p.groupBy(F.col("nxt").alias("node")).agg(
@@ -2066,7 +2067,7 @@ def q_events_assoc_rules(spark, sf_dir):
             "user_id", F.col("ts").cast("date").alias("day"), "event_type"
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     nb = basket.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_baskets")

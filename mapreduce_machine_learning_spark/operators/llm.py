@@ -23,6 +23,7 @@ from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.functions import l2norm
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 N_HASHES = 16
 N_BANDS = 4
@@ -80,26 +81,17 @@ def _signatures(spark, sf_dir):
     return raw.groupBy("doc_id").agg(*aggs)
 
 
-_MATERIALIZED: dict = {}
-
-
-def _materialize(spark, sf_dir, key, build):
-    """Session-scoped materialization of shared intermediates.
-
-    The dedup family (minhash buckets → verified pairs → components →
-    survivors) is a PIPELINE: each stage's input is the previous stage's
-    output, and a real deployment writes each intermediate once and reads
-    it from every consumer. Re-deriving the near-dup pairs inside each
-    downstream query would recompute the signature+banding+verify work
-    3× per session (Spark's cache manager cannot unify them: every
-    localCheckpoint mints a unique plan id, so identical-looking lineages
-    never plan-match). This memo IS that write-once step, in memory,
-    keyed by (application, sf_dir); results are identical with or without
-    it."""
-    k = (spark.sparkContext.applicationId, sf_dir, key)
-    if k not in _MATERIALIZED:
-        _MATERIALIZED[k] = build().localCheckpoint()
-    return _MATERIALIZED[k]
+# Session-scoped materialization of shared intermediates (delegates to
+# runtime.materialize; see its module docstring). The dedup family (minhash
+# buckets → verified pairs → components → survivors) is a PIPELINE: each
+# stage's input is the previous stage's output, and a real deployment
+# writes each intermediate once and reads it from every consumer —
+# re-deriving the near-dup pairs inside each downstream query would
+# recompute the signature+banding+verify work 3× per session. Results are
+# identical with or without the cache.
+from mapreduce_machine_learning_spark.runtime import (  # noqa: E402
+    materialize as _materialize,
+)
 
 
 def _bands(spark, sf_dir):
@@ -812,7 +804,7 @@ def q_llm_ngram_jaccard(spark, sf_dir):
         .distinct()
         # materialized once: the shingle set feeds both self-join sides
         # and the per-doc sizes (three consumers, one derivation)
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("double").alias("n_sh")

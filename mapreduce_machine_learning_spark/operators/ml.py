@@ -28,6 +28,7 @@ from mapreduce_machine_learning_spark.determinism import r0, r6
 from mapreduce_machine_learning_spark.functions import cosine
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 SQRT_2PI = math.sqrt(2.0 * math.pi)
 
@@ -1276,7 +1277,7 @@ def q_ml_crossval(spark, sf_dir):
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     t = s.agg(
         F.sum("n").alias("tn"),
         F.sum("sx").alias("tsx"),
@@ -1619,7 +1620,7 @@ def q_ml_nb_multinomial(spark, sf_dir):
     cnt = (
         tok.groupBy(F.col("lang").alias("clang"), "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     tot = cnt.groupBy(F.col("clang").alias("tlang")).agg(
         F.sum("c").alias("t")

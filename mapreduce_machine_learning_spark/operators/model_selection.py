@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 
 @query(
@@ -165,7 +166,7 @@ def q_ml_kendall_tau(spark, sf_dir):
             .alias("pb"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("m"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     c1 = cells.select(
         F.col("q").alias("q1"), F.col("pb").alias("pb1"), F.col("m").alias("m1")

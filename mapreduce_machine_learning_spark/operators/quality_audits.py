@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 
 @query(
@@ -944,7 +945,7 @@ def q_events_audience_overlap(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     # materialized once: the dedup'd (type, user) frame feeds both
     # self-join sides and the per-type sizes
-    tu = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    tu = ev.select("event_type", "user_id").distinct().transform(_ckpt)
     sizes = tu.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

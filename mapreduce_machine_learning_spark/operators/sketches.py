@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 # fixed probe tokens (§2.9-style frozen literals): a mix of in-vocabulary and
 # certainly-absent words so the audits exercise both hit and miss paths
@@ -651,10 +652,10 @@ def q_sketch_kmv_setops(spark, sf_dir):
     # the key sets, 2 TakeOrdereds to sketch them, and every set operation
     # is arithmetic over the 2k checkpointed sketch rows — the "driver-side
     # algebra on 2k doubles" the KMV design promises.
-    a_keys = keys(ev.filter(F.col("ts") < cutoff)).localCheckpoint()
-    b_keys = keys(ev.filter(F.col("ts") >= cutoff)).localCheckpoint()
-    ka = sketch(a_keys).localCheckpoint()
-    kb = sketch(b_keys).localCheckpoint()
+    a_keys = keys(ev.filter(F.col("ts") < cutoff)).transform(_ckpt)
+    b_keys = keys(ev.filter(F.col("ts") >= cutoff)).transform(_ckpt)
+    ka = sketch(a_keys).transform(_ckpt)
+    kb = sketch(b_keys).transform(_ckpt)
     ku = (
         ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
     )

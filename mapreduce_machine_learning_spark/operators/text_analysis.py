@@ -22,6 +22,7 @@ from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.functions import cosine
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 # fixed marker vocabularies (arbitrary but FROZEN — §2.9-style literals)
 LANG_MARKERS = {
@@ -1167,9 +1168,9 @@ def q_ann_recall(spark, sf_dir):
     # `exact` feeds two comparisons and every arm would otherwise replay
     # its full index pipeline per consumer (12 embeddings scans in the
     # round-2 plan audit; now each arm runs once)
-    exact = _ml.q_ml_knn(spark, sf_dir).select("vec_id").localCheckpoint()
-    ivf = q_ann_ivf(spark, sf_dir).select("vec_id").localCheckpoint()
-    lsh = q_ann_lsh(spark, sf_dir).select("vec_id").localCheckpoint()
+    exact = _ml.q_ml_knn(spark, sf_dir).select("vec_id").transform(_ckpt)
+    ivf = q_ann_ivf(spark, sf_dir).select("vec_id").transform(_ckpt)
+    lsh = q_ann_lsh(spark, sf_dir).select("vec_id").transform(_ckpt)
     ivf_hits = ivf.join(exact, "vec_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

@@ -1,0 +1,69 @@
+"""Session-scoped materialization shared by the operator modules.
+
+Several operators derive a reduced intermediate frame (the MinHash band
+table, ANN signatures, distinct basket/shingle frames, contingency tables)
+that multiple consumers read — within one query plan, or across the
+queries of a pipeline family. Spark cannot unify these re-derivations on
+its own (identical-looking lineages never plan-match across separately
+built DataFrames), so the write-once step is explicit here.
+
+Both entry points are backed by ``DataFrame.persist()`` (CacheManager-
+managed, MEMORY_AND_DISK), not ``localCheckpoint``:
+
+- persist is LAZY — building a query plan never runs a job; the first
+  action populates the cache and later consumers (same action or later
+  actions) read it;
+- persist is RELEASABLE — ``release_all()`` actually frees the blocks
+  (``Dataset.unpersist`` is a no-op for localCheckpoint RDD blocks, which
+  only die on ContextCleaner GC);
+- persist keeps the LINEAGE — the full operator tree stays visible to
+  plan audits (tools/scale_audit.py) and survives executor loss by
+  recomputation. The one thing checkpointing adds — lineage truncation
+  for iterative algorithms — lives where iteration lives
+  (functions/graph.py, ml_iterative.py), not here.
+
+``plan_audit_mode(True)`` disables materialization entirely so an audit
+sees the raw operator tree of every consumer (and triggers no execution);
+it is NOT how queries should run — re-derivation is the cost the cache
+exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MATERIALIZED: dict = {}
+_AUDIT_MODE = False
+
+
+def plan_audit_mode(enabled: bool) -> None:
+    """Disable (True) or re-enable (False) materialization globally —
+    for plan-shape audits only."""
+    global _AUDIT_MODE
+    _AUDIT_MODE = enabled
+
+
+def materialize(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    """Build-once cache keyed by (application, sf_dir, key)."""
+    if _AUDIT_MODE:
+        return build()
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    if k not in _MATERIALIZED:
+        _MATERIALIZED[k] = build().persist()
+    return _MATERIALIZED[k]
+
+
+def checkpoint(df: DataFrame) -> DataFrame:
+    """Mark a within-query shared frame for single computation. Lazy: the
+    cache fills on the query's own action; every consumer in the plan
+    reads the same InMemoryRelation instead of replaying the subtree."""
+    if _AUDIT_MODE:
+        return df
+    return df.persist()
+
+
+def release_all() -> None:
+    """Free every materialized frame (bench cold-timing hygiene)."""
+    for df in _MATERIALIZED.values():
+        df.unpersist()
+    _MATERIALIZED.clear()

@@ -51,33 +51,51 @@ def q_events_funnel(spark, sf_dir):
     stage only if the stage event happened strictly after their entry into
     the previous stage (first view, then first click after that view, then
     first purchase after that click). ONE scan + ONE shuffle: each user's
-    stage timestamps are gathered in a single groupBy (min view time plus
-    the click/purchase time lists — bounded by that user's event count),
-    and the stage-entry times resolve as in-row array arithmetic
-    (array_min over a time-filtered list; an empty list propagates NULL
-    down the funnel exactly like a failed join). The previous three
-    join-forward shuffles (each re-deriving the prior stage) collapse into
-    per-user rows that never leave their partition after the first hash
-    exchange — at 100 TB the funnel costs what one keyed aggregation
-    costs."""
+    stage-entry times resolve as three sequential whole-partition
+    conditional-MIN windows over the same user_id partitioning (window 2's
+    predicate reads window 1's column, so no nesting): one hash exchange,
+    no sort (unordered whole-partition frames), and — unlike a
+    collect_list formulation — no per-user array ever materializes, so a
+    bot user with millions of events spills through the window buffer
+    instead of building one giant row. A NULL stage time propagates down
+    the funnel exactly like a failed join. The per-user reduction after
+    the windows reuses the same partitioning (exchange-free), so at
+    100 TB the funnel costs what one keyed aggregation costs."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
-        ),
-        F.collect_list(
-            F.when(F.col("event_type") == "click", F.col("ts"))
-        ).alias("clicks"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("purchases"),
-    )
-    t_click = F.array_min(
-        F.filter("clicks", lambda t: t > F.col("t_view"))
-    )
-    staged = per_user.withColumn("t_click", t_click).withColumn(
-        "t_purchase",
-        F.array_min(F.filter("purchases", lambda t: t > F.col("t_click"))),
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
     )
     return staged.agg(
         F.count("t_view").alias("stage_view"),
@@ -1976,40 +1994,48 @@ def q_events_funnel_windowed(spark, sf_dir):
     24 h of that click — the attribution-window semantics every product
     funnel actually uses (the unbounded q_events_funnel over-credits
     conversions that happen weeks later). Same single-scan,
-    single-shuffle shape as the unbounded funnel — per-user stage time
-    lists gathered in one groupBy, stage entries resolved as in-row
-    array_min over a window-bounded filter — so the attribution window
-    is two extra comparisons per candidate timestamp, not a plan
-    change."""
+    single-shuffle shape as the unbounded funnel — sequential
+    whole-partition conditional-MIN windows on user_id — so the
+    attribution window is two extra comparisons in each window's
+    predicate, not a plan change."""
     ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     day = F.expr("INTERVAL 24 HOURS")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
-        ),
-        F.collect_list(
-            F.when(F.col("event_type") == "click", F.col("ts"))
-        ).alias("clicks"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("purchases"),
-    )
-    t_click = F.array_min(
-        F.filter(
-            "clicks",
-            lambda t: (t > F.col("t_view"))
-            & (t <= F.col("t_view") + day),
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
         )
-    )
-    staged = per_user.withColumn("t_click", t_click).withColumn(
-        "t_purchase",
-        F.array_min(
-            F.filter(
-                "purchases",
-                lambda t: (t > F.col("t_click"))
-                & (t <= F.col("t_click") + day),
-            )
-        ),
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + day),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + day),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
     )
     return staged.agg(
         F.count("t_view").alias("stage_view"),

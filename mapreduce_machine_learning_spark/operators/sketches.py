@@ -644,7 +644,7 @@ def q_sketch_kmv_setops(spark, sf_dir):
             .limit(KMV_K)
         )
 
-    # Materialize each distinct key set ONCE (localCheckpoint): the sets
+    # Materialize each distinct key set ONCE (runtime.checkpoint): the sets
     # feed both the sketch build and the exact-truth audit, and the k-row
     # sketches feed three set operations each — without materialization
     # Catalyst re-derived every consumer from the raw scan (10 events scans

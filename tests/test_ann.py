@@ -116,3 +116,43 @@ def test_ivf_cells_partition_every_vector(spark):
     for cid in ann._IVF_CENTROID_IDS:
         if cid in own:
             assert own[cid] == cid
+
+
+def test_ann_semantic_dedup_consistency(spark):
+    """ANN-blocked semantic dedup invariants: the partition accounting
+    must close (vectors = survivors + dropped), every dropped vector needs
+    at least one verified edge, and the ANN edge set can only MISS edges
+    vs the exhaustive pair scan — so it can never drop more vectors than
+    an exhaustive dedup would."""
+    row = _q("q_llm_dedup_semantic_ann")(spark, SF_DIR_T2).collect()[0]
+    assert row.vectors == row.survivors + row.dropped
+    assert row.n_edges >= row.dropped
+    # exhaustive baseline: cosine > 0.4 over all pairs via numpy
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    nrm = np.linalg.norm(M, axis=1)
+    C = (M @ M.T) / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(len(M), 1)
+    keep = np.round(C[iu, ju], 6) > 0.4
+    parent = np.arange(len(M))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(iu[keep], ju[keep]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exhaustive_survivors = len({find(i) for i in range(len(M))})
+    assert row.survivors >= exhaustive_survivors
+    # and the LSH index retrieves nearly all true edges on this corpus
+    assert row.n_edges >= 0.9 * int(keep.sum())

@@ -21,7 +21,7 @@ residual risk).
 Parameter note (honest tuning): the synthetic embeddings are near-uniform
 on the sphere (top pairwise cosine ≈ 0.51), so 4-bit bands are required for
 recall — measured at sf0.01: 20/20 of the true top-20 pairs retrieved while
-scoring ~54% of all pairs, and 7/10 of vec 0's true top-10. On a real
+scoring ~54% of all pairs, and 6/10 of vec 0's true top-10. On a real
 training-data corpus (clustered embeddings, near-dup cosine ≥ 0.9) the SAME
 plan runs with 12–16 bit bands → 4k–65k buckets/band and 100–1000×
 pruning; the bucket-join shape is what scales, the bit width is the dial.

@@ -505,7 +505,8 @@ def q_llm_sim_threshold(spark, sf_dir):
     keeps it ~10×n² instead of (10n)² — same pattern as LSH banding). The
     contract threshold is 0.3, not SURVEY's 0.9: the synthetic embeddings
     are not label-clustered (max within-label cosine ≈ 0.47), so 0.9 selects
-    nothing. 100 TB path: replace the label block with LSH/IVF buckets."""
+    nothing. 100 TB path: replace the label block with LSH/IVF buckets —
+    implemented as q_llm_dedup_semantic_ann (operators/ann.py)."""
     # Label blocks scored as CHUNK-PAIR gram matrices (BLAS inside Arrow
     # applyInPandas, task memory capped at 2·256 vectors — see
     # _blocked_cosine_pairs): the n² cosines still cost matmuls, but a hot

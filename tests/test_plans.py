@@ -69,7 +69,11 @@ def test_whole_stage_codegen_on_hot_path(spark):
 # embedding-block gram-matrix scoring, where one BLAS matmul per block is
 # the design (and the 100 TB shape — see their docstrings). Row-at-a-time
 # BatchEvalPython stays banned for these too.
-VECTORIZED_PYTHON_OK = {"q_llm_dedup_semantic", "q_llm_sim_threshold"}
+VECTORIZED_PYTHON_OK = {
+    "q_llm_dedup_semantic",
+    "q_llm_dedup_semantic_ann",  # union-find over the verified edge list
+    "q_llm_sim_threshold",
+}
 
 
 def test_no_python_udf_outside_udf_surface(spark):

@@ -17,6 +17,7 @@ EXAMPLES = [
     "behavior_analytics.py",
     "experiment_readout.py",
     "corpus_quality_report.py",
+    "similarity_search.py",
 ]
 
 

@@ -156,3 +156,24 @@ def test_ann_semantic_dedup_consistency(spark):
     assert row.survivors >= exhaustive_survivors
     # and the LSH index retrieves nearly all true edges on this corpus
     assert row.n_edges >= 0.9 * int(keep.sum())
+
+
+def test_ivf_cell_partitioned_layout_prunes(spark, tmp_path):
+    """The 100 TB claim behind q_llm_ann_ivf_knn's docstring, demonstrated:
+    write the corpus partitioned BY CELL, filter to the probed cells, and
+    the scan must carry partition filters (reads nprobe/k of the files)
+    instead of scanning everything."""
+    from pyspark.sql import functions as F
+
+    cells = ann._ivf_cells(spark, SF_DIR_T2).select("vec_id", "cid")
+    emb = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet")
+    path = str(tmp_path / "emb_by_cell")
+    emb.join(cells, "vec_id").write.partitionBy("cid").parquet(path)
+
+    probe = [ann._IVF_CENTROID_IDS[0], ann._IVF_CENTROID_IDS[1]]
+    back = spark.read.parquet(path).filter(F.col("cid").isin(probe))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    # and the read is exactly the probed cells' members
+    expected = cells.filter(F.col("cid").isin(probe)).count()
+    assert back.count() == expected

@@ -236,3 +236,60 @@ def incremental_dedup_probe_stream(
     return probe.join(ex_bands, ["band_id", "band_key"]).select(
         "inc_id", "ex_id"
     )
+
+
+def ann_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN candidate probe: a stream of query vectors (the
+    vec_id % 50 = 0 slice) is LSH-signed in-stream — the Arrow
+    `mapInPandas` signature batch runs per micro-batch unchanged — and
+    probes the static band index via a stream-static equi-join, emitting
+    (query, candidate) pairs. The vector twin of
+    incremental_dedup_probe_stream: at scale this is how a retrieval
+    service dedups/looks up INCOMING embeddings against a persisted index
+    without any stateful operator (no watermark needed; the join is
+    stateless on the stream side)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_machine_learning_spark.operators.ann import (
+        _RP_BANDS,
+        _RP_BITS,
+        _RP_SIGNS,
+        _bands,
+    )
+
+    H = np.array(_RP_SIGNS)
+
+    def sig_batches(it):
+        for pdf in it:
+            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            B = (M @ H.T) > 0
+            out = {"vec_id": pdf["vec_id"]}
+            for b in range(_RP_BANDS):
+                key = np.zeros(len(M), dtype="int32")
+                for r in range(_RP_BITS):
+                    key |= B[:, b * _RP_BITS + r].astype("int32") << r
+                out[f"k{b}"] = key
+            yield pd.DataFrame(out)
+
+    stream = _parquet_file_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 50 == 0
+    )
+    schema = "vec_id long, " + ", ".join(f"k{b} int" for b in range(_RP_BANDS))
+    sigs = stream.select("vec_id", "embedding").mapInPandas(
+        sig_batches, schema=schema
+    )
+    probe = sigs.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(*[f"k{b}" for b in range(_RP_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+    index = _bands(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), "band_id", "band_key"
+    )
+    return (
+        probe.join(index, ["band_id", "band_key"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )

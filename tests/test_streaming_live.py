@@ -274,3 +274,33 @@ def test_incremental_dedup_probe_stream_equals_batch(spark):
     # live emits one row per matching band; the distinct pair sets must
     # agree exactly
     assert got == want
+
+
+def test_ann_probe_stream_equals_batch(spark):
+    """Streaming ANN lookup: the in-stream LSH signatures (Arrow
+    mapInPandas per micro-batch) probing the static band index must flag
+    exactly the candidate pairs the batch index derives."""
+    from mapreduce_machine_learning_spark.operators.ann import _bands
+    from mapreduce_machine_learning_spark.streaming.live import (
+        ann_probe_stream,
+    )
+
+    live = run_to_memory(
+        spark, ann_probe_stream(spark, SF_DIR), "ann_probe", "append"
+    )
+    got = {(r.query_id, r.cand_id) for r in live.collect()}
+
+    bands = _bands(spark, SF_DIR)
+    q = bands.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_key"
+    )
+    c = bands.select(F.col("vec_id").alias("cand_id"), "band_id", "band_key")
+    want = {
+        (r.query_id, r.cand_id)
+        for r in q.join(c, ["band_id", "band_key"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0

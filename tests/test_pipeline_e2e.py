@@ -65,3 +65,28 @@ def test_pipeline_token_budget_matches_sql(spark):
         "SELECT SUM(size(split(text, ' '))) AS t FROM documents"
     ).collect()[0]["t"]
     assert via_df == via_sql
+
+
+def test_incremental_ingest_accounting(spark):
+    """The delta-dedup classification is a partition of the incoming batch:
+    per language, exact + near + unique must equal the incoming count, and
+    incoming must equal the actual delta slice of the corpus."""
+    from mapreduce_machine_learning_spark.registry import all_queries
+    from tests.conftest import SF_DIR_T2
+
+    rows = all_queries()["q_llm_dedup_incremental"](
+        spark, SF_DIR_T2
+    ).collect()
+    delta = (
+        spark.read.parquet(f"{SF_DIR_T2}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    actual = {r["lang"]: r["count"] for r in delta}
+    assert {r.lang for r in rows} == set(actual)
+    for r in rows:
+        assert r.incoming == actual[r.lang]
+        assert r.exact_dup + r.near_dup + r.unique_docs == r.incoming
+        assert min(r.exact_dup, r.near_dup, r.unique_docs) >= 0

@@ -563,3 +563,64 @@ def q_llm_dedup_semantic_ann(spark, sf_dir):
         ),
         (touched - comps).cast("bigint").alias("dropped"),
     )
+
+
+@query(
+    "q_llm_sim_threshold_ivf",
+    oracle=f"""
+    WITH {_IVF_CTE},
+    pair_cells AS (
+        SELECT ca.cid, ca.vec_id AS ia, cb.vec_id AS ib
+        FROM cells ca
+        JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+    ),
+    sims AS (
+        SELECT p.cid, p.ia, p.ib,
+               list_cosine_similarity(a.e, b.e) AS cos
+        FROM pair_cells p
+        JOIN emb a ON a.vec_id = p.ia
+        JOIN emb b ON b.vec_id = p.ib
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS pairs,
+           ROUND(MAX(cos), 6) AS max_sim
+    FROM sims
+    WHERE cos > 0.3
+    GROUP BY cid
+    """,
+)
+def q_llm_sim_threshold_ivf(spark, sf_dir):
+    """All-pairs cosine above a threshold, blocked by IVF CELL — the
+    data-derived blocking q_llm_sim_threshold's label column stands in
+    for: real corpora have no labels, but every corpus has an IVF
+    assignment, and cells are exactly the regions where high-cosine pairs
+    live (quantization means near vectors share a cell with high
+    probability). Per cell: qualifying pair count and max similarity.
+    Scored through the same chunk-pair BLAS machinery as the label-blocked
+    variant (_blocked_cosine_pairs), so a hot cell spreads over nchunks²
+    bounded tasks. Within-cell-only by definition — the deliberate IVF
+    trade (cross-cell pairs are the LSH index's job, q_llm_ann_pairs)."""
+    from mapreduce_machine_learning_spark.operators.llm import (
+        _blocked_cosine_pairs,
+    )
+
+    cells = _ivf_cells(spark, sf_dir).select(
+        F.col("cid").alias("blk"), F.col("vec_id").alias("vid")
+    )
+    emb = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    blocked = cells.join(emb, "vid").select("blk", "vid", "vec")
+    pairs = _blocked_cosine_pairs(blocked, min_cos=0.3)
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.max("cos").alias("max_sim"),
+        )
+        .select(
+            F.col("blk").alias("cid"),
+            "pairs",
+            r6(F.col("max_sim")).alias("max_sim"),
+        )
+    )

@@ -118,3 +118,42 @@ def test_lines_roundtrip(spark, tmp_path):
     # parse back into columns JVM-side (the reference's split-the-line idiom)
     parsed = back.select(F.split("value", " ").alias("toks"))
     assert parsed.filter(F.size("toks") < 1).count() == 0
+
+
+def test_media_neardup_pipeline(spark):
+    """Perceptual-dedup shape over the multimodal plumbing: payload →
+    feature vector (stubbed codec, deterministic) → exact-feature bucket →
+    duplicate groups. Duplicated payloads MUST collide into one bucket and
+    distinct payloads must not — proving the media dedup pipeline works
+    end to end around the codec seam (swap fake_features for a CLIP/pHash
+    model and nothing else changes)."""
+    from pyspark.sql import functions as F
+
+    base = synth_media(spark, 48)
+    # re-ingest 12 of the payloads under new media ids (the duplicates)
+    dups = (
+        base.filter(F.col("media_id") < 12)
+        .withColumn("media_id", F.col("media_id") + 1000)
+    )
+    media = base.unionByName(dups)
+    feats = extract_features(media)
+    # bucket by the full feature signature (md5-derived ⇒ exact dedup;
+    # a real perceptual feature would LSH-band these instead)
+    sig = F.md5(F.concat_ws(",", F.col("features").cast("array<string>")))
+    groups = (
+        feats.withColumn("sig", sig)
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("media_id").alias("survivor"),
+        )
+    )
+    rows = groups.collect()
+    assert sum(1 for r in rows if r.n > 1) == 12  # exactly the re-ingested
+    assert sum(r.n for r in rows) == 60
+    # survivor policy: the original (lowest id) wins in every dup group
+    assert all(r.survivor < 1000 for r in rows if r.n > 1)
+    # plumbing stays Arrow-vectorized: no row-pickled Python
+    plan = groups._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan

@@ -53,8 +53,8 @@ def q_events_funnel(spark, sf_dir):
     first purchase after that click). ONE scan + ONE shuffle: each user's
     stage-entry times resolve as three sequential whole-partition
     conditional-MIN windows over the same user_id partitioning (window 2's
-    predicate reads window 1's column, so no nesting): one hash exchange,
-    no sort (unordered whole-partition frames), and — unlike a
+    predicate reads window 1's column, so no nesting): one hash exchange
+    (WindowExec adds a partition-local sort on user_id), and — unlike a
     collect_list formulation — no per-user array ever materializes, so a
     bot user with millions of events spills through the window buffer
     instead of building one giant row. A NULL stage time propagates down

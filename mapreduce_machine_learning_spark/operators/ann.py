@@ -61,6 +61,32 @@ _RP_SIGNS = [
     for j in range(_RP_BITS * _RP_BANDS)
 ]
 
+SIG_SCHEMA = "vec_id long, " + ", ".join(f"k{b} int" for b in range(_RP_BANDS))
+
+
+def sig_batches(it):
+    """Arrow-batch LSH signature kernel: one float64 BLAS matmul per batch
+    (M·Hᵀ for all 48 hyperplanes), bits packed into one 4-bit key per band.
+    Module-scope because BOTH the static index build (_bands) and the
+    streaming probe (streaming/live.ann_probe_stream) must run the
+    IDENTICAL kernel — a drift between them would silently desynchronize
+    the probe from the index it joins."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(_RP_SIGNS)  # (48, 64), fixed literals
+
+    for pdf in it:
+        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        B = (M @ H.T) > 0  # (n, 48) sign bits
+        out = {"vec_id": pdf["vec_id"]}
+        for b in range(_RP_BANDS):
+            key = np.zeros(len(M), dtype="int32")
+            for r in range(_RP_BITS):
+                key |= B[:, b * _RP_BITS + r].astype("int32") << r
+            out[f"k{b}"] = key
+        yield pd.DataFrame(out)
+
 
 def _bands(spark, sf_dir):
     """(vec_id, band_id, band_key) index — materialized once per session;
@@ -76,29 +102,10 @@ def _bands(spark, sf_dir):
     difference from BLAS summation order needs |dot| ≲ 1e-12 (see module
     docstring). The batch shape keeps this embarrassingly parallel — no
     shuffle before the posexplode."""
-    import numpy as np
-    import pandas as pd
-
-    H = np.array(_RP_SIGNS)  # (48, 64), fixed literals
-
-    def sig_batches(it):
-        for pdf in it:
-            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            B = (M @ H.T) > 0  # (n, 48) sign bits
-            out = {"vec_id": pdf["vec_id"]}
-            for b in range(_RP_BANDS):
-                key = np.zeros(len(M), dtype="int32")
-                for r in range(_RP_BITS):
-                    key |= B[:, b * _RP_BITS + r].astype("int32") << r
-                out[f"k{b}"] = key
-            yield pd.DataFrame(out)
 
     def build():
         emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        schema = "vec_id long, " + ", ".join(
-            f"k{b} int" for b in range(_RP_BANDS)
-        )
-        sigs = emb.mapInPandas(sig_batches, schema=schema)
+        sigs = emb.mapInPandas(sig_batches, schema=SIG_SCHEMA)
         keys = F.array(*[f"k{b}" for b in range(_RP_BANDS)])
         return sigs.select(
             "vec_id", F.posexplode(keys).alias("band_id", "band_key")
@@ -553,7 +560,11 @@ def q_llm_dedup_semantic_ann(spark, sf_dir):
     )
     touched = F.coalesce(F.col("touched"), F.lit(0))
     comps = F.coalesce(F.col("comps"), F.lit(0))
-    return total.crossJoin(F.broadcast(comp)).select(
+    # LEFT join on TRUE, not crossJoin: with zero verified edges the
+    # components frame is EMPTY (applyInPandas over no groups) and a cross
+    # join would return no rows, where the oracle returns one all-survivors
+    # row — the coalesce defaults above handle exactly that NULL row
+    return total.join(F.broadcast(comp), F.lit(True), "left").select(
         F.col("vectors").cast("bigint").alias("vectors"),
         F.coalesce(F.col("n_edges"), F.lit(0))
         .cast("bigint")

@@ -248,36 +248,18 @@ def ann_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     service dedups/looks up INCOMING embeddings against a persisted index
     without any stateful operator (no watermark needed; the join is
     stateless on the stream side)."""
-    import numpy as np
-    import pandas as pd
-
     from mapreduce_machine_learning_spark.operators.ann import (
         _RP_BANDS,
-        _RP_BITS,
-        _RP_SIGNS,
+        SIG_SCHEMA,
         _bands,
+        sig_batches,
     )
-
-    H = np.array(_RP_SIGNS)
-
-    def sig_batches(it):
-        for pdf in it:
-            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            B = (M @ H.T) > 0
-            out = {"vec_id": pdf["vec_id"]}
-            for b in range(_RP_BANDS):
-                key = np.zeros(len(M), dtype="int32")
-                for r in range(_RP_BITS):
-                    key |= B[:, b * _RP_BITS + r].astype("int32") << r
-                out[f"k{b}"] = key
-            yield pd.DataFrame(out)
 
     stream = _parquet_file_stream(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 50 == 0
     )
-    schema = "vec_id long, " + ", ".join(f"k{b} int" for b in range(_RP_BANDS))
     sigs = stream.select("vec_id", "embedding").mapInPandas(
-        sig_batches, schema=schema
+        sig_batches, schema=SIG_SCHEMA
     )
     probe = sigs.select(
         F.col("vec_id").alias("query_id"),

@@ -36,7 +36,7 @@ def test_done_queries_sink_behind_pending():
     pending = [n for n in names if n not in done]
     if pending:
         last_pending = max(names.index(n) for n in pending)
-        assert first_done > last_pending or first_done > len(pending) - 1
+        assert first_done > last_pending
 
 
 def test_order_is_deterministic():

@@ -73,6 +73,7 @@ VECTORIZED_PYTHON_OK = {
     "q_llm_dedup_semantic",
     "q_llm_dedup_semantic_ann",  # union-find over the verified edge list
     "q_llm_sim_threshold",
+    "q_llm_sim_threshold_ivf",
 }
 
 

@@ -99,15 +99,17 @@ _DONE_CACHE: Optional[set] = None
 
 
 def _driver_done_queries() -> set[str]:
-    """Query ids with a green driver correctness row in any past round.
+    """Query ids whose LATEST driver correctness row is green.
 
     A full-oracle query is *done* once ``hash_match`` is true; a rows-only
     query (no oracle, SURVEY §2.1) is done once it ran without error
-    (``err == "no_oracle"`` with a recorded row count). Reading the driver's
-    own ``CORRECTNESS_r*.json`` files makes the ordering self-maintaining:
-    each round the never-checked queries rotate to the front of the window.
-    Memoized per process — callers invoke all_queries() per lookup and the
-    report set only changes between rounds.
+    (``err == "no_oracle"`` with a recorded row count). Done-ness is the
+    status in the most recent ``CORRECTNESS_r*.json`` that mentions the
+    query — NOT a union across rounds — so a query that regresses after
+    going green rotates back to the front of the window for a recheck
+    (ADVICE round 2). Reading the driver's own report files makes the
+    ordering self-maintaining. Memoized per process — callers invoke
+    all_queries() per lookup and the report set only changes between rounds.
     """
     import glob
     import json
@@ -118,44 +120,80 @@ def _driver_done_queries() -> set[str]:
         return _DONE_CACHE
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    done: set[str] = set()
+    reports = []
+    # lexicographic sort = round order (r01, r02, …); later rounds override
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                report = json.load(fh)
+                reports.append(json.load(fh))
         except (OSError, ValueError):
             continue
+    _DONE_CACHE = _done_from_reports(reports)
+    return _DONE_CACHE
+
+
+def _done_from_reports(reports) -> set[str]:
+    """Latest-round-wins green set from an ordered report sequence."""
+    status: dict[str, bool] = {}
+    for report in reports:
         if not isinstance(report, dict):
             continue
         for name, row in report.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                done.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                done.add(name)
-    _DONE_CACHE = done
-    return done
+            status[name] = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+    return {name for name, green in status.items() if green}
+
+
+# Extension queries the brief treats as first-class components (the
+# LLM-training-data dedup / similarity-search family) — they outrank the
+# generic extension tail for driver-window slots, so the headline operators
+# earn driver CORRECTNESS rows before another batch of q_ml_*/q_events_*
+# variants does (VERDICT round 2, "Next round" #2).
+EXTENSION_PRIORITY: tuple[str, ...] = (
+    "q_agg_collect",
+    "q_llm_ann_buckets",
+    "q_llm_ann_knn",
+    "q_llm_ann_pairs",
+    "q_llm_ann_ivf_cells",
+    "q_llm_ann_ivf_knn",
+    "q_llm_dedup_semantic_ann",
+    "q_llm_sim_threshold_ivf",
+    "q_llm_dedup_incremental",
+    "q_llm_knn",
+    "q_llm_simhash",
+    "q_llm_ngram_jaccard",
+    "q_llm_dedup_survivors",
+    "q_ann_recall",
+)
 
 
 def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     """Registration order for the driver: contract-first, never-green-first.
 
     Priority buckets: (0) contract queries with no green driver row yet, in
-    SURVEY §2 table order; (1) extension queries with no green row, in module
-    registration order; (2) everything already driver-green. Within a bucket
-    the order is deterministic, so reruns of the same round are stable.
+    SURVEY §2 table order; (1) EXTENSION_PRIORITY queries with no green row,
+    in priority order; (2) other extension queries with no green row, in
+    module registration order; (3+) everything already driver-green. Within
+    a bucket the order is deterministic, so reruns of the same round are
+    stable.
     """
     done = _driver_done_queries()
     contract_rank = {name: i for i, name in enumerate(CONTRACT_QUERIES)}
+    priority_rank = {name: i for i, name in enumerate(EXTENSION_PRIORITY)}
     reg_rank = {name: i for i, name in enumerate(queries)}
 
     def key(name: str) -> tuple[int, int]:
-        if name in contract_rank and name not in done:
-            return (0, contract_rank[name])
         if name not in done:
-            return (1, reg_rank[name])
-        bucket = 2 if name in contract_rank else 3
+            if name in contract_rank:
+                return (0, contract_rank[name])
+            if name in priority_rank:
+                return (1, priority_rank[name])
+            return (2, reg_rank[name])
+        bucket = 3 if name in contract_rank else 4
         return (bucket, contract_rank.get(name, reg_rank[name]))
 
     return {name: queries[name] for name in sorted(queries, key=key)}

@@ -39,6 +39,43 @@ def test_done_queries_sink_behind_pending():
         assert first_done > last_pending
 
 
+def test_priority_extensions_follow_pending_contract():
+    """Never-green EXTENSION_PRIORITY queries must come right after the
+    pending-contract block and before any other never-green extension —
+    the flagship ANN/LLM family earns driver rows before the generic tail
+    (VERDICT round 2, "Next round" #2)."""
+    names = list(registry.all_queries())
+    done = registry._driver_done_queries()
+    contract = set(registry.CONTRACT_QUERIES)
+    pending_contract = [n for n in names if n in contract and n not in done]
+    pending_priority = [
+        n for n in registry.EXTENSION_PRIORITY if n not in done
+    ]
+    # priority ids must exist (typo guard) and not overlap the contract
+    assert all(n in names for n in registry.EXTENSION_PRIORITY)
+    assert not contract & set(registry.EXTENSION_PRIORITY)
+    if pending_priority:
+        start = len(pending_contract)
+        block = names[start : start + len(pending_priority)]
+        assert block == pending_priority
+
+
+def test_done_is_latest_round_status():
+    """A later red row must evict a query from the done set so regressions
+    rotate back into the driver window (ADVICE round 2)."""
+    r1 = {
+        "q_a": {"hash_match": True, "err": None, "spark_rows": 5},
+        "q_b": {"hash_match": True, "err": None, "spark_rows": 5},
+        "q_c": {"hash_match": False, "err": "boom", "spark_rows": None},
+    }
+    r2 = {
+        "q_b": {"hash_match": False, "err": None, "spark_rows": 5},  # regressed
+        "q_c": {"hash_match": True, "err": None, "spark_rows": 5},  # fixed
+        "q_d": {"err": "no_oracle", "spark_rows": 3},  # rows-only green
+    }
+    assert registry._done_from_reports([r1, r2]) == {"q_a", "q_c", "q_d"}
+
+
 def test_order_is_deterministic():
     assert list(registry.all_queries()) == list(registry.all_queries())
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 _MATERIALIZED: dict = {}
+_CHECKPOINTED: list = []
 _AUDIT_MODE = False
 
 
@@ -56,9 +57,16 @@ def materialize(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
 def checkpoint(df: DataFrame) -> DataFrame:
     """Mark a within-query shared frame for single computation. Lazy: the
     cache fills on the query's own action; every consumer in the plan
-    reads the same InMemoryRelation instead of replaying the subtree."""
+    reads the same InMemoryRelation instead of replaying the subtree.
+
+    Every persisted frame is recorded so ``release_all()`` can free it:
+    each invocation of a _ckpt-using query builds (and persists) a NEW
+    DataFrame, so without the ledger repeated runs — bench loops, long
+    sessions — would accumulate unbounded CacheManager entries that no
+    "cold timing" reset actually resets (ADVICE round 2)."""
     if _AUDIT_MODE:
         return df
+    _CHECKPOINTED.append(df)
     return df.persist()
 
 
@@ -67,3 +75,6 @@ def release_all() -> None:
     for df in _MATERIALIZED.values():
         df.unpersist()
     _MATERIALIZED.clear()
+    for df in _CHECKPOINTED:
+        df.unpersist()
+    _CHECKPOINTED.clear()

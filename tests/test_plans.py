@@ -135,16 +135,20 @@ def test_tpch_q2_q11_broadcast_dims_no_cartesian(spark):
 
 
 def test_crossval_two_fact_scans_and_broadcast_params(spark):
-    # the stats pass ran once at plan-build (checkpointed 5-row frame);
-    # the final plan holds exactly ONE fact scan (the eval pass) with the
-    # parameters broadcast. formatted explain lists each node twice
-    # (tree summary + detail), hence count == 2 per physical scan.
+    # the design promise is TWO fact passes total: the stats pass (computed
+    # once into the persisted 5-row frame, read back via InMemoryTableScan)
+    # and the eval pass, with the fold parameters broadcast. Formatted
+    # explain assigns each physical node a unique id and prints the shared
+    # cached subtree once per consumer, so the robust invariant is the
+    # count of DISTINCT parquet-scan node ids — not raw substring counts
+    # (which the cached subtree's repeated printout inflates).
+    import re
+
     df = QUERIES["q_ml_crossval"](spark, SF_DIR)
     plan = explain_str(df)
-    # the stats pass is a persisted 5-row frame: the runtime reads it via
-    # InMemoryTableScan (the printed plan may additionally show the cached
-    # subtree's own scan, so count the cache node, not raw scan strings)
-    assert "InMemoryTableScan" in plan or plan.count("Scan parquet") == 2, plan
+    assert "InMemoryTableScan" in plan, plan  # stats frame is cached
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 2, (scan_ids, plan)  # stats pass + eval pass
     assert "BroadcastHashJoin" in plan, plan
 
 

@@ -292,7 +292,8 @@ _IVF_CTE = f"""
                list_cosine_similarity(emb.e, cent.ce) AS cs,
                ROW_NUMBER() OVER (
                    PARTITION BY emb.vec_id
-                   ORDER BY list_cosine_similarity(emb.e, cent.ce) DESC,
+                   ORDER BY ROUND(list_cosine_similarity(emb.e, cent.ce), 6)
+                                DESC,
                             cent.cid
                ) AS rn
         FROM emb CROSS JOIN cent
@@ -303,10 +304,14 @@ _IVF_CTE = f"""
 
 def _ivf_cells(spark, sf_dir):
     """(vec_id, cid, cs): each vector's cell = the sampled centroid with the
-    highest cosine (spherical k-means assignment), tie → lowest cid. One
-    broadcast of the k centroid rows; the argmax is a map-side partial
-    aggregate of struct(cs, −cid) — co-partitioned with the scan, so the
-    'shuffle' moves one already-final row per vector."""
+    highest ROUND-6 cosine (spherical k-means assignment), tie → lowest
+    cid; the stored cs stays the raw cosine (the cell-stats query averages
+    it). Ranking on the rounded value makes the assignment robust to
+    last-ulp cross-engine summation differences — a flipped argmax moves a
+    vector to another cell and shifts every downstream count (ADVICE round
+    2). One broadcast of the k centroid rows; the argmax is a map-side
+    partial aggregate of struct(r6(cs), −cid) — co-partitioned with the
+    scan, so the 'shuffle' moves one already-final row per vector."""
 
     def build():
         from mapreduce_machine_learning_spark.functions import dot, l2norm
@@ -332,7 +337,11 @@ def _ivf_cells(spark, sf_dir):
             (dot("e", "ce") / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
         )
         m = F.max(
-            F.struct(F.col("cs"), (-F.col("cid")).alias("ncid"))
+            F.struct(
+                r6(F.col("cs")).alias("rcs"),
+                (-F.col("cid")).alias("ncid"),
+                F.col("cs"),
+            )
         ).alias("m")
         return (
             scored.groupBy("vec_id")
@@ -411,10 +420,15 @@ def q_llm_ann_ivf_knn(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("e").alias("qe")
     )
+    # rank the probe on the ROUND-6 cosine (cid tie-break): if the 4th and
+    # 5th nearest centroids differ by less than cross-engine summation
+    # noise, an unrounded rank would flip the probed cell set — and with it
+    # the whole top-10 (ADVICE round 2). The oracle's scored.rn rounds the
+    # same way.
     w = Window.orderBy(F.desc("qcs"), "cid")
     qprobe = (
         cent.crossJoin(F.broadcast(q))
-        .select("cid", cosine("ce", "qe").alias("qcs"))
+        .select("cid", r6(cosine("ce", "qe")).alias("qcs"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("cid")
@@ -596,7 +610,7 @@ def q_llm_dedup_semantic_ann(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS pairs,
            ROUND(MAX(cos), 6) AS max_sim
     FROM sims
-    WHERE cos > 0.3
+    WHERE ROUND(cos, 6) > 0.3
     GROUP BY cid
     """,
 )

@@ -359,8 +359,8 @@ _BLOCK_CAP = 256  # max vectors per BLAS sub-block (bounds task memory)
 
 
 def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
-    """Within-block cosine pairs (blk, ia, ib, cos) with raw cos > min_cos,
-    scored as CHUNK-PAIR gram matrices so task memory is bounded.
+    """Within-block cosine pairs (blk, ia, ib, cos) with round-6 cos >
+    min_cos, scored as CHUNK-PAIR gram matrices so task memory is bounded.
 
     Input: (blk, vid, vec). Each block is split into ⌈n/cap⌉ chunks
     (xxhash64(vid) mod nchunks — deterministic, derived in-plan from the
@@ -449,14 +449,18 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
             MB = np.stack(B["vec"].to_numpy()).astype("float64")
             nb = np.sqrt((MB * MB).sum(axis=1))
             C = (MA @ MB.T) / np.outer(na, nb)
-            ii, jj = np.nonzero(C > min_cos)
+            # threshold on the ROUND-6 cosine, like every other similarity
+            # cut in this engine: the oracles compare ROUND(cos, 6) too, so
+            # an ulp-level BLAS-vs-DuckDB difference at the boundary cannot
+            # flip pair membership (ADVICE round 2)
+            ii, jj = np.nonzero(np.round(C, 6) > min_cos)
             ia = A["vid"].to_numpy()[ii]
             ib = B["vid"].to_numpy()[jj]
             cos = C[ii, jj]
         else:
             C = (MA @ MA.T) / np.outer(na, na)
             iu, ju = np.triu_indices(len(MA), k=1)
-            keep = C[iu, ju] > min_cos
+            keep = np.round(C[iu, ju], 6) > min_cos
             ia = A["vid"].to_numpy()[iu[keep]]
             ib = A["vid"].to_numpy()[ju[keep]]
             cos = C[iu, ju][keep]
@@ -496,7 +500,7 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
            CAST(COUNT(*) AS BIGINT) AS pairs,
            ROUND(MAX(cos), 6) AS max_sim
     FROM sims
-    WHERE cos > 0.3
+    WHERE ROUND(cos, 6) > 0.3
     GROUP BY label
     """,
 )
@@ -955,7 +959,7 @@ def q_llm_dedup_semantic(spark, sf_dir):
             F.col("vec_id").alias("vid"),
             F.col("embedding").alias("vec"),
         ),
-        min_cos=0.39,  # raw prefilter; exact rounded threshold below
+        min_cos=0.39,  # round-6 prefilter; exact 0.4 threshold below
     ).filter(F.round("cos", 6) > 0.4)
 
     def _components(pdf):

@@ -177,3 +177,45 @@ def test_ivf_cell_partitioned_layout_prunes(spark, tmp_path):
     # and the read is exactly the probed cells' members
     expected = cells.filter(F.col("cid").isin(probe)).count()
     assert back.count() == expected
+
+
+def test_edge_component_counts_paths_agree(spark):
+    """The union-find bound (VERDICT round 2): below the edge cap the
+    single-task pandas union-find runs; above it the iterative min-label
+    propagation takes over. Both must produce identical
+    (n_edges, touched, comps) on a dense synthetic edge set."""
+    # deterministic dense-ish graph, no RNG: two chain components, one
+    # star, a clique, plus dense "hub" edges — 1016 edges over ~740 nodes
+    edges = []
+    edges += [(i, i + 1) for i in range(0, 200)]          # chain A (201 nodes)
+    edges += [(i, i + 1) for i in range(300, 500)]        # chain B
+    edges += [(600, j) for j in range(601, 900)]          # star (300 nodes)
+    edges += [(a, b) for a in range(1000, 1016)
+              for b in range(a + 1, 1016)]                # 16-clique
+    edges += [(2000 + (i * 7) % 40, 2000 + (i * 11) % 40)
+              for i in range(200)
+              if (i * 7) % 40 != (i * 11) % 40]           # dense hub
+    df = spark.createDataFrame(edges, "vec_a long, vec_b long")
+
+    small = ann._edge_component_counts(df, cap=10**9).collect()[0]
+    big = ann._edge_component_counts(df, cap=0).collect()[0]  # force graph path
+    assert small.n_edges == big.n_edges == len(edges)
+    assert small.touched == big.touched
+    assert small.comps == big.comps
+    # sanity vs an independent local union-find
+    parent = {}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    assert small.touched == len(parent)
+    assert small.comps == len({find(i) for i in parent})

@@ -64,28 +64,59 @@ _RP_SIGNS = [
 SIG_SCHEMA = "vec_id long, " + ", ".join(f"k{b} int" for b in range(_RP_BANDS))
 
 
-def sig_batches(it):
-    """Arrow-batch LSH signature kernel: one float64 BLAS matmul per batch
-    (M·Hᵀ for all 48 hyperplanes), bits packed into one 4-bit key per band.
-    Module-scope because BOTH the static index build (_bands) and the
-    streaming probe (streaming/live.ann_probe_stream) must run the
-    IDENTICAL kernel — a drift between them would silently desynchronize
-    the probe from the index it joins."""
-    import numpy as np
-    import pandas as pd
+def _make_sig_kernel(signs, bits, bands):
+    """Build an Arrow-batch LSH signature kernel over the given hyperplane
+    sign matrix: one float64 BLAS matmul per batch (M·Hᵀ for all
+    bits·bands hyperplanes at once), sign bits packed into one integer key
+    per band. Parameterized so the band width — the documented recall ↔
+    pruning dial — is a constructor argument, not a rebuild of the module
+    (tests/test_ann.py::test_band_width_dial exercises 4 vs 12 bits)."""
 
-    H = np.array(_RP_SIGNS)  # (48, 64), fixed literals
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
 
-    for pdf in it:
-        M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        B = (M @ H.T) > 0  # (n, 48) sign bits
-        out = {"vec_id": pdf["vec_id"]}
-        for b in range(_RP_BANDS):
-            key = np.zeros(len(M), dtype="int32")
-            for r in range(_RP_BITS):
-                key |= B[:, b * _RP_BITS + r].astype("int32") << r
-            out[f"k{b}"] = key
-        yield pd.DataFrame(out)
+        H = np.array(signs)  # (bits·bands, dim), fixed literals
+
+        for pdf in it:
+            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            B = (M @ H.T) > 0  # (n, bits·bands) sign bits
+            out = {"vec_id": pdf["vec_id"]}
+            for b in range(bands):
+                key = np.zeros(len(M), dtype="int32")
+                for r in range(bits):
+                    key |= B[:, b * bits + r].astype("int32") << r
+                out[f"k{b}"] = key
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+# the engine's index kernel (12 bands × 4 bits). Module-scope because BOTH
+# the static index build (_bands) and the streaming probe
+# (streaming/live.ann_probe_stream) must run the IDENTICAL kernel — a drift
+# between them would silently desynchronize the probe from the index it
+# joins.
+sig_batches = _make_sig_kernel(_RP_SIGNS, _RP_BITS, _RP_BANDS)
+
+
+def band_index(df, bits=_RP_BITS, bands=_RP_BANDS, dim=_RP_DIM):
+    """(vec_id, band_id, band_key) LSH index over an (vec_id, embedding)
+    frame at an arbitrary band width — the "bit width is the dial" knob
+    made concrete: wider bands → exponentially more buckets per band →
+    exponentially fewer oblivious (cross-cluster) collisions, while pairs
+    above the target cosine keep near-1 OR-amplified recall. Hyperplanes
+    extend the SAME md5-derived fixed-literal family the 4-bit engine
+    index uses, so any width is portable to the oracle side."""
+    signs = [
+        [_rp_sign(j, i) for i in range(dim)] for j in range(bits * bands)
+    ]
+    schema = "vec_id long, " + ", ".join(f"k{b} int" for b in range(bands))
+    sigs = df.mapInPandas(_make_sig_kernel(signs, bits, bands), schema=schema)
+    keys = F.array(*[f"k{b}" for b in range(bands)])
+    return sigs.select(
+        "vec_id", F.posexplode(keys).alias("band_id", "band_key")
+    )
 
 
 def _bands(spark, sf_dir):

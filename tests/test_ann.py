@@ -292,3 +292,34 @@ def test_band_width_dial(spark):
         len(narrow),
         len(wide),
     )
+
+
+def test_lsh_band_partitioned_layout_prunes(spark, tmp_path):
+    """The 100 TB claim behind q_llm_ann_knn's docstring, demonstrated:
+    write the band index partitioned BY (band_id, band_key), filter to the
+    query's 12 probed buckets, and the scan must carry partition filters —
+    a probe then reads probed-buckets/all-buckets of the files instead of
+    the whole index (the LSH twin of the IVF layout test above)."""
+    bands = ann._bands(spark, SF_DIR_T2)
+    path = str(tmp_path / "bands_by_bucket")
+    bands.write.partitionBy("band_id", "band_key").parquet(path)
+
+    qb = [
+        (r.band_id, r.band_key)
+        for r in bands.filter(F.col("vec_id") == 0).collect()
+    ]
+    back = spark.read.parquet(path)
+    cond = None
+    for bid, key in qb:
+        c = (F.col("band_id") == bid) & (F.col("band_key") == key)
+        cond = c if cond is None else (cond | c)
+    probed = back.filter(cond)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band_id" in plan, plan
+    # and the read is exactly the probed buckets' members
+    expected = bands.join(
+        spark.createDataFrame(qb, "band_id int, band_key int"),
+        ["band_id", "band_key"],
+        "left_semi",
+    ).count()
+    assert probed.count() == expected

@@ -117,10 +117,12 @@ def main() -> None:
         extra[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    # 2× regression gate for the LLM-pipeline set (BASELINE.md, recorded
-    # from the round-2 measurements at sf0.1). Reported in the JSON (and as
-    # a stderr warning) rather than a hard exit so a loaded machine can't
-    # fail the driver's bench run outright.
+    # 2× regression gate for the LLM-pipeline set (BASELINE.md "LLM-
+    # pipeline baseline": the binding targets are the round-3 honest-cold
+    # numbers in LLM_BASELINE_SF01 — do NOT revert to the r2 values, which
+    # were contaminated by leftover warm caches). Reported in the JSON (and
+    # as a stderr warning) rather than a hard exit so a loaded machine
+    # can't fail the driver's bench run outright.
     regressions = {}
     if abs(float(sf) - 0.1) < 1e-9:
         for name, target in LLM_BASELINE_SF01.items():

@@ -43,12 +43,19 @@ def connected_components(
     needed-anyway) symmetrized edge list and picks the broadcast path below
     SMALL_GRAPH_EDGES — the AQE move, made here because the hint must reach
     joins built across several loop rounds."""
-    sym = (
+    from mapreduce_machine_learning_spark import runtime
+
+    sym = runtime.pin(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
     )
+    # NB: runtime.pin (not raw .cache()) so release_all() can free the
+    # symmetrized edge list instead of leaking one CacheManager entry per
+    # invocation; the per-round localCheckpoint frames below are
+    # lineage-truncation (their RDD blocks die on ContextCleaner GC —
+    # unpersist is a documented no-op for them) and are bounded by the
+    # iteration cap.
     if small_graph == "auto":
         small_graph = sym.count() <= SMALL_GRAPH_EDGES
 

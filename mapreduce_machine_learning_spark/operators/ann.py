@@ -107,12 +107,19 @@ def band_index(df, bits=_RP_BITS, bands=_RP_BANDS, dim=_RP_DIM):
     exponentially fewer oblivious (cross-cluster) collisions, while pairs
     above the target cosine keep near-1 OR-amplified recall. Hyperplanes
     extend the SAME md5-derived fixed-literal family the 4-bit engine
-    index uses, so any width is portable to the oracle side."""
-    signs = [
-        [_rp_sign(j, i) for i in range(dim)] for j in range(bits * bands)
-    ]
-    schema = "vec_id long, " + ", ".join(f"k{b} int" for b in range(bands))
-    sigs = df.mapInPandas(_make_sig_kernel(signs, bits, bands), schema=schema)
+    index uses, so any width is portable to the oracle side. At the
+    engine's default width this IS the index construction `_bands`
+    materializes, running the exact `sig_batches` kernel object the
+    streaming probe shares."""
+    if (bits, bands, dim) == (_RP_BITS, _RP_BANDS, _RP_DIM):
+        kernel, schema = sig_batches, SIG_SCHEMA
+    else:
+        signs = [
+            [_rp_sign(j, i) for i in range(dim)] for j in range(bits * bands)
+        ]
+        kernel = _make_sig_kernel(signs, bits, bands)
+        schema = "vec_id long, " + ", ".join(f"k{b} int" for b in range(bands))
+    sigs = df.mapInPandas(kernel, schema=schema)
     keys = F.array(*[f"k{b}" for b in range(bands)])
     return sigs.select(
         "vec_id", F.posexplode(keys).alias("band_id", "band_key")
@@ -136,11 +143,7 @@ def _bands(spark, sf_dir):
 
     def build():
         emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        sigs = emb.mapInPandas(sig_batches, schema=SIG_SCHEMA)
-        keys = F.array(*[f"k{b}" for b in range(_RP_BANDS)])
-        return sigs.select(
-            "vec_id", F.posexplode(keys).alias("band_id", "band_key")
-        )
+        return band_index(emb)  # default width → the shared sig_batches kernel
 
     return _materialize(spark, sf_dir, "ann_bands", build)
 
@@ -526,24 +529,27 @@ def _edge_component_counts(edges, cap=_UF_EDGE_CAP):
 
     The decision needs the edge count, so the (checkpointed) edge frame is
     counted up front; the count is also part of the result, so the action
-    is not an extra pass."""
+    is not an extra pass. Under ``runtime.plan_audit_mode`` the count is
+    SKIPPED (audits must trigger no execution) and the audit sees the
+    below-cap plan — the documented default path."""
     import pandas as pd
 
-    from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
+    from mapreduce_machine_learning_spark import runtime
 
-    edges = _ckpt(edges)
-    n_edges = edges.count()
-    if n_edges > cap:
-        from mapreduce_machine_learning_spark.functions.graph import (
-            connected_components,
-        )
+    if not runtime.is_audit_mode():
+        edges = runtime.checkpoint(edges)
+        n_edges = edges.count()
+        if n_edges > cap:
+            from mapreduce_machine_learning_spark.functions.graph import (
+                connected_components,
+            )
 
-        comps = connected_components(edges, "vec_a", "vec_b")
-        return comps.agg(
-            F.lit(n_edges).cast("long").alias("n_edges"),
-            F.count(F.lit(1)).alias("touched"),
-            F.countDistinct("comp").alias("comps"),
-        )
+            comps = connected_components(edges, "vec_a", "vec_b")
+            return comps.agg(
+                F.lit(n_edges).cast("long").alias("n_edges"),
+                F.count(F.lit(1)).alias("touched"),
+                F.countDistinct("comp").alias("comps"),
+            )
 
     def _components(pdf):
         parent: dict = {}

@@ -44,6 +44,14 @@ def plan_audit_mode(enabled: bool) -> None:
     _AUDIT_MODE = enabled
 
 
+def is_audit_mode() -> bool:
+    """True while a plan-shape audit is running — operators with
+    data-dependent physical strategies (e.g. the union-find edge cap) use
+    this to skip the strategy-picking action and return their default-path
+    plan, keeping the audit execution-free."""
+    return _AUDIT_MODE
+
+
 def materialize(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     """Build-once cache keyed by (application, sf_dir, key)."""
     if _AUDIT_MODE:
@@ -66,6 +74,17 @@ def checkpoint(df: DataFrame) -> DataFrame:
     "cold timing" reset actually resets (ADVICE round 2)."""
     if _AUDIT_MODE:
         return df
+    _CHECKPOINTED.append(df)
+    return df.persist()
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist a frame UNCONDITIONALLY (audit mode included), tracked for
+    release_all(). For the interior frames of iterative drivers (label
+    propagation's symmetrized edge list): their results flow through
+    localCheckpoint lineage truncation, so plan audits never see this
+    subtree anyway — skipping the persist in audit mode would only make
+    the audit re-derive the frame once per loop round."""
     _CHECKPOINTED.append(df)
     return df.persist()
 

@@ -29,12 +29,12 @@ HEADLINE = [
 # this machine after the runtime ledger made the cold reset real (see
 # BASELINE.md "LLM-pipeline baseline" for why r2's numbers were partly warm)
 LLM_BASELINE_SF01 = {
-    "q_llm_minhash": 1.13,
-    "q_llm_neardup_pairs": 5.89,
-    "q_ml_knn": 0.37,
-    "q_llm_ann_knn": 0.67,
-    "q_llm_ann_ivf_knn": 1.29,
-    "q_llm_dedup_incremental": 6.71,
+    "q_llm_minhash": 1.21,
+    "q_llm_neardup_pairs": 5.78,
+    "q_ml_knn": 0.38,
+    "q_llm_ann_knn": 0.68,
+    "q_llm_ann_ivf_knn": 1.25,
+    "q_llm_dedup_incremental": 3.80,
 }
 
 

@@ -84,6 +84,17 @@ def main() -> None:
         # InMemoryRelations, so letting entries accumulate taxes every
         # later timed query a little — the uniform-drift shape of r2
         engine_runtime.release_all()
+    # steady-state pass: same queries, one more timed round now that JIT
+    # tiering has settled (the single-warm-run numbers above carry first-
+    # timed-pass compilation residue of ~5-15% — root-caused in BASELINE.md
+    # "Headline-regression note"). `value` stays the BASELINE-comparable
+    # single-warm-run total; this records the settled floor alongside it.
+    steady: dict[str, float] = {}
+    for name in active:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        steady[name] = round(time.perf_counter() - t0, 4)
+        engine_runtime.release_all()
 
     # LLM-pipeline chain timings (VERDICT r1 #7): the dedup chain and the
     # similarity-search pair, timed COLD each run — the session memo
@@ -138,6 +149,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "steady_total": round(sum(steady.values()), 4),
                 "llm_pipeline": extra,
                 "llm_regressions": regressions,
                 "sf": float(sf),

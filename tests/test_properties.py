@@ -264,3 +264,28 @@ def test_drawdown_window_equals_bruteforce(spark, vals):
         peak = max(peak, cum)
         dd = max(dd, peak - cum)
     assert abs(got_dd - dd) < 1e-9
+
+
+@given(
+    a=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    b=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    t=st.sampled_from([0.3, 0.5, 0.7]),
+)
+@settings(max_examples=500, deadline=None)
+def test_prefix_filter_lossless(a, b, t):
+    """The PPJoin positional prefix filter in llm._verified_jaccard must
+    never prune a qualifying pair: whenever J(A,B) ≥ t, the sorted
+    prefixes of length n − ⌈t·n⌉ + 1 (the exact formula the operator
+    computes with F.ceil) must share an element. Pure-python mirror of the
+    column expressions — no Spark job per example, so hypothesis can
+    hammer the boundary cases (tiny sets, J exactly at t, disjoint
+    prefixes)."""
+    import math
+
+    inter = len(a & b)
+    jac = inter / (len(a) + len(b) - inter)
+    if jac < t:
+        return  # filter only must keep qualifying pairs
+    pa = sorted(a)[: len(a) - math.ceil(t * len(a)) + 1]
+    pb = sorted(b)[: len(b) - math.ceil(t * len(b)) + 1]
+    assert set(pa) & set(pb), (sorted(a), sorted(b), t, jac)

@@ -126,6 +126,20 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         extra[name] = round(time.perf_counter() - t0, 4)
+    # steady-state cold pass (VERDICT round 3 #4): one more cold-timed round
+    # after JIT tiering has fully settled. Still COLD in the cache sense
+    # (release_all before each timed run — the pipeline recomputes from
+    # parquet), but free of the first-timed-pass compilation residue that
+    # made the r2 headline numbers drift. The 2× self-regression gate below
+    # reads THIS pass so a tiering hiccup on a loaded machine can't trip it.
+    llm_steady: dict[str, float] = {}
+    for name in llm_chain:
+        if name not in extra:
+            continue
+        reset_memo()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        llm_steady[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     # 2× regression gate for the LLM-pipeline set (BASELINE.md "LLM-
@@ -137,7 +151,7 @@ def main() -> None:
     regressions = {}
     if abs(float(sf) - 0.1) < 1e-9:
         for name, target in LLM_BASELINE_SF01.items():
-            got = extra.get(name)
+            got = llm_steady.get(name, extra.get(name))
             if got is not None and got > 2.0 * target:
                 regressions[name] = {"sec": got, "target": target}
         if regressions:
@@ -152,6 +166,7 @@ def main() -> None:
                 "queries_steady": steady,
                 "steady_total": round(sum(steady.values()), 4),
                 "llm_pipeline": extra,
+                "llm_steady": llm_steady,
                 "llm_regressions": regressions,
                 "sf": float(sf),
             }

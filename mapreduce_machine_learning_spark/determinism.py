@@ -36,6 +36,21 @@ def r6(col: Column | str) -> Column:
     return F.round(F.col(col) if isinstance(col, str) else col, 6)
 
 
+def np_r6(x):
+    """NumPy-side mirror of :func:`r6` for Arrow-batch kernels.
+
+    ``np.round`` is round-half-to-EVEN; Spark ``F.round`` and DuckDB
+    ``ROUND`` are round-half-AWAY-FROM-ZERO, so an exact-midpoint value
+    (x.xxxxxx5) would flip membership across engines if a kernel used
+    ``np.round`` for its threshold cut (ADVICE round 3). ``floor(|x|·1e6 +
+    0.5)`` with the sign restored is exactly the half-away-from-zero rule;
+    parity with DuckDB ``ROUND(x, 6)`` on midpoints is pinned by
+    tests/test_determinism_round.py."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def r0(col: Column | str) -> Column:
     """Round to integer — for large sums (money totals over joins, sample
     variances, magnitudes up to ~1e11). Noise ~1e-5 vs grid 1.0 → boundary

@@ -28,7 +28,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int | None = None,
     small_graph: bool | str = "auto",
 ) -> DataFrame:
     """(src, dst) undirected pairs → (node, component) with component = the
@@ -56,8 +56,20 @@ def connected_components(
     # lineage-truncation (their RDD blocks die on ContextCleaner GC —
     # unpersist is a documented no-op for them) and are bounded by the
     # iteration cap.
+    n_sym = sym.count()  # needed for the auto broadcast decision AND the
+    # iteration budget; sym is pinned so the count is a one-time cost
     if small_graph == "auto":
-        small_graph = sym.count() <= SMALL_GRAPH_EDGES
+        small_graph = n_sym <= SMALL_GRAPH_EDGES
+    if max_iter is None:
+        # Pointer jumping lets a label travel ~2^k hops after k rounds, so
+        # ⌈log2(longest path)⌉ rounds suffice; the longest possible path has
+        # < n_sym hops. +8 slack covers the propagate-then-confirm round and
+        # asymmetric jump schedules. Scaling with the data (ADVICE round 3)
+        # means a chain-shaped graph just above the distributed-fallback cap
+        # cannot exhaust a fixed budget: 2M edges → log2 ≈ 21 → 29 rounds.
+        import math
+
+        max_iter = max(20, int(math.ceil(math.log2(max(n_sym, 2)))) + 8)
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_graph else df
@@ -73,6 +85,7 @@ def connected_components(
         # not from the full history of prior rounds (which overflows the
         # planner stack after ~10 iterations)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(_hint(labels), sym.v == labels.node)
@@ -113,6 +126,16 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # A truncated fixpoint would silently over-count components (each
+        # unconverged subtree reports its own label) — exactly the failure
+        # mode the distributed fallback exists to avoid, so fail loudly
+        # rather than return a wrong answer (ADVICE round 3).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still shrinking, {n_sym} symmetrized edges); "
+            "pass a larger max_iter"
+        )
     return labels.select("node", "comp")
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from mapreduce_machine_learning_spark.determinism import r6
+from mapreduce_machine_learning_spark.determinism import np_r6, r6
 from mapreduce_machine_learning_spark.functions import l2norm
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
@@ -313,8 +313,18 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
         .union(cand.select(F.col(right).alias("doc_id")))
         .distinct()
     )
+    # Required overlap is ⌈t·n⌉ in REAL arithmetic; the double product can
+    # land an ulp above an exact integer (0.55·20 → 11.000000000000002,
+    # ceil 12) which would shorten the prefix by one and break losslessness.
+    # Subtracting 1e-9 before ceil absorbs that: thresholds are short
+    # decimals (k/10^d, d ≤ 6), so a truly non-integer t·n sits ≥ 1e-6 away
+    # from any integer and cannot be pulled under it (ADVICE round 3;
+    # boundary pinned with exact-rational references in
+    # tests/test_properties.py::test_prefix_filter_lossless).
     pref_len = (
-        F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + 1
+        F.size("toks")
+        - F.ceil(F.lit(threshold) * F.size("toks") - F.lit(1e-9))
+        + 1
     ).cast("int")
     tok_arrays = (
         docs.join(cand_ids, "doc_id", "left_semi")
@@ -474,15 +484,17 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
             # threshold on the ROUND-6 cosine, like every other similarity
             # cut in this engine: the oracles compare ROUND(cos, 6) too, so
             # an ulp-level BLAS-vs-DuckDB difference at the boundary cannot
-            # flip pair membership (ADVICE round 2)
-            ii, jj = np.nonzero(np.round(C, 6) > min_cos)
+            # flip pair membership (ADVICE round 2). np_r6 rounds half away
+            # from zero to match F.round/DuckDB ROUND — np.round's
+            # half-to-even would diverge on exact midpoints (ADVICE round 3)
+            ii, jj = np.nonzero(np_r6(C) > min_cos)
             ia = A["vid"].to_numpy()[ii]
             ib = B["vid"].to_numpy()[jj]
             cos = C[ii, jj]
         else:
             C = (MA @ MA.T) / np.outer(na, na)
             iu, ju = np.triu_indices(len(MA), k=1)
-            keep = np.round(C[iu, ju], 6) > min_cos
+            keep = np_r6(C[iu, ju]) > min_cos
             ia = A["vid"].to_numpy()[iu[keep]]
             ib = A["vid"].to_numpy()[ju[keep]]
             cos = C[iu, ju][keep]

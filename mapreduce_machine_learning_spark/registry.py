@@ -98,6 +98,19 @@ CONTRACT_QUERIES: tuple[str, ...] = (
 _DONE_CACHE: Optional[set] = None
 
 
+def _report_round(path: str) -> int:
+    """Numeric round index of a CORRECTNESS_r*.json path (−1 if malformed).
+
+    Used as the sort key so r2 < r10 < r100 regardless of zero padding —
+    lexicographic order would let a stale r99 override r100 (ADVICE
+    round 3)."""
+    import os
+    import re
+
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def _driver_done_queries() -> set[str]:
     """Query ids whose LATEST driver correctness row is green.
 
@@ -121,8 +134,11 @@ def _driver_done_queries() -> set[str]:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     reports = []
-    # lexicographic sort = round order (r01, r02, …); later rounds override
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    # NUMERIC round order (r01 < r2 < r10 < r100); later rounds override.
+    for path in sorted(
+        glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+        key=_report_round,
+    ):
         try:
             with open(path) as fh:
                 reports.append(json.load(fh))

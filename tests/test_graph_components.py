@@ -35,6 +35,32 @@ def test_star_and_self_loop(spark):
     assert got[7] == 7
 
 
+def test_nonconvergence_raises(spark):
+    """A truncated fixpoint must FAIL, not return over-counted components
+    (ADVICE round 3): a 40-node chain cannot converge in 1 round even with
+    pointer jumping, so an explicit max_iter=1 raises instead of silently
+    reporting each unfinished subtree as its own component."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_default_budget_scales_with_edges(spark):
+    """The default iteration budget is log-scaled from the symmetrized edge
+    count, so a chain-shaped graph converges under the DEFAULT cap no
+    matter how the fixed constant relates to its diameter — the ADVICE
+    scenario was a chain just above the 2M distributed-fallback cap
+    exhausting a fixed 20-round budget. 200 nodes needs ~⌈log2 199⌉ = 8
+    jumping rounds; the budget formula allows max(20, ⌈log2 398⌉+8) = 20."""
+    got = _comps(spark, [(i, i + 1) for i in range(199)])
+    assert set(got.values()) == {0}
+    assert len(got) == 200
+
+
 def test_dedup_survivors_on_minhash_pairs(spark):
     docs = load_table(spark, SF_DIR, "documents")
     pairs = q_llm_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")

@@ -269,23 +269,53 @@ def test_drawdown_window_equals_bruteforce(spark, vals):
 @given(
     a=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
     b=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
-    t=st.sampled_from([0.3, 0.5, 0.7]),
+    t=st.sampled_from([0.3, 0.5, 0.55, 0.7, 0.9]),
 )
 @settings(max_examples=500, deadline=None)
 def test_prefix_filter_lossless(a, b, t):
     """The PPJoin positional prefix filter in llm._verified_jaccard must
-    never prune a qualifying pair: whenever J(A,B) ≥ t, the sorted
-    prefixes of length n − ⌈t·n⌉ + 1 (the exact formula the operator
-    computes with F.ceil) must share an element. Pure-python mirror of the
-    column expressions — no Spark job per example, so hypothesis can
-    hammer the boundary cases (tiny sets, J exactly at t, disjoint
-    prefixes)."""
+    never prune a qualifying pair: whenever J(A,B) ≥ t EXACTLY (Fraction
+    arithmetic — the reference must not inherit the operator's FP), the
+    sorted prefixes of length n − ⌈t·n − 1e-9⌉ + 1 (the exact FP-safe
+    formula the operator computes with F.ceil, ADVICE round 3) must share
+    an element. Thresholds include 0.55/0.9, whose double products land an
+    ulp ABOVE exact integers (0.55·20 → 11.000000000000002) — the case a
+    naive ceil gets wrong by one. Pure-python mirror of the column
+    expressions — no Spark job per example, so hypothesis can hammer the
+    boundary cases (tiny sets, J exactly at t, disjoint prefixes)."""
     import math
+    from fractions import Fraction
 
     inter = len(a & b)
-    jac = inter / (len(a) + len(b) - inter)
-    if jac < t:
+    t_exact = Fraction(str(t))
+    jac_exact = Fraction(inter, len(a) + len(b) - inter)
+    if jac_exact < t_exact:
         return  # filter only must keep qualifying pairs
-    pa = sorted(a)[: len(a) - math.ceil(t * len(a)) + 1]
-    pb = sorted(b)[: len(b) - math.ceil(t * len(b)) + 1]
-    assert set(pa) & set(pb), (sorted(a), sorted(b), t, jac)
+    pa = sorted(a)[: len(a) - math.ceil(t * len(a) - 1e-9) + 1]
+    pb = sorted(b)[: len(b) - math.ceil(t * len(b) - 1e-9) + 1]
+    assert set(pa) & set(pb), (sorted(a), sorted(b), t, jac_exact)
+
+
+def test_prefix_length_fp_boundary_exact():
+    """0.55·100 in doubles is 55.00000000000001; a naive ceil makes the
+    required overlap 56 and the prefix one short, pruning a pair at
+    exactly J = 0.55 (|A|=100, |B|=55, I=55). The −1e-9 guard restores
+    the exact ⌈t·n⌉. Deterministic regression for the ADVICE-round-3
+    hazard class — the hypothesis sampler caps sets at 40 elements, so it
+    cannot construct this (the smallest offending n for t=0.55 is 100)."""
+    import math
+
+    t, n = 0.55, 100
+    assert math.ceil(t * n) == 56  # the FP hazard is real on this platform
+    assert math.ceil(t * n - 1e-9) == 55  # guard recovers exact ⌈t·n⌉
+    # worked pair: |A|=100, |B|=55, A∩B=B → J = 55/100 = 0.55 exactly
+    a = list(range(100))
+    b = list(range(45, 100))
+    inter = len(set(a) & set(b))
+    assert inter / (len(a) + len(b) - inter) == 0.55
+    pa = sorted(a)[: len(a) - math.ceil(t * len(a) - 1e-9) + 1]
+    pb = sorted(b)[: len(b) - math.ceil(t * len(b) - 1e-9) + 1]
+    assert set(pa) & set(pb)  # guarded prefix keeps the qualifying pair
+    # the naive formula would have pruned it:
+    pa_naive = sorted(a)[: len(a) - math.ceil(t * len(a)) + 1]
+    assert not (set(pa_naive) & set(pb))

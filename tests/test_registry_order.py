@@ -76,6 +76,47 @@ def test_done_is_latest_round_status():
     assert registry._done_from_reports([r1, r2]) == {"q_a", "q_c", "q_d"}
 
 
+def test_report_round_sort_is_numeric():
+    """Report files must apply in NUMERIC round order: lexicographic sort
+    puts r100 before r99 (and r10 before r9 when padding is mixed), which
+    would let a stale round's status override the latest one (ADVICE
+    round 3)."""
+    files = [
+        "CORRECTNESS_r100.json",
+        "CORRECTNESS_r99.json",
+        "CORRECTNESS_r3.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r10.json",
+    ]
+    assert sorted(files, key=registry._report_round) == [
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r3.json",
+        "CORRECTNESS_r10.json",
+        "CORRECTNESS_r99.json",
+        "CORRECTNESS_r100.json",
+    ]
+    # sanity: lexicographic order really is wrong for this set
+    assert sorted(files) != sorted(files, key=registry._report_round)
+    assert registry._report_round("weird.json") == -1
+
+
+def test_slack_fill_order_is_contract_first():
+    """Once pending < the 50-entry driver window (≈2 rounds out), bucket-3
+    ordering auto-fills the slack with ALREADY-GREEN queries — contract
+    queries first, in SURVEY §2 table order, then green extensions in
+    registration order. Pinned NOW so the driver's recheck behavior is
+    locked in before it first happens (VERDICT round 3, "Next round" #6)."""
+    names = list(registry.all_queries())
+    done = registry._driver_done_queries()
+    done_block = [n for n in names if n in done]
+    contract = set(registry.CONTRACT_QUERIES)
+    done_contract = [n for n in registry.CONTRACT_QUERIES if n in done]
+    # the done block leads with every green contract query, in §2 order …
+    assert done_block[: len(done_contract)] == done_contract
+    # … and no contract query hides in its extension tail
+    assert not [n for n in done_block[len(done_contract):] if n in contract]
+
+
 def test_order_is_deterministic():
     assert list(registry.all_queries()) == list(registry.all_queries())
 

@@ -12,6 +12,24 @@ def _q(name):
     return all_queries()[name]
 
 
+def test_semantic_ann_fallback_through_public_path(spark, monkeypatch):
+    """Force the above-cap DISTRIBUTED component path through the public
+    q_llm_dedup_semantic_ann query (VERDICT round 3 #7 — the existing
+    path-agreement test exercises _edge_component_counts directly): with
+    the edge cap forced to 0, the real verified edge set routes through
+    functions/graph.connected_components, and the full query output row
+    (vectors, n_edges, survivors, dropped) must be identical to the
+    default single-task union-find path."""
+    want = [tuple(r) for r in ann.q_llm_dedup_semantic_ann(spark, SF_DIR_T2).collect()]
+    orig = ann._edge_component_counts
+    monkeypatch.setattr(
+        ann, "_edge_component_counts", lambda edges: orig(edges, cap=0)
+    )
+    got = [tuple(r) for r in ann.q_llm_dedup_semantic_ann(spark, SF_DIR_T2).collect()]
+    assert got == want
+    assert want[0][1] > 0  # non-vacuous: the corpus has verified edges
+
+
 def test_knn_recall_vs_exact(spark):
     """The LSH probe must retrieve a majority of the true top-10 at sf0.01
     (measured 6/10 with 12×4-bit bands on this near-uniform corpus; a drop

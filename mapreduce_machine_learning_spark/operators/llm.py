@@ -326,6 +326,12 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
         - F.ceil(F.lit(threshold) * F.size("toks") - F.lit(1e-9))
         + 1
     ).cast("int")
+    # NB: a "staged" variant (join only (n_tok, pref) first, fetch full
+    # arrays for prefilter survivors) measured NEUTRAL at sf0.1 — the
+    # joins+filters+intersect fuse into one codegen stage, whose generated
+    # code only dereferences the array columns for rows that reach the
+    # intersect, so the single-stage form below never pays the per-pair
+    # array copy the staging would save. Keep the simpler plan.
     tok_arrays = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .select(

@@ -304,10 +304,20 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
       all common elements would sit among A's last ⌈t·n⌉ − 1 slots —
       fewer than the required overlap). ``arrays_overlap`` on the two
       half-length prefixes (hash-probe, short-circuits on first hit) then
-      gates the full intersect; on a near-uniform corpus where the length
-      filter barely prunes, this removes the full-width intersect for the
-      overwhelming non-duplicate majority of the candidate stream
-      (measured ~2× on the sf0.1 verify stage)."""
+      gates the full intersect. Honest round-4 measurement on the
+      SYNTHETIC corpus: the sf0.1 documents table has a 31-word
+      vocabulary, so every doc's smallest-hash tokens are corpus-
+      universal, prefixes always overlap, and the filter prunes ~13 of
+      6.56M pairs while costing ~0.4 s (~11% of the verify stage) —
+      i.e. HERE it is a small net cost, kept because it is lossless
+      (property-tested) and because on any real corpus (vocab ≫ prefix
+      length — the 100 TB regime this engine targets) prefix filtering
+      is what lets verification scale with the surviving-pair count
+      rather than the raw LSH candidate count (Xiao et al. WWW'08
+      measure order-of-magnitude candidate cuts). An earlier round
+      attributed a ~2× incremental-dedup speedup to this filter; that
+      measurement predated the back-to-back steady protocol in bench.py
+      and is superseded — the corpus cannot support such a gain."""
     cand_ids = (
         cand.select(F.col(left).alias("doc_id"))
         .union(cand.select(F.col(right).alias("doc_id")))

@@ -61,6 +61,48 @@ def test_default_budget_scales_with_edges(spark):
     assert len(got) == 200
 
 
+def test_random_graphs_match_local_union_find(spark):
+    """Five seeded random graphs (mixed density, self-loops, isolated-free)
+    must produce exactly the min-label component assignment of a local
+    union-find — the full labeling, not just counts, so a wrong-but-
+    count-preserving fixpoint cannot pass. Deterministic seeds keep the
+    suite reproducible."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(20, 120)
+        m = rng.randint(n // 2, 3 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        got = _comps(spark, edges)
+        parent = {}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label per component: group members, take min
+        members: dict = {}
+        for node in parent:
+            members.setdefault(find(node), set()).add(node)
+        want = {
+            node: min(group)
+            for group in members.values()
+            for node in group
+        }
+        assert got == want, f"seed {seed}: labeling mismatch"
+
+
 def test_dedup_survivors_on_minhash_pairs(spark):
     docs = load_table(spark, SF_DIR, "documents")
     pairs = q_llm_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")

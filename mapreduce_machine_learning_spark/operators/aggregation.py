@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.determinism import REVENUE_SQL, r0, r6, revenue, rmil
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 
 @query(
@@ -623,8 +624,15 @@ def q_agg_mad(spark, sf_dir):
     identically cross-engine (the q_agg_percentile-verified kernel); the
     outlier threshold compares identical doubles, so counts are exact."""
     ev = T(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    # the 5-row per-type median/MAD frames are checkpointed: both are
+    # broadcast onto fact-table scans by multiple consumers, and uncached
+    # each consumer re-ran the percentile pass (4 events scans measured
+    # round 4; 3 with the checkpoints — the honest floor, since the MAD's
+    # deviation percentile genuinely needs its own pass over the scan)
+    med = _ckpt(
+        ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("med")
+        )
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -632,8 +640,10 @@ def q_agg_mad(spark, sf_dir):
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
+    mad = _ckpt(
+        dev.groupBy("event_type").agg(
+            F.percentile("adev", F.lit(0.5)).alias("mad")
+        )
     )
     return (
         dev.join(F.broadcast(mad), "event_type")

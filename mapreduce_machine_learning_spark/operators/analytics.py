@@ -1620,13 +1620,24 @@ def q_graph_sssp(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("c")
     )
     outw = wt.groupBy("cur").agg(F.sum("c").alias("tot"))
-    e = wt.join(outw, "cur").select(
-        "cur", "nxt", (-F.log(F.col("c") / F.col("tot"))).alias("wgt")
+    # |types|² rows, shared by both relaxation rounds; without the
+    # checkpoint every relax() consumer re-derives the graph from the
+    # fact table and the two-round plan scanned events 14× (measured
+    # round 4) — at 100 TB that is 14 reads of the fact table for one
+    # query. Same for the frontier frames below: relax() reads its input
+    # twice (message join + min-merge), so each uncached round DOUBLES
+    # the upstream tree.
+    e = _ckpt(
+        wt.join(outw, "cur").select(
+            "cur", "nxt", (-F.log(F.col("c") / F.col("tot"))).alias("wgt")
+        )
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    d = nodes.select(
-        "node",
-        F.when(F.col("node") == "signup", 0.0).otherwise(1e9).alias("d"),
+    d = _ckpt(
+        nodes.select(
+            "node",
+            F.when(F.col("node") == "signup", 0.0).otherwise(1e9).alias("d"),
+        )
     )
 
     def relax(dist):
@@ -1650,7 +1661,7 @@ def q_graph_sssp(spark, sf_dir):
             )
         )
 
-    d1 = relax(d)
+    d1 = _ckpt(relax(d))  # consumed by round 2 (twice) and the output join
     d2 = relax(d1)
     return (
         d2.alias("b")

@@ -44,6 +44,7 @@ from mapreduce_machine_learning_spark.functions import cosine
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.operators.llm import _materialize
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 _RP_DIM = 64
 _RP_BITS = 4  # sign bits per band → 16 buckets/band (see parameter note)
@@ -451,8 +452,10 @@ def q_llm_ann_ivf_knn(spark, sf_dir):
     cent = emb.filter(
         F.col("vec_id").isin(list(_IVF_CENTROID_IDS))
     ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("e").alias("qe")
+    # 1-row query vector, consumed by the centroid probe AND the final
+    # rerank — checkpointed so each consumer doesn't re-scan for it
+    q = _ckpt(
+        emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
     )
     # rank the probe on the ROUND-6 cosine (cid tie-break): if the 4th and
     # 5th nearest centroids differ by less than cross-engine summation

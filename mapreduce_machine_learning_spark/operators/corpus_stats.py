@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from mapreduce_machine_learning_spark.determinism import r6
 from mapreduce_machine_learning_spark.io import load_table as T
 from mapreduce_machine_learning_spark.registry import query
+from mapreduce_machine_learning_spark.runtime import checkpoint as _ckpt
 
 
 @query(
@@ -72,13 +73,17 @@ def q_text_pmi(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
-    uni = (
+    # both count frames are |vocab|-bounded and multiply consumed (uni by
+    # the total + both join sides, bg by its total + the scoring join) —
+    # uncached, every consumer re-exploded the corpus (5 documents scans
+    # measured round 4; 2 with the checkpoints)
+    uni = _ckpt(
         docs.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n = uni.agg(F.sum("c").cast("double").alias("n_tok"))
-    bg = (
+    bg = _ckpt(
         docs.filter(F.size("toks") >= 2)
         .select(
             F.explode(
@@ -311,14 +316,17 @@ def q_text_bm25(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    dl = docs.select(
-        "doc_id", F.size("toks").cast("double").alias("dl")
+    # both small derived tables are doubly consumed (dl by the corpus
+    # stats and the score join; tf by the df census and the score join) —
+    # checkpointed so the corpus is read once per table, not per consumer
+    dl = _ckpt(
+        docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
+    tf = _ckpt(
         docs.select("doc_id", F.explode("toks").alias("token"))
         .filter(F.col("token").isin(*BM25_TERMS))
         .groupBy("doc_id", "token")
@@ -453,7 +461,9 @@ def q_graph_assortativity(spark, sf_dir):
     based partition skew will bite a distributed traversal. Reuses the
     triangle query's edge list: degree table join + one CORR."""
     edges = _token_edges(spark, sf_dir)
-    deg = (
+    # two consumers (du, dv) — checkpointed so the stub-union aggregate
+    # runs once, not once per endpoint side
+    deg = _ckpt(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -526,32 +536,14 @@ def q_graph_triangles(spark, sf_dir):
     the MapReduce triangle-count of Suri & Vassilvitskii, WWW'11, as two
     self-joins on the deduplicated edge list. Wedge count Σ d(d−1)/2
     comes from the degree table; gcc = 3Δ/wedges. Edge support ≥ 5 bounds
-    |E| by the heavy bigram vocabulary, not the corpus size."""
-    docs = T(spark, sf_dir, "documents").withColumn(
-        "toks", F.split("text", " ")
-    )
-    bg = (
-        docs.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2), "
-                    "i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
-                )
-            ).alias("b")
-        )
-        .filter(F.col("b.w1") != F.col("b.w2"))
-        .select(
-            F.least("b.w1", "b.w2").alias("u"),
-            F.greatest("b.w1", "b.w2").alias("v"),
-        )
-    )
-    edges = (
-        bg.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 5)
-        .select("u", "v")
-    )
+    |E| by the heavy bigram vocabulary, not the corpus size.
+
+    The edge list comes from the session-materialized _token_edges (the
+    build this function previously inlined): SIX consumers read it (two
+    degree stubs, the three triangle sides, the edge count), so the
+    uncached inline form re-ran the explode+groupBy derivation — and its
+    documents scan — six times (measured round 4)."""
+    edges = _token_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

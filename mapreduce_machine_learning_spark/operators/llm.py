@@ -342,7 +342,9 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
     # code only dereferences the array columns for rows that reach the
     # intersect, so the single-stage form below never pays the per-pair
     # array copy the staging would save. Keep the simpler plan.
-    tok_arrays = (
+    # checkpointed: BOTH join sides (ta, tb) broadcast from this frame —
+    # uncached, each side re-tokenized the candidate docs from parquet
+    tok_arrays = _ckpt(
         docs.join(cand_ids, "doc_id", "left_semi")
         .select(
             "doc_id",
@@ -432,11 +434,18 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
     nchunks = F.greatest(
         F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap))
     )
-    chunked = df.select(
-        "blk",
-        "vid",
-        "vec",
-        F.pmod(F.xxhash64(F.col("vid")), nchunks).alias("chunk"),
+    # consumed by the chunk list (twice, via its self-join) and both
+    # assignment sides — uncached, all five consumers re-scanned the
+    # vector table from parquet (q_llm_sim_threshold_ivf measured 18
+    # embeddings scans at round 4; at 100 TB the vector table is the
+    # thing you scan ONCE)
+    chunked = _ckpt(
+        df.select(
+            "blk",
+            "vid",
+            "vec",
+            F.pmod(F.xxhash64(F.col("vid")), nchunks).alias("chunk"),
+        )
     )
     cl = chunked.select("blk", "chunk").distinct()
     cp = (
@@ -2033,10 +2042,12 @@ def q_llm_dedup_incremental(spark, sf_dir):
     run on the delta alone."""
     docs = T(spark, sf_dir, "documents")
     is_inc = F.col("doc_id") % 10 == 0
-    inc = docs.filter(is_inc).select(
-        "doc_id", "lang", F.md5("text").alias("h")
+    # one md5 pass feeds both the incoming and existing key sides
+    hashes = _ckpt(
+        docs.select("doc_id", "lang", F.md5("text").alias("h"))
     )
-    ex_hashes = docs.filter(~is_inc).select(F.md5("text").alias("h"))
+    inc = hashes.filter(is_inc)
+    ex_hashes = hashes.filter(~is_inc).select("h")
     exact_ids = inc.join(ex_hashes, "h", "left_semi").select("doc_id")
 
     bands = _bands(spark, sf_dir)

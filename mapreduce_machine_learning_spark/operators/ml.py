@@ -1429,9 +1429,14 @@ def q_ml_auc_binned(spark, sf_dir):
         F.sum(0.5 - y).alias("grad0"),
         F.sum((0.5 - y) * x1).alias("grad1"),
     )
-    w = g1.select(
-        r6(-0.1 * F.col("grad0")).alias("w0"),
-        r6(-0.1 * F.col("grad1")).alias("w1"),
+    # 1-row weight frame; the margin pass replays per consumer (range +
+    # binning — the honest two-pass binning floor), and without the
+    # checkpoint each replay re-ran the gradient pass too
+    w = _ckpt(
+        g1.select(
+            r6(-0.1 * F.col("grad0")).alias("w0"),
+            r6(-0.1 * F.col("grad1")).alias("w1"),
+        )
     )
     z = ev.crossJoin(F.broadcast(w)).select(
         (F.col("w0") + F.col("w1") * x1).alias("margin"), y.alias("pos")
@@ -1520,7 +1525,9 @@ def q_ml_als_step(spark, sf_dir):
             (F.length("event_type").cast("double") / 10).alias("v"),
         )
     )
-    rv = r.join(F.broadcast(v0), "event_type")
+    # the ratings×factors matrix both ALS half-steps read — checkpointed
+    # so the user solve and the item re-solve share one fact-table pass
+    rv = _ckpt(r.join(F.broadcast(v0), "event_type"))
     u = rv.groupBy("user_id").agg(
         (
             F.sum(F.col("rating") * F.col("v"))
@@ -1836,7 +1843,12 @@ def q_ml_kmeans_init(spark, sf_dir):
         F.col("value").alias("x"),
         F.hour("ts").cast("double").alias("y"),
     )
-    c0 = (
+    # each 1-row centroid frame is consumed TWICE (next distance pass +
+    # output row), and uncached consumers re-run the whole upstream
+    # argmax pass — the plan scanned events 7× instead of the docstring's
+    # k passes (measured round 4). Checkpointing the 1-row frames
+    # restores one pass per round.
+    c0 = _ckpt(
         pts.orderBy("event_id")
         .limit(1)
         .select(F.col("x").alias("c0x"), F.col("y").alias("c0y"))
@@ -1850,7 +1862,7 @@ def q_ml_kmeans_init(spark, sf_dir):
             + (F.col("y") - F.col("c0y")) * (F.col("y") - F.col("c0y"))
         ).alias("dist"),
     )
-    c1 = (
+    c1 = _ckpt(
         d0.orderBy(F.col("dist").desc(), "event_id")
         .limit(1)
         .select(F.col("x").alias("c1x"), F.col("y").alias("c1y"))
@@ -1865,7 +1877,7 @@ def q_ml_kmeans_init(spark, sf_dir):
             + (F.col("y") - F.col("c1y")) * (F.col("y") - F.col("c1y")),
         ).alias("dist"),
     )
-    c2 = (
+    c2 = _ckpt(
         d1.orderBy(F.col("dist").desc(), "event_id")
         .limit(1)
         .select(F.col("x").alias("c2x"), F.col("y").alias("c2y"))
@@ -2052,7 +2064,12 @@ def q_ml_cluster_quality(spark, sf_dir):
         "label",
         F.posexplode("embedding").alias("dim", "valf"),
     ).select("vec_id", "label", "dim", F.col("valf").cast("double").alias("val"))
-    cent = ex.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    # |labels|·dim cells, consumed by the member-distance join and both
+    # centroid-pair sides — uncached, each consumer re-derived it from a
+    # fresh embeddings explode (4 scans measured round 4; 2 with this:
+    # the exploded frame itself stays unpersisted, fact-scans are the
+    # map-shaped part)
+    cent = _ckpt(ex.groupBy("label", "dim").agg(F.avg("val").alias("c")))
     dist_row = (
         ex.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")
@@ -2489,7 +2506,10 @@ def q_ml_itemcf(spark, sf_dir):
     one groupBy(item, item) reduces to |items|² partial sums; norms are an
     |items|-row broadcast join. No driver-side matrix ever materializes."""
     ev = T(spark, sf_dir, "events")
-    cnt = (
+    # the interaction matrix — consumed by the norm table and both
+    # self-join sides; checkpointed so the fact table is scanned once,
+    # not once per consumer
+    cnt = _ckpt(
         ev.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
@@ -2689,7 +2709,11 @@ def q_ml_gbdt_iter2(spark, sf_dir):
     property, pinned by an invariant). Rounding the broadcast leaves is
     the determinism hinge: both engines re-derive bit-identical F₁."""
     ev = T(spark, sf_dir, "events")
-    base = ev.agg(F.avg("value").alias("f0"))
+    # 1-row base prediction; the residual pass replays once per round
+    # (round-1 grid + round-2 rescore — the per-round scan IS the
+    # algorithm), and without the checkpoint each replay re-ran the
+    # global mean too
+    base = _ckpt(ev.agg(F.avg("value").alias("f0")))
     resid = ev.crossJoin(F.broadcast(base)).select(
         F.hour("ts").cast("double").alias("hr"),
         (F.col("value") - F.col("f0")).alias("r"),

@@ -754,7 +754,11 @@ def q_ml_conformal(spark, sf_dir):
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
-    calib = (
+    # checkpointed shared frames: calib feeds the quantile histogram AND
+    # the coverage pass, qhat feeds coverage AND the output row — uncached,
+    # each extra consumer replayed the whole upstream (6 lineitem scans
+    # measured round 4; 2 with the checkpoints)
+    calib = _ckpt(
         li.filter(F.col("part") == "calib")
         .crossJoin(F.broadcast(fit))
         .select(
@@ -772,8 +776,11 @@ def q_ml_conformal(spark, sf_dir):
         F.sum("cnt").over(w_cum).alias("cw"),
         F.sum("cnt").over(w_all).alias("n"),
     )
-    qhat = cum.filter(F.col("cw") >= 0.9 * F.col("n")).agg(
-        F.min("ar").alias("q"), F.max("n").cast("bigint").alias("n_calib")
+    qhat = _ckpt(
+        cum.filter(F.col("cw") >= 0.9 * F.col("n")).agg(
+            F.min("ar").alias("q"),
+            F.max("n").cast("bigint").alias("n_calib"),
+        )
     )
     cov = calib.crossJoin(F.broadcast(qhat)).agg(
         F.avg(

@@ -518,10 +518,15 @@ def q_sketch_quantile_hist(spark, sf_dir):
     identical double arithmetic on both engines, so bins — and therefore
     the estimate — are deterministic."""
     ev = T(spark, sf_dir, "events")
-    ext = ev.agg(
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        F.count(F.lit(1)).cast("double").alias("n"),
+    # 1-row extent frame, consumed by the binning pass, both quantile
+    # cross-joins, and the output edge math — uncached, every consumer
+    # re-ran the min/max/count scan (5 events scans measured round 4)
+    ext = _ckpt(
+        ev.agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
     )
     binned = ev.crossJoin(F.broadcast(ext)).select(
         F.least(

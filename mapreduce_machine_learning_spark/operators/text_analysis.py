@@ -464,8 +464,13 @@ def q_ann_ivf(spark, sf_dir):
     cent = emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    vc = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", r6(cosine("embedding", "cemb")).alias("cos")
+    # the cosine table feeds BOTH the assignment window and the probe
+    # ranking — uncached, each consumer re-ran the broadcast-cosine pass
+    # over the vector table (6 embeddings scans measured round 4)
+    vc = _ckpt(
+        emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", r6(cosine("embedding", "cemb")).alias("cos")
+        )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
     assign = (
@@ -848,8 +853,13 @@ def q_text_kl(spark, sf_dir):
     tok = T(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("token")
     )
-    sc = tok.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # the docstring's "never re-reading the corpus" is only true with the
+    # checkpoint: four consumers (source totals, global counts, global
+    # total, the KL join) would otherwise each re-explode the corpus
+    sc = _ckpt(
+        tok.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
     )
     st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
     gc = sc.groupBy("token").agg(F.sum("c").alias("g"))
@@ -948,7 +958,9 @@ def q_text_cosine_sparse(spark, sf_dir):
     cross-engine — and the top-20 order is pinned by (rounded cosine DESC,
     doc_a, doc_b)."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    tf = (
+    # the sparse tf index — consumed by the norm table and both join
+    # sides; checkpointed so the corpus is exploded once, not per consumer
+    tf = _ckpt(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1283,7 +1295,10 @@ def q_text_symspell(spark, sf_dir):
     scan, which is what the first-char-blocked q_str_fuzzy degrades to on
     skewed blocks. Deletion dictionaries are how SymSpell beats BK-trees
     at scale; here the 'dictionary' is just a DataFrame."""
-    vocab = (
+    # the deletion dictionary is built from vocab twice (identity +
+    # deletion variants) and probed from both join sides — checkpoints
+    # keep the corpus explode and the variant build to one pass each
+    vocab = _ckpt(
         T(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
@@ -1298,7 +1313,7 @@ def q_text_symspell(spark, sf_dir):
             )
         ).alias("v"),
     )
-    variants = (
+    variants = _ckpt(
         vocab.select("tok", F.col("tok").alias("v"))
         .unionByName(deletions)
         .distinct()
@@ -1356,7 +1371,9 @@ def q_text_lang_overlap(spark, sf_dir):
     rows, the token-keyed self-join explodes only within shared tokens,
     and sizes broadcast back — the same census/pairs/normalize shape as
     item-CF, applied to vocabularies."""
-    vocab = (
+    # the census — consumed by the size table and both self-join sides;
+    # checkpointed so the corpus is exploded once
+    vocab = _ckpt(
         T(spark, sf_dir, "documents")
         .select("lang", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()

@@ -181,7 +181,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_dedup_probe_stream(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, ex_bands: DataFrame | None = None
 ) -> DataFrame:
     """Streaming twin of q_llm_dedup_incremental's candidate probe: the
     incoming slice (doc_id % 10 = 0) arrives as a STREAM, is MinHash-signed
@@ -228,11 +228,21 @@ def incremental_dedup_probe_stream(
         F.col("doc_id").alias("inc_id"),
         F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
     )
-    ex_bands = (
-        _bands(spark, sf_dir)
-        .filter(F.col("doc_id") % 10 != 0)
-        .select(F.col("doc_id").alias("ex_id"), "band_id", "band_key")
-    )
+    if ex_bands is None:
+        ex_bands = (
+            _bands(spark, sf_dir)
+            .filter(F.col("doc_id") % 10 != 0)
+            .select(F.col("doc_id").alias("ex_id"), "band_id", "band_key")
+        )
+        # pass ex_bands explicitly to probe a PERSISTED index instead —
+        # e.g. the bucketed band table of tests/test_incremental_state.py
+        # (columns (ex_id | doc_id, band_id, band_key)); the stream-static
+        # join is the same either way, which is the point: the live probe
+        # and the at-rest state share one contract
+    if "doc_id" in ex_bands.columns:
+        ex_bands = ex_bands.select(
+            F.col("doc_id").alias("ex_id"), "band_id", "band_key"
+        )
     return probe.join(ex_bands, ["band_id", "band_key"]).select(
         "inc_id", "ex_id"
     )

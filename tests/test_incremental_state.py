@@ -135,6 +135,44 @@ def test_probe_joins_do_not_reshuffle_state(spark, state):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_streaming_probe_reads_persisted_state(spark, state):
+    """The capstone marriage: the LIVE ingest stream (row-wise stateless
+    MinHash signatures, streaming/live.py) probes the PERSISTED bucketed
+    band table via a stream-static join — the full production ingest-dedup
+    shape (stream in, at-rest index, no recompute) — and must flag exactly
+    the candidate pairs the batch derivation finds against the same 90%
+    corpus."""
+    from mapreduce_machine_learning_spark.streaming.live import (
+        incremental_dedup_probe_stream,
+        run_to_memory,
+    )
+
+    docs, bands, _, _ = state
+    live = run_to_memory(
+        spark,
+        incremental_dedup_probe_stream(
+            spark, SF_DIR, ex_bands=spark.table(B_TABLE)
+        ),
+        "inc_dedup_probe_persisted",
+        "append",
+    )
+    got = {(r.inc_id, r.ex_id) for r in live.collect()}
+    delta_b = bands.join(
+        docs.filter(IS_DELTA()).select("doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("inc_id"), "band_id", "band_key")
+    ex_b = bands.join(
+        docs.filter(~IS_DELTA()).select("doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("ex_id"), "band_id", "band_key")
+    want = {
+        (r.inc_id, r.ex_id)
+        for r in delta_b.join(ex_b, ["band_id", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_state_probe_matches_recompute(spark, state):
     docs, bands, _, _ = state
     # after the append the state holds doc_id % 10 != 0 — identical to

@@ -70,6 +70,12 @@ def connected_components(
         import math
 
         max_iter = max(20, int(math.ceil(math.log2(max(n_sym, 2)))) + 8)
+    if max_iter < 1:
+        # with zero rounds the loop never runs, `changed` stays 0, and the
+        # identity labeling (every node its own component) would return
+        # SILENTLY — the exact truncated fixpoint the guard below exists
+        # to make loud
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_graph else df

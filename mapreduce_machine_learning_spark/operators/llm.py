@@ -376,7 +376,13 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
         cand.join(F.broadcast(ta), left)
         .join(F.broadcast(tb), right)
         .filter(
-            (1.0 + 1.0 / threshold) * F.least("a_n", "b_n")
+            # keep iff J_max = m/(a+b−m) ≥ t ⟺ a+b ≤ m·(1+1/t). The FP
+            # product can land an ulp BELOW an exact-integer boundary
+            # ((1+1/0.75)·3 → 6.999…99 < 7, dropping a J = t pair), so add
+            # the same 1e-9 absorber as pref_len: for short-decimal
+            # thresholds (k/10^d, d ≤ 6) a genuinely failing pair sits
+            # ≥ 1/k ≥ 1e-6 past the boundary and cannot be pulled in.
+            (1.0 + 1.0 / threshold) * F.least("a_n", "b_n") + F.lit(1e-9)
             >= F.col("a_n") + F.col("b_n")
         )
         .filter(F.arrays_overlap("a_pref", "b_pref"))

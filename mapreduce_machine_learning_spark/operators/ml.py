@@ -1526,7 +1526,11 @@ def q_ml_als_step(spark, sf_dir):
         )
     )
     # the ratings×factors matrix both ALS half-steps read — checkpointed
-    # so the user solve and the item re-solve share one fact-table pass
+    # so the user solve and the item re-solve share one fact-table pass.
+    # NB rv is the AGGREGATED ratings matrix (one row per (user, type)
+    # pair, ≤ |types|·|users| ≪ |events|), not the raw fact table:
+    # persisting the ratings and shipping only factors between half-steps
+    # is the standard distributed-ALS memory shape
     rv = _ckpt(r.join(F.broadcast(v0), "event_type"))
     u = rv.groupBy("user_id").agg(
         (

@@ -137,7 +137,10 @@ def _driver_done_queries() -> set[str]:
     # NUMERIC round order (r01 < r2 < r10 < r100); later rounds override.
     for path in sorted(
         glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
-        key=_report_round,
+        # basename tie-break: r1/r01 (or malformed names, all −1) would
+        # otherwise fall back to glob()'s filesystem enumeration order and
+        # make latest-round-wins machine-dependent
+        key=lambda p: (_report_round(p), os.path.basename(p)),
     ):
         try:
             with open(path) as fh:

@@ -243,8 +243,16 @@ def incremental_dedup_probe_stream(
         ex_bands = ex_bands.select(
             F.col("doc_id").alias("ex_id"), "band_id", "band_key"
         )
-    return probe.join(ex_bands, ["band_id", "band_key"]).select(
-        "inc_id", "ex_id"
+    # A caller-supplied index defines the EXISTING corpus; if it also
+    # covers in-flight ids (e.g. the session-wide band table), a doc would
+    # trivially collide with its own band rows — drop self-pairs so the
+    # probe only ever reports candidates against OTHER documents. (The
+    # default branch's % 10 filter already excludes the whole incoming
+    # slice; the guard makes the supplied-frame branch safe too.)
+    return (
+        probe.join(ex_bands, ["band_id", "band_key"])
+        .filter(F.col("inc_id") != F.col("ex_id"))
+        .select("inc_id", "ex_id")
     )
 
 

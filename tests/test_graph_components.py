@@ -49,6 +49,19 @@ def test_nonconvergence_raises(spark):
         connected_components(edges, max_iter=1)
 
 
+def test_zero_iteration_budget_raises(spark):
+    """max_iter=0 (e.g. a caller-computed budget underflowing) must raise
+    up front: with zero rounds the loop never runs, `changed` stays 0, and
+    the identity labeling would silently pass the convergence guard —
+    every node its own component, the exact over-count the guard exists to
+    prevent."""
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)
+
+
 def test_default_budget_scales_with_edges(spark):
     """The default iteration budget is log-scaled from the symmetrized edge
     count, so a chain-shaped graph converges under the DEFAULT cap no

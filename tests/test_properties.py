@@ -269,7 +269,7 @@ def test_drawdown_window_equals_bruteforce(spark, vals):
 @given(
     a=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
     b=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
-    t=st.sampled_from([0.3, 0.5, 0.55, 0.7, 0.9]),
+    t=st.sampled_from([0.3, 0.5, 0.55, 0.7, 0.75, 0.9, 0.95]),
 )
 @settings(max_examples=500, deadline=None)
 def test_prefix_filter_lossless(a, b, t):
@@ -294,6 +294,27 @@ def test_prefix_filter_lossless(a, b, t):
     pa = sorted(a)[: len(a) - math.ceil(t * len(a) - 1e-9) + 1]
     pb = sorted(b)[: len(b) - math.ceil(t * len(b) - 1e-9) + 1]
     assert set(pa) & set(pb), (sorted(a), sorted(b), t, jac_exact)
+    # the PPJoin LENGTH filter (the operator's first gate) must also keep
+    # the qualifying pair — mirror of the guarded column expression. The
+    # raw product is FP-hazardous the OTHER way: (1+1/0.75)·3 lands an ulp
+    # BELOW the exact 7, so without the +1e-9 a J = t pair is pruned.
+    na, nb = len(a), len(b)
+    assert (1.0 + 1.0 / t) * min(na, nb) + 1e-9 >= na + nb, (na, nb, t)
+
+
+def test_length_filter_fp_boundary_exact():
+    """(1+1/0.75)·3 in doubles is 6.999999999999999 — a naive length
+    filter drops |A|=3 ⊂ |B|=4 at exactly J = 3/4 = t. The +1e-9 absorber
+    keeps it; a genuinely failing pair sits ≥ 1/k ≥ 1e-6 past the boundary
+    for t = k/10^d so it cannot be pulled in. Deterministic regression for
+    the same hazard class as the prefix-length ceil (both directions of
+    the FP-vs-exact-rational boundary are now pinned)."""
+    for t, na, nb in [(0.75, 3, 4), (0.95, 19, 20)]:
+        # J_max = min/(na+nb-min) is exactly t for these shapes
+        m = min(na, nb)
+        assert m / (na + nb - m) == t
+        assert (1.0 + 1.0 / t) * m < na + nb  # the naive filter is lossy
+        assert (1.0 + 1.0 / t) * m + 1e-9 >= na + nb  # guarded keeps it
 
 
 def test_prefix_length_fp_boundary_exact():

@@ -276,6 +276,39 @@ def test_incremental_dedup_probe_stream_equals_batch(spark):
     assert got == want
 
 
+def test_probe_stream_full_index_drops_self_pairs(spark):
+    """Supplying the FULL band table (the obvious 'probe the session
+    index' call — it covers the in-flight slice too) must not make every
+    streamed doc collide with its own band rows: the probe drops
+    inc_id == ex_id pairs, and against existing-side ids it reports
+    exactly what the filtered default index reports."""
+    from mapreduce_machine_learning_spark.operators.llm import _bands
+    from mapreduce_machine_learning_spark.streaming.live import (
+        incremental_dedup_probe_stream,
+    )
+
+    live = run_to_memory(
+        spark,
+        incremental_dedup_probe_stream(
+            spark, SF_DIR, ex_bands=_bands(spark, SF_DIR)
+        ),
+        "inc_dedup_probe_full_index",
+        "append",
+    )
+    got = {(r.inc_id, r.ex_id) for r in live.collect()}
+    assert all(i != e for i, e in got)
+    # restricted to existing-side ids, the full-index probe agrees with
+    # the default (% 10 != 0) index
+    default = run_to_memory(
+        spark,
+        incremental_dedup_probe_stream(spark, SF_DIR),
+        "inc_dedup_probe_default_again",
+        "append",
+    )
+    want = {(r.inc_id, r.ex_id) for r in default.collect()}
+    assert {(i, e) for i, e in got if e % 10 != 0} == want
+
+
 def test_ann_probe_stream_equals_batch(spark):
     """Streaming ANN lookup: the in-stream LSH signatures (Arrow
     mapInPandas per micro-batch) probing the static band index must flag

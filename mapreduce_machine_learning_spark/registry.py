@@ -111,6 +111,16 @@ def _report_round(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def _report_sort_key(path: str) -> tuple:
+    """(round index, basename): numeric round order with a deterministic
+    basename tie-break — r1/r01 (or malformed names, all −1) would
+    otherwise fall back to glob()'s filesystem enumeration order and make
+    latest-round-wins machine-dependent."""
+    import os
+
+    return (_report_round(path), os.path.basename(path))
+
+
 def _driver_done_queries() -> set[str]:
     """Query ids whose LATEST driver correctness row is green.
 
@@ -137,10 +147,7 @@ def _driver_done_queries() -> set[str]:
     # NUMERIC round order (r01 < r2 < r10 < r100); later rounds override.
     for path in sorted(
         glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
-        # basename tie-break: r1/r01 (or malformed names, all −1) would
-        # otherwise fall back to glob()'s filesystem enumeration order and
-        # make latest-round-wins machine-dependent
-        key=lambda p: (_report_round(p), os.path.basename(p)),
+        key=_report_sort_key,
     ):
         try:
             with open(path) as fh:

@@ -197,6 +197,73 @@ def test_ivf_cell_partitioned_layout_prunes(spark, tmp_path):
     assert back.count() == expected
 
 
+def test_ivf_index_append_delta(spark, tmp_path):
+    """Incremental maintenance of the persisted IVF index — the vector-side
+    twin of tests/test_incremental_state.py's text band table: a DELTA of
+    new vectors is assigned to the EXISTING cells (one broadcast of the 16
+    centroid rows against the delta alone — no corpus re-scan, no
+    re-clustering), appended to the cell-partitioned layout, and the probe
+    over the updated index (a) still prunes at scan time and (b) sees
+    exactly what a full recompute over old+new would see. Assignment is
+    per-vector independent (round-6 argmax vs fixed centroids), which is
+    WHY append-only maintenance is exact for IVF — no global state to
+    refresh until a re-clustering is scheduled."""
+    from mapreduce_machine_learning_spark.functions import dot, l2norm
+
+    full_cells = ann._ivf_cells(spark, SF_DIR_T2).select("vec_id", "cid")
+    emb = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    is_delta = F.col("vec_id") % 10 == 3  # avoid 0 (the probe query vector)
+    path = str(tmp_path / "ivf_index")
+    emb.join(full_cells, "vec_id").filter(~is_delta).write.partitionBy(
+        "cid"
+    ).parquet(path)
+
+    # centroids are INDEX METADATA (persisted with it), read once, 16 rows;
+    # the delta assignment touches only the delta + this broadcast — the
+    # exact _ivf_cells expression, so equivalence below is structural
+    cent = emb.filter(
+        F.col("vec_id").isin(list(ann._IVF_CENTROID_IDS))
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        l2norm("e").alias("cnrm"),
+    )
+    delta = emb.filter(is_delta).withColumn("nrm", l2norm("e"))
+    scored = delta.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "e",
+        "cid",
+        (dot("e", "ce") / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
+    )
+    m = F.max(
+        F.struct(
+            F.round("cs", 6).alias("rcs"), (-F.col("cid")).alias("ncid")
+        )
+    ).alias("m")
+    delta_assigned = (
+        scored.groupBy("vec_id")
+        .agg(m, F.first("e").alias("e"))
+        .select("vec_id", "e", (-F.col("m.ncid")).cast("bigint").alias("cid"))
+    )
+    delta_assigned.write.mode("append").partitionBy("cid").parquet(path)
+
+    probe = [ann._IVF_CENTROID_IDS[0], ann._IVF_CENTROID_IDS[1]]
+    back = spark.read.parquet(path).filter(F.col("cid").isin(probe))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    # the updated index holds exactly the full-recompute membership
+    got = {(r.vec_id, r.cid) for r in back.select("vec_id", "cid").collect()}
+    want = {
+        (r.vec_id, r.cid)
+        for r in full_cells.filter(F.col("cid").isin(probe)).collect()
+    }
+    assert got == want
+    # and the delta genuinely landed in probed cells (non-vacuous append)
+    assert any(v % 10 == 3 for v, _ in got)
+
+
 def test_edge_component_counts_paths_agree(spark):
     """The union-find bound (VERDICT round 2): below the edge cap the
     single-task pandas union-find runs; above it the iterative min-label

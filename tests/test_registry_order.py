@@ -100,6 +100,25 @@ def test_report_round_sort_is_numeric():
     assert registry._report_round("weird.json") == -1
 
 
+def test_report_sort_key_breaks_round_ties_deterministically():
+    """Same-round files (r1 vs r01, or malformed names all mapping to −1)
+    must sort by basename, not by glob()'s filesystem enumeration order —
+    otherwise which report wins latest-round-wins is machine-dependent."""
+    ties = ["CORRECTNESS_r1.json", "CORRECTNESS_r01.json"]
+    assert sorted(ties, key=registry._report_sort_key) == sorted(
+        reversed(ties), key=registry._report_sort_key
+    )
+    assert sorted(ties, key=registry._report_sort_key) == [
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r1.json",
+    ]
+    weird = ["zzz.json", "aaa.json"]
+    assert sorted(weird, key=registry._report_sort_key) == [
+        "aaa.json",
+        "zzz.json",
+    ]
+
+
 def test_slack_fill_order_is_contract_first():
     """Once pending < the 50-entry driver window (≈2 rounds out), bucket-3
     ordering auto-fills the slack with ALREADY-GREEN queries — contract

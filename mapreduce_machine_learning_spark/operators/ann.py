@@ -337,6 +337,66 @@ _IVF_CTE = f"""
 """
 
 
+CELL_PROBE_SCHEMA = "vec_id long, cid long"
+
+
+def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
+    """Arrow-batch IVF cell-probe kernel: each incoming vector is assigned
+    its top-``nprobe`` cells by ROUND-6 cosine to the given centroids (tie
+    → lowest cid) — the exact ranking rule of the batch probe in
+    q_llm_ann_ivf_knn and of `_ivf_cells`' argmax, so a stream running
+    this kernel probes the same cells the at-rest index was built with.
+    ``centroids`` is the (cid, vector) INDEX METADATA (k rows, closed over
+    — no corpus access); the scoring is one BLAS matmul per batch and the
+    rank loop runs over k=|centroids| entries per row. Row-local and
+    stateless, which is what lets the probe run unmodified inside a
+    Structured Streaming mapInPandas (streaming/live.ivf_probe_stream)."""
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        from mapreduce_machine_learning_spark.determinism import np_r6
+
+        cids = [int(c) for c, _ in centroids]
+        C = np.array([v for _, v in centroids], dtype="float64")
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        for pdf in it:
+            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = np_r6(Mn @ Cn.T)  # (n, k) round-6 cosines
+            ids = pdf["vec_id"].to_numpy()
+            out_vid, out_cid = [], []
+            for i in range(len(ids)):
+                order = sorted(
+                    range(len(cids)), key=lambda j: (-S[i, j], cids[j])
+                )[:nprobe]
+                out_vid.extend([ids[i]] * len(order))
+                out_cid.extend(cids[j] for j in order)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out_vid, dtype="int64"),
+                    "cid": pd.Series(out_cid, dtype="int64"),
+                }
+            )
+
+    return kernel
+
+
+def ivf_centroid_rows(spark, sf_dir):
+    """The k (cid, vector) centroid rows — the index metadata a probe
+    closes over. A driver-side collect of exactly k=16 rows (parameters,
+    not data — the same scale as the broadcast centroid frame every batch
+    IVF query ships)."""
+    emb = T(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").isin(list(_IVF_CENTROID_IDS)))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    return sorted((int(r.vec_id), [float(x) for x in r.e]) for r in rows)
+
+
 def _ivf_cells(spark, sf_dir):
     """(vec_id, cid, cs): each vector's cell = the sampled centroid with the
     highest ROUND-6 cosine (spherical k-means assignment), tie → lowest

@@ -293,3 +293,43 @@ def ann_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id")
     )
+
+
+def ivf_probe_stream(
+    spark: SparkSession, sf_dir: str, index: DataFrame | None = None
+) -> DataFrame:
+    """Streaming IVF retrieval probe: a stream of query vectors (the
+    vec_id % 50 = 0 slice) is assigned its top-nprobe cells IN-STREAM —
+    an Arrow mapInPandas kernel closed over the 16-row centroid metadata,
+    row-local and stateless, the exact ranking rule of the batch probe —
+    and a stream-static join against the cell index emits (query,
+    candidate) pairs, final rerank left to the consumer. The IVF twin of
+    ann_probe_stream, and the live half of the persisted-index story:
+    pass ``index`` to probe the at-rest cell-partitioned layout of
+    tests/test_ann.py::test_ivf_index_append_delta (columns (vec_id |
+    cand_id, cid)) — the same frame contract the batch queries read, so
+    ingest-time retrieval needs no recompute of anything but the stream's
+    own cell assignment."""
+    from mapreduce_machine_learning_spark.operators.ann import (
+        CELL_PROBE_SCHEMA,
+        _ivf_cells,
+        ivf_centroid_rows,
+        make_cell_probe_kernel,
+    )
+
+    kernel = make_cell_probe_kernel(ivf_centroid_rows(spark, sf_dir))
+    stream = _parquet_file_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 50 == 0
+    )
+    probe = stream.select("vec_id", "embedding").mapInPandas(
+        kernel, schema=CELL_PROBE_SCHEMA
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    if index is None:
+        index = _ivf_cells(spark, sf_dir)
+    if "vec_id" in index.columns:
+        index = index.select(F.col("vec_id").alias("cand_id"), "cid")
+    return (
+        probe.join(index, "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )

@@ -337,3 +337,69 @@ def test_ann_probe_stream_equals_batch(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ivf_probe_stream_equals_batch(spark, tmp_path):
+    """Streaming IVF retrieval: the in-stream cell assignment (Arrow
+    kernel closed over the 16-row centroid metadata) must probe exactly
+    the cells the batch JVM-expression ranking picks, and the stream-
+    static join against BOTH index forms — the session cell frame and the
+    at-rest cell-partitioned parquet — must emit the identical candidate
+    set."""
+    from pyspark.sql import Window
+
+    from mapreduce_machine_learning_spark.functions import cosine
+    from mapreduce_machine_learning_spark.operators import ann
+    from mapreduce_machine_learning_spark.streaming.live import (
+        ivf_probe_stream,
+    )
+
+    # batch expectation: per query, top-nprobe cells by (r6 cos desc, cid)
+    # — the q_llm_ann_ivf_knn probe generalized to every streamed query —
+    # then all members of those cells minus self
+    cells = ann._ivf_cells(spark, SF_DIR).select("vec_id", "cid")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(
+        F.col("vec_id").isin(list(ann._IVF_CENTROID_IDS))
+    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine("qe", "ce"), 6)), "cid"
+    )
+    probe_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ann._IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+    want = {
+        (r.query_id, r.cand_id)
+        for r in probe_cells.join(
+            cells.select(F.col("vec_id").alias("cand_id"), "cid"), "cid"
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .collect()
+    }
+
+    live = run_to_memory(
+        spark, ivf_probe_stream(spark, SF_DIR), "ivf_probe", "append"
+    )
+    got = {(r.query_id, r.cand_id) for r in live.collect()}
+    assert got == want and len(want) > 0
+
+    # and against the PERSISTED cell-partitioned layout (the appended-index
+    # contract of test_ivf_index_append_delta)
+    path = str(tmp_path / "ivf_at_rest")
+    emb.join(cells, "vec_id").write.partitionBy("cid").parquet(path)
+    live2 = run_to_memory(
+        spark,
+        ivf_probe_stream(spark, SF_DIR, index=spark.read.parquet(path)),
+        "ivf_probe_persisted",
+        "append",
+    )
+    assert {(r.query_id, r.cand_id) for r in live2.collect()} == want

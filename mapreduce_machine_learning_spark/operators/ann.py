@@ -343,9 +343,17 @@ CELL_PROBE_SCHEMA = "vec_id long, cid long"
 def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
     """Arrow-batch IVF cell-probe kernel: each incoming vector is assigned
     its top-``nprobe`` cells by ROUND-6 cosine to the given centroids (tie
-    → lowest cid) — the exact ranking rule of the batch probe in
-    q_llm_ann_ivf_knn and of `_ivf_cells`' argmax, so a stream running
-    this kernel probes the same cells the at-rest index was built with.
+    → lowest cid) — the same RANKING RULE as the batch probe in
+    q_llm_ann_ivf_knn and `assign_cells`' argmax, but NOT the same
+    floating-point expression: the kernel scores with a normalized BLAS
+    matmul while the JVM side folds dot/(nrm·cnrm) sequentially, so the
+    raw cosines can differ by ~1 ulp and agreement holds THROUGH the
+    round-6 grid. A stream/batch rank flip needs a query whose r6 cosines
+    to the rank-nprobe and rank-nprobe+1 centroids straddle a 1e-6
+    boundary within that ulp — P ≈ k·ulp/grid ≈ 16·2e-16/1e-6 ≈ 3e-9 per
+    query (same accepted class as the BLAS-vs-oracle boundary in
+    _blocked_cosine_pairs; the cross-check lives in
+    tests/test_streaming_live.py::test_ivf_probe_stream_equals_batch).
     ``centroids`` is the (cid, vector) INDEX METADATA (k rows, closed over
     — no corpus access); the scoring is one BLAS matmul per batch and the
     rank loop runs over k=|centroids| entries per row. Row-local and
@@ -397,56 +405,81 @@ def ivf_centroid_rows(spark, sf_dir):
     return sorted((int(r.vec_id), [float(x) for x in r.e]) for r in rows)
 
 
+def centroid_frame(emb):
+    """(cid, ce, cnrm) centroid metadata from an (vec_id, e[, nrm]) frame —
+    the k fixed-id rows every IVF consumer (index build, delta append,
+    batch probe, test expectations) broadcasts. One definition so a change
+    to the id set or the cast discipline lands everywhere at once."""
+    from mapreduce_machine_learning_spark.functions import l2norm
+
+    if "nrm" not in emb.columns:
+        emb = emb.withColumn("nrm", l2norm("e"))
+    return emb.filter(F.col("vec_id").isin(list(_IVF_CENTROID_IDS))).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+
+def assign_cells(vectors, cent):
+    """(vec_id, cid, cs) spherical-k-means assignment of an arbitrary
+    (vec_id, e) frame against (cid, ce, cnrm) centroids: highest ROUND-6
+    cosine, tie → lowest cid, raw cosine kept as cs. The SINGLE argmax
+    rule shared by the full index build (`_ivf_cells`) and append-only
+    delta maintenance (assign the delta against the same centroid
+    metadata, append to the cell-partitioned layout — exact because the
+    assignment is per-vector independent; demonstrated in
+    tests/test_ann.py::test_ivf_index_append_delta). One broadcast of the
+    k centroid rows; the argmax is a map-side partial aggregate of
+    struct(r6(cs), −cid) — co-partitioned with the scan, so the 'shuffle'
+    moves one already-final row per vector.
+
+    Norms are hoisted OUT of the centroid cross join: cosine() would
+    recompute l2norm(e) once per (vector, centroid) pair — k× per vector;
+    computing each side's norm once cuts the higher-order expression work
+    roughly in half (values bit-identical: same expressions, evaluated
+    once instead of k times)."""
+    from mapreduce_machine_learning_spark.functions import dot, l2norm
+
+    if "nrm" not in vectors.columns:
+        vectors = vectors.withColumn("nrm", l2norm("e"))
+    scored = vectors.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (dot("e", "ce") / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
+    )
+    m = F.max(
+        F.struct(
+            r6(F.col("cs")).alias("rcs"),
+            (-F.col("cid")).alias("ncid"),
+            F.col("cs"),
+        )
+    ).alias("m")
+    return (
+        scored.groupBy("vec_id")
+        .agg(m)
+        .select(
+            "vec_id",
+            (-F.col("m.ncid")).cast("bigint").alias("cid"),
+            F.col("m.cs").alias("cs"),
+        )
+    )
+
+
 def _ivf_cells(spark, sf_dir):
-    """(vec_id, cid, cs): each vector's cell = the sampled centroid with the
-    highest ROUND-6 cosine (spherical k-means assignment), tie → lowest
-    cid; the stored cs stays the raw cosine (the cell-stats query averages
-    it). Ranking on the rounded value makes the assignment robust to
+    """(vec_id, cid, cs): each vector's cell per `assign_cells`' argmax
+    rule. Ranking on the rounded value makes the assignment robust to
     last-ulp cross-engine summation differences — a flipped argmax moves a
     vector to another cell and shifts every downstream count (ADVICE round
-    2). One broadcast of the k centroid rows; the argmax is a map-side
-    partial aggregate of struct(r6(cs), −cid) — co-partitioned with the
-    scan, so the 'shuffle' moves one already-final row per vector."""
+    2)."""
 
     def build():
-        from mapreduce_machine_learning_spark.functions import dot, l2norm
+        from mapreduce_machine_learning_spark.functions import l2norm
 
-        # norms are hoisted OUT of the centroid cross join: cosine() would
-        # recompute l2norm(e) once per (vector, centroid) pair — k× per
-        # vector; computing it once before the join cuts the higher-order
-        # expression work roughly in half (values bit-identical: same
-        # expressions, evaluated once instead of k times)
         emb = T(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         ).withColumn("nrm", l2norm("e"))
-        cent = emb.filter(
-            F.col("vec_id").isin(list(_IVF_CENTROID_IDS))
-        ).select(
-            F.col("vec_id").alias("cid"),
-            F.col("e").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "cid",
-            (dot("e", "ce") / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
-        )
-        m = F.max(
-            F.struct(
-                r6(F.col("cs")).alias("rcs"),
-                (-F.col("cid")).alias("ncid"),
-                F.col("cs"),
-            )
-        ).alias("m")
-        return (
-            scored.groupBy("vec_id")
-            .agg(m)
-            .select(
-                "vec_id",
-                (-F.col("m.ncid")).cast("bigint").alias("cid"),
-                F.col("m.cs").alias("cs"),
-            )
-        )
+        return assign_cells(emb, centroid_frame(emb))
 
     return _materialize(spark, sf_dir, "ivf_cells", build)
 

@@ -296,7 +296,10 @@ def ann_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_probe_stream(
-    spark: SparkSession, sf_dir: str, index: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index: DataFrame | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Streaming IVF retrieval probe: a stream of query vectors (the
     vec_id % 50 = 0 slice) is assigned its top-nprobe cells IN-STREAM —
@@ -309,7 +312,10 @@ def ivf_probe_stream(
     tests/test_ann.py::test_ivf_index_append_delta (columns (vec_id |
     cand_id, cid)) — the same frame contract the batch queries read, so
     ingest-time retrieval needs no recompute of anything but the stream's
-    own cell assignment."""
+    own cell assignment. Pass ``centroids`` (the (cid, vector) rows, e.g.
+    a cached `ann.ivf_centroid_rows` result stored with the index) to skip
+    the default one-time metadata fetch — a production probe service loads
+    the metadata once at startup, not per stream construction."""
     from mapreduce_machine_learning_spark.operators.ann import (
         CELL_PROBE_SCHEMA,
         _ivf_cells,
@@ -317,7 +323,9 @@ def ivf_probe_stream(
         make_cell_probe_kernel,
     )
 
-    kernel = make_cell_probe_kernel(ivf_centroid_rows(spark, sf_dir))
+    if centroids is None:
+        centroids = ivf_centroid_rows(spark, sf_dir)
+    kernel = make_cell_probe_kernel(centroids)
     stream = _parquet_file_stream(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 50 == 0
     )

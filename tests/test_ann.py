@@ -208,8 +208,6 @@ def test_ivf_index_append_delta(spark, tmp_path):
     per-vector independent (round-6 argmax vs fixed centroids), which is
     WHY append-only maintenance is exact for IVF — no global state to
     refresh until a re-clustering is scheduled."""
-    from mapreduce_machine_learning_spark.functions import dot, l2norm
-
     full_cells = ann._ivf_cells(spark, SF_DIR_T2).select("vec_id", "cid")
     emb = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -220,32 +218,16 @@ def test_ivf_index_append_delta(spark, tmp_path):
         "cid"
     ).parquet(path)
 
-    # centroids are INDEX METADATA (persisted with it), read once, 16 rows;
-    # the delta assignment touches only the delta + this broadcast — the
-    # exact _ivf_cells expression, so equivalence below is structural
-    cent = emb.filter(
-        F.col("vec_id").isin(list(ann._IVF_CENTROID_IDS))
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("e").alias("ce"),
-        l2norm("e").alias("cnrm"),
-    )
-    delta = emb.filter(is_delta).withColumn("nrm", l2norm("e"))
-    scored = delta.crossJoin(F.broadcast(cent)).select(
+    # centroids are INDEX METADATA (persisted with it), 16 rows; the delta
+    # assignment touches only the delta + this broadcast, through the SAME
+    # assign_cells the full index build runs — equivalence below is
+    # structural, not a re-derivation
+    delta = emb.filter(is_delta)
+    delta_assigned = delta.join(
+        ann.assign_cells(delta, ann.centroid_frame(emb)).select(
+            "vec_id", "cid"
+        ),
         "vec_id",
-        "e",
-        "cid",
-        (dot("e", "ce") / (F.col("nrm") * F.col("cnrm"))).alias("cs"),
-    )
-    m = F.max(
-        F.struct(
-            F.round("cs", 6).alias("rcs"), (-F.col("cid")).alias("ncid")
-        )
-    ).alias("m")
-    delta_assigned = (
-        scored.groupBy("vec_id")
-        .agg(m, F.first("e").alias("e"))
-        .select("vec_id", "e", (-F.col("m.ncid")).cast("bigint").alias("cid"))
     )
     delta_assigned.write.mode("append").partitionBy("cid").parquet(path)
 

@@ -361,9 +361,7 @@ def test_ivf_probe_stream_equals_batch(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = emb.filter(
-        F.col("vec_id").isin(list(ann._IVF_CENTROID_IDS))
-    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    cent = ann.centroid_frame(emb).select("cid", "ce")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )

@@ -542,9 +542,10 @@ def q_llm_ann_ivf_knn(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = emb.filter(
-        F.col("vec_id").isin(list(_IVF_CENTROID_IDS))
-    ).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    # shared centroid-metadata builder; cnrm is column-pruned away since
+    # the probe scores with cosine() directly (k=16 rows — hoisting norms
+    # buys nothing at metadata scale)
+    cent = centroid_frame(emb).select("cid", "ce")
     # 1-row query vector, consumed by the centroid probe AND the final
     # rerank — checkpointed so each consumer doesn't re-scan for it
     q = _ckpt(

@@ -45,7 +45,23 @@ def np_r6(x):
     ``np.round`` for its threshold cut (ADVICE round 3). ``floor(|x|·1e6 +
     0.5)`` with the sign restored is exactly the half-away-from-zero rule;
     parity with DuckDB ``ROUND(x, 6)`` on midpoints is pinned by
-    tests/test_determinism_round.py."""
+    tests/test_determinism_round.py.
+
+    Spark ``F.round`` is a THIRD rule — HALF_UP on the double's
+    shortest-decimal representation (BigDecimal), not on the scaled double —
+    and diverges from np_r6/DuckDB in one measured class: doubles whose
+    value and whose x*1e6 product sit on opposite sides of a 7th-decimal
+    midpoint (measured 6 of 20400 on an adversarial grid, e.g.
+    ``4.0000005`` -> Spark 4.000001 vs np_r6/DuckDB 4.0 because
+    4.0000005*1e6 rounds DOWN to ...0.4999999995, and
+    ``2.4999999999999998e-06`` -> Spark 2e-06 vs 3e-06 because the product
+    rounds UP to exactly 2.5; ZERO divergences on 20000 random cosines).
+    The class is pinned by tests/test_determinism_round.py::
+    test_np_r6_vs_spark_round_divergence_class — same accepted-probability
+    family as the documented ulp class: a kernel-vs-F.round flip needs an
+    input landing exactly on such a boundary (negligible on real-valued
+    cosines). Kernels that feed a DuckDB oracle MUST use np_r6 (the
+    oracle-exact rule), never F.round, for threshold cuts."""
     import numpy as np
 
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)

@@ -56,8 +56,13 @@ def connected_components(
     # lineage-truncation (their RDD blocks die on ContextCleaner GC —
     # unpersist is a documented no-op for them) and are bounded by the
     # iteration cap.
-    n_sym = sym.count()  # needed for the auto broadcast decision AND the
-    # iteration budget; sym is pinned so the count is a one-time cost
+    # count the symmetrized edges only when a decision actually needs it
+    # (auto broadcast mode or a data-scaled iteration budget); a caller
+    # that fixes BOTH small_graph and max_iter pays no extra action
+    # (ADVICE round 4)
+    n_sym = None
+    if small_graph == "auto" or max_iter is None:
+        n_sym = sym.count()  # sym is pinned so the count is a one-time cost
     if small_graph == "auto":
         small_graph = n_sym <= SMALL_GRAPH_EDGES
     if max_iter is None:
@@ -137,6 +142,8 @@ def connected_components(
         # unconverged subtree reports its own label) — exactly the failure
         # mode the distributed fallback exists to avoid, so fail loudly
         # rather than return a wrong answer (ADVICE round 3).
+        if n_sym is None:  # only now worth one action: the error message
+            n_sym = sym.count()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still shrinking, {n_sym} symmetrized edges); "

@@ -80,6 +80,8 @@ def _make_sig_kernel(signs, bits, bands):
         H = np.array(signs)  # (bits·bands, dim), fixed literals
 
         for pdf in it:
+            if not len(pdf):  # np.stack raises on a zero-row Arrow batch
+                continue
             M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             B = (M @ H.T) > 0  # (n, bits·bands) sign bits
             out = {"vec_id": pdf["vec_id"]}
@@ -370,6 +372,8 @@ def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
         C = np.array([v for _, v in centroids], dtype="float64")
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         for pdf in it:
+            if not len(pdf):  # np.stack raises on a zero-row Arrow batch
+                continue
             M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             S = np_r6(Mn @ Cn.T)  # (n, k) round-6 cosines

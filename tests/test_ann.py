@@ -469,3 +469,33 @@ def test_ivf_with_trained_centroids(spark):
     trained = {r.vec_id for r in cand.collect()}
     exact = {r.vec_id for r in _q("q_ml_knn")(spark, SF_DIR_T2).collect()}
     assert len(trained & exact) >= 9
+
+
+def test_arrow_kernels_skip_empty_batches():
+    """A zero-row Arrow batch must be skipped, not crash np.stack (ADVICE
+    round 4): Structured Streaming can hand mapInPandas empty batches on
+    idle triggers, and the streaming probes share these exact kernels."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"), "embedding": pd.Series([], dtype=object)}
+    )
+    full = pd.DataFrame(
+        {
+            "vec_id": pd.Series([1, 2], dtype="int64"),
+            "embedding": pd.Series(
+                [np.ones(ann._RP_DIM), -np.ones(ann._RP_DIM)], dtype=object
+            ),
+        }
+    )
+    # LSH signature kernel: empty batch yields nothing, the non-empty one
+    # still signs both rows
+    outs = list(ann.sig_batches(iter([empty, full])))
+    assert len(outs) == 1 and len(outs[0]) == 2
+
+    centroids = [(0, [1.0] * ann._RP_DIM), (1, [-1.0] * ann._RP_DIM)]
+    kern = ann.make_cell_probe_kernel(centroids, nprobe=1)
+    outs = list(kern(iter([empty, full])))
+    assert len(outs) == 1
+    assert sorted(zip(outs[0].vec_id, outs[0].cid)) == [(1, 0), (2, 1)]

@@ -197,19 +197,52 @@ EXTENSION_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Already-green queries that re-verify FIRST once the driver's 50-entry
+# window outgrows the never-checked tail (the "slack fill", expected round
+# 7): the bench headline set and the flagship LLM-pipeline operators — the
+# queries whose silent regression would cost the most, so they earn the
+# tightest recheck cadence (VERDICT round 4, "Next round" #4). Order within
+# the tuple is the recheck order.
+RECHECK_PRIORITY: tuple[str, ...] = (
+    # bench.py HEADLINE set — the BASELINE.md-comparable six
+    "q_agg_group",
+    "q_join_multi",
+    "q_win_rank",
+    "q_stream_tumble",
+    "q_agg_global",
+    "q_llm_dedup_exact",
+    # flagship dedup + similarity-search pipelines (SCALING.md curves)
+    "q_llm_minhash",
+    "q_llm_neardup_pairs",
+    "q_llm_dedup_incremental",
+    "q_llm_dedup_survivors",
+    "q_ml_knn",
+    "q_llm_ann_knn",
+    "q_llm_ann_buckets",
+    "q_llm_ann_pairs",
+    "q_llm_ann_ivf_cells",
+    "q_llm_ann_ivf_knn",
+    "q_llm_dedup_semantic_ann",
+    "q_llm_sim_threshold_ivf",
+)
+
+
 def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     """Registration order for the driver: contract-first, never-green-first.
 
     Priority buckets: (0) contract queries with no green driver row yet, in
     SURVEY §2 table order; (1) EXTENSION_PRIORITY queries with no green row,
     in priority order; (2) other extension queries with no green row, in
-    module registration order; (3+) everything already driver-green. Within
-    a bucket the order is deterministic, so reruns of the same round are
-    stable.
+    module registration order; then the already-driver-green block: (3)
+    RECHECK_PRIORITY flagships in recheck order, (4) remaining contract
+    queries in SURVEY §2 table order, (5) remaining extensions in module
+    registration order. Within a bucket the order is deterministic, so
+    reruns of the same round are stable.
     """
     done = _driver_done_queries()
     contract_rank = {name: i for i, name in enumerate(CONTRACT_QUERIES)}
     priority_rank = {name: i for i, name in enumerate(EXTENSION_PRIORITY)}
+    recheck_rank = {name: i for i, name in enumerate(RECHECK_PRIORITY)}
     reg_rank = {name: i for i, name in enumerate(queries)}
 
     def key(name: str) -> tuple[int, int]:
@@ -219,8 +252,11 @@ def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
             if name in priority_rank:
                 return (1, priority_rank[name])
             return (2, reg_rank[name])
-        bucket = 3 if name in contract_rank else 4
-        return (bucket, contract_rank.get(name, reg_rank[name]))
+        if name in recheck_rank:
+            return (3, recheck_rank[name])
+        if name in contract_rank:
+            return (4, contract_rank[name])
+        return (5, reg_rank[name])
 
     return {name: queries[name] for name in sorted(queries, key=key)}
 

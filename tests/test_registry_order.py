@@ -119,21 +119,41 @@ def test_report_sort_key_breaks_round_ties_deterministically():
     ]
 
 
-def test_slack_fill_order_is_contract_first():
-    """Once pending < the 50-entry driver window (≈2 rounds out), bucket-3
-    ordering auto-fills the slack with ALREADY-GREEN queries — contract
-    queries first, in SURVEY §2 table order, then green extensions in
-    registration order. Pinned NOW so the driver's recheck behavior is
-    locked in before it first happens (VERDICT round 3, "Next round" #6)."""
+def test_slack_fill_order_is_flagships_then_contract():
+    """Once pending < the 50-entry driver window (expected round 7), the
+    ordering auto-fills the slack with ALREADY-GREEN queries. The recheck
+    cadence is deliberate (VERDICT round 4, "Next round" #4): the
+    RECHECK_PRIORITY flagships (bench headline set + LLM-pipeline
+    operators) re-verify first, then the remaining contract queries in
+    SURVEY §2 table order, then green extensions in registration order.
+    Pinned BEFORE the slack fill first happens."""
     names = list(registry.all_queries())
     done = registry._driver_done_queries()
     done_block = [n for n in names if n in done]
     contract = set(registry.CONTRACT_QUERIES)
-    done_contract = [n for n in registry.CONTRACT_QUERIES if n in done]
-    # the done block leads with every green contract query, in §2 order …
-    assert done_block[: len(done_contract)] == done_contract
-    # … and no contract query hides in its extension tail
-    assert not [n for n in done_block[len(done_contract):] if n in contract]
+    recheck = set(registry.RECHECK_PRIORITY)
+    done_recheck = [n for n in registry.RECHECK_PRIORITY if n in done]
+    done_contract = [
+        n for n in registry.CONTRACT_QUERIES if n in done and n not in recheck
+    ]
+    # the done block leads with the green flagships, in recheck order …
+    assert done_block[: len(done_recheck)] == done_recheck
+    # … then every remaining green contract query, in §2 order …
+    assert (
+        done_block[len(done_recheck) : len(done_recheck) + len(done_contract)]
+        == done_contract
+    )
+    # … and no contract or flagship query hides in the extension tail
+    tail = done_block[len(done_recheck) + len(done_contract) :]
+    assert not [n for n in tail if n in contract or n in recheck]
+
+
+def test_recheck_priority_names_registered_queries():
+    """Every RECHECK_PRIORITY entry must be a registered query — a typo or
+    a renamed flagship would silently drop it from the recheck rotation."""
+    qs = set(registry.all_queries())
+    missing = [n for n in registry.RECHECK_PRIORITY if n not in qs]
+    assert not missing, missing
 
 
 def test_order_is_deterministic():

@@ -1,0 +1,144 @@
+"""Strong-scaling (cores) sweep for the flagship pipelines.
+
+SCALING.md's data-scaling curves leave one honest gap: executor-count
+scaling is argued from shuffle structure, not measured. This tool measures
+it as far as a single machine allows: the SAME 16x realistic-vocabulary
+corpus (tools/gen_scaling_corpus.py) run under local[2/4/8/16/32], one JVM
+per core count (Spark's master is fixed per session, so each configuration
+runs in a subprocess). shuffle.partitions tracks the core count (min 8) the
+way bench.py sets it, so the sweep measures parallel speedup of the SAME
+logical plan, not a partitioning change masquerading as one.
+
+Pipelines timed (cold protocol identical to tools/scaling_curve.py: one
+warm run, then two cold-timed runs with runtime.release_all() first):
+  * neardup   — full q_llm_neardup_pairs pipeline;
+  * ivf_build — _ivf_cells assignment over every vector.
+
+A pipeline whose work is map-side-dominated with one bounded shuffle should
+show wall time falling with cores until fixed per-stage scheduling cost
+floors it — that shape, measured, is the single-machine half of the
+1000-executor argument (the other half stays structural: no shuffle in
+either pipeline grows with executor count).
+
+Usage:
+  python tools/cores_sweep.py [--cpus 2,4,8,16,32] [--scale 16]
+                              [--out CORES_runs.json]
+Inner (one JVM, invoked by the outer loop):
+  python tools/cores_sweep.py --inner --scale 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+
+def _dir_for(scale: int) -> str:
+    d = os.path.join(REPO, ".scaling", f"x{scale}")
+    if not (
+        os.path.exists(os.path.join(d, "documents.parquet"))
+        and os.path.exists(os.path.join(d, "embeddings.parquet"))
+    ):
+        from tools.gen_scaling_corpus import generate
+
+        generate(scale, d)
+    return d
+
+
+def inner(scale: int) -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    d = _dir_for(scale)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"mrml-cores-sweep-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mapreduce_machine_learning_spark import runtime
+    from mapreduce_machine_learning_spark.operators import ann, llm
+
+    def cold(fn):
+        runtime.release_all()
+        fn().collect()  # warm: JIT/codegen/IO
+        ts = []
+        for _ in range(2):
+            runtime.release_all()
+            t0 = time.perf_counter()
+            fn().collect()
+            ts.append(round(time.perf_counter() - t0, 3))
+        return ts
+
+    out = {"cpus": cpus, "scale": scale}
+    t = cold(lambda: llm.q_llm_neardup_pairs(spark, d))
+    out["neardup_cold_s"], out["neardup_cold2_s"] = t
+    t = cold(lambda: ann._ivf_cells(spark, d))
+    out["ivf_build_cold_s"], out["ivf_build_cold2_s"] = t
+    print("RESULT " + json.dumps(out), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", action="store_true")
+    ap.add_argument("--cpus", default="2,4,8,16,32")
+    ap.add_argument("--scale", type=int, default=16)
+    ap.add_argument("--out", default="CORES_runs.json")
+    args = ap.parse_args()
+
+    if args.inner:
+        inner(args.scale)
+        return
+
+    _dir_for(args.scale)  # generate once, outside any timing
+    results = []
+    for cpus in [int(c) for c in args.cpus.split(",")]:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--inner", "--scale", str(args.scale)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = next(
+            (
+                l[len("RESULT ") :]
+                for l in proc.stdout.splitlines()
+                if l.startswith("RESULT ")
+            ),
+            None,
+        )
+        if line is None:
+            print(
+                f"cpus={cpus}: FAILED\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}",
+                flush=True,
+            )
+            continue
+        rec = json.loads(line)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

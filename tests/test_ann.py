@@ -499,3 +499,24 @@ def test_arrow_kernels_skip_empty_batches():
     outs = list(kern(iter([empty, full])))
     assert len(outs) == 1
     assert sorted(zip(outs[0].vec_id, outs[0].cid)) == [(1, 0), (2, 1)]
+
+
+def test_bulk_assign_matches_jvm(spark):
+    """The Arrow bulk-build fast path (`assign_cells_bulk`, one BLAS matmul
+    per batch) must produce the IDENTICAL (vec_id → cid) map as the
+    contract expression path (`assign_cells` via _ivf_cells): both rank on
+    round-6 cosine with tie → lowest cid, so the ~1 ulp BLAS-vs-JVM-fold
+    difference in raw cosines is absorbed by the rounding grid (measured
+    0 disagreements on 128k vectors of the 64x scaling corpus; this pins
+    the sf0.01 corpus so the gate runs per-commit). The plan must contain
+    no join and no exchange — assignment is a map over the scan."""
+    emb = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet")
+    bulk = ann.assign_cells_bulk(emb, ann.ivf_centroid_rows(spark, SF_DIR_T2))
+    got = {r.vec_id: r.cid for r in bulk.collect()}
+    want = {
+        r.vec_id: r.cid for r in ann._ivf_cells(spark, SF_DIR_T2).collect()
+    }
+    assert got == want
+
+    plan = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

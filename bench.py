@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -125,32 +126,42 @@ def main() -> None:
         # pressure from the previous chain query
         engine_runtime.release_all()
 
-    # Per query: warm once, then TWO cold-timed runs back to back — the
-    # second is the steady sample (VERDICT round 3 #4). Both timed runs are
-    # COLD in the cache sense (release_all first — the pipeline recomputes
-    # from parquet); the steady sample is additionally free of
-    # first-timed-pass JIT/codegen residue. The steady run must follow ITS
-    # OWN query immediately: a separate end-of-chain steady loop (tried
-    # first) interleaves six big pipelines and measured consistently SLOWER
-    # than pass one — cycling the chain evicts each plan's generated
-    # classes, so every "steady" run re-paid whole-stage-codegen
-    # compilation. Back-to-back colds of one query converge (measured
-    # 15.1 → 6.3 → 5.0 → 4.8 s on q_llm_neardup_pairs), which is the
-    # production shape: the same pipeline recurring, not six alternating.
-    # The 2× self-regression gate below reads the steady sample so a
-    # tiering hiccup on a loaded machine can't trip it.
+    # Per query: warm once, then FOUR cold-timed runs back to back — the
+    # first is the cold sample, the MEDIAN of the remaining three is the
+    # steady sample (VERDICT round 3 #4; median-of-3 added round 5). All
+    # timed runs are COLD in the cache sense (release_all first — the
+    # pipeline recomputes from parquet); the steady sample is additionally
+    # free of first-timed-pass JIT/codegen residue. The steady runs must
+    # follow THEIR OWN query immediately: a separate end-of-chain steady
+    # loop (tried first) interleaves six big pipelines and measured
+    # consistently SLOWER than pass one — cycling the chain evicts each
+    # plan's generated classes, so every "steady" run re-paid
+    # whole-stage-codegen compilation. Back-to-back colds of one query
+    # converge (measured 15.1 → 6.3 → 5.0 → 4.8 s on q_llm_neardup_pairs),
+    # which is the production shape: the same pipeline recurring, not six
+    # alternating. The 2× self-regression gate below reads the steady
+    # MEDIAN so neither a tiering hiccup nor a single host-noise spike can
+    # trip it (SCALING.md round 5: one sample on this box can read 5-10×
+    # high between two normal ones; a single steady sample tripped the
+    # minhash gate by 0.02 s during round-5 host drift). Raw samples are
+    # reported as llm_samples so the median is auditable.
     extra: dict[str, float] = {}
     llm_steady: dict[str, float] = {}
+    llm_samples: dict[str, list[float]] = {}
     for name in llm_chain:
         if name not in queries:
             continue
         reset_memo()
         queries[name](spark, sf_dir).collect()  # warm (JIT/IO), then cold-time
-        for sink in (extra, llm_steady):
+        samples = []
+        for _ in range(4):
             reset_memo()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
-            sink[name] = round(time.perf_counter() - t0, 4)
+            samples.append(round(time.perf_counter() - t0, 4))
+        extra[name] = samples[0]
+        llm_steady[name] = round(statistics.median(samples[1:]), 4)
+        llm_samples[name] = samples
 
     total = round(sum(timings.values()), 4)
     # 2× regression gate for the LLM-pipeline set (BASELINE.md "LLM-
@@ -178,6 +189,7 @@ def main() -> None:
                 "steady_total": round(sum(steady.values()), 4),
                 "llm_pipeline": extra,
                 "llm_steady": llm_steady,
+                "llm_samples": llm_samples,
                 "llm_regressions": regressions,
                 "sf": float(sf),
             }

@@ -1,0 +1,40 @@
+"""tools/gen_scaling_corpus.py determinism — SCALING.md's reproducibility
+claim rests on every scale regenerating bit-identically (md5-drawn tokens,
+seeded numpy), and on the structural invariants the curves interpret:
+linear planted-dup count and one fixed IVF centroid id per cluster."""
+
+from __future__ import annotations
+
+from tools.gen_scaling_corpus import (
+    BASE_DOCS,
+    DUP_EVERY,
+    N_CLUSTERS,
+    gen_documents,
+    gen_embeddings,
+)
+
+
+def test_documents_regenerate_identically():
+    a, b = gen_documents(1), gen_documents(1)
+    assert a.equals(b)
+    assert a.num_rows == BASE_DOCS + BASE_DOCS // DUP_EVERY
+
+
+def test_planted_dups_scale_linearly_and_overlap_base():
+    docs = gen_documents(1)
+    texts = docs.column("text").to_pylist()
+    n_planted = BASE_DOCS // DUP_EVERY
+    # doc BASE+k is doc 50k with 3 tokens replaced -> high token overlap
+    for k in range(0, n_planted, 17):
+        base = set(texts[DUP_EVERY * k].split())
+        dup = set(texts[BASE_DOCS + k].split())
+        jac = len(base & dup) / len(base | dup)
+        assert jac >= 0.5, f"planted pair {k} under threshold: {jac}"
+
+
+def test_embeddings_regenerate_identically_and_cluster_centroids():
+    a, b = gen_embeddings(1), gen_embeddings(1)
+    assert a.equals(b)
+    labels = a.column("label").to_pylist()
+    # one fixed centroid id per cluster: ids 0..15 carry labels 0..15
+    assert labels[:N_CLUSTERS] == list(range(N_CLUSTERS))

@@ -520,3 +520,34 @@ def test_bulk_assign_matches_jvm(spark):
 
     plan = bulk._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bulk_assign_builds_equivalent_at_rest_layout(spark, tmp_path):
+    """Close the bulk-build loop: the Arrow fast path must be able to
+    BUILD the at-rest cell-partitioned index, not just match assignments —
+    write the corpus partitioned by the bulk path's cid, and (a) the
+    per-cell membership is identical to a layout built from the contract
+    path, (b) a probe over it still carries partition filters."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR_T2}/embeddings.parquet")
+    bulk = ann.assign_cells_bulk(emb, ann.ivf_centroid_rows(spark, SF_DIR_T2))
+    path = str(tmp_path / "emb_by_cell_bulk")
+    emb.join(bulk, "vec_id").write.partitionBy("cid").parquet(path)
+
+    back = spark.read.parquet(path)
+    got = {
+        (r.cid, r.vec_id) for r in back.select("cid", "vec_id").collect()
+    }
+    want = {
+        (r.cid, r.vec_id)
+        for r in ann._ivf_cells(spark, SF_DIR_T2)
+        .select("cid", "vec_id")
+        .collect()
+    }
+    assert got == want
+
+    probe = [ann._IVF_CENTROID_IDS[0], ann._IVF_CENTROID_IDS[1]]
+    pruned = back.filter(F.col("cid").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan

@@ -551,3 +551,51 @@ def test_bulk_assign_builds_equivalent_at_rest_layout(spark, tmp_path):
     pruned = back.filter(F.col("cid").isin(probe))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan, plan
+
+
+def test_assign_paths_agree_on_random_vectors_and_exact_ties(spark):
+    """Property-level twin of test_bulk_assign_matches_jvm: the two
+    assignment implementations must agree on RANDOM vectors (not just the
+    corpus) and on an EXACT r6-grid tie, where both must pick the lowest
+    cid. The tie case is the one the shared ranking rule exists for — a
+    disagreement there silently splits a cell between engines."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    dim = 8
+    cents = rng.normal(size=(4, dim))
+    vecs = rng.normal(size=(200, dim))
+    # exact tie: cos(t, c0') = cos(t, c1') = 1/sqrt(2) for orthonormal
+    # c0', c1' — append constructed centroids and the tie vector
+    c0 = np.zeros(dim); c0[0] = 1.0
+    c1 = np.zeros(dim); c1[1] = 1.0
+    tie = np.zeros(dim); tie[0] = 1.0; tie[1] = 1.0
+    cents = np.vstack([c0, c1, cents])  # cids 0,1 are the tie pair
+    vecs = np.vstack([tie, vecs])       # vec_id 0 is the tie vector
+
+    centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    vec_rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    emb = spark.createDataFrame(
+        vec_rows, "vec_id bigint, embedding array<float>"
+    )
+
+    bulk = ann.assign_cells_bulk(emb, centroid_rows)
+    got = {r.vec_id: r.cid for r in bulk.collect()}
+
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in centroid_rows], "cid bigint, ce array<double>"
+    ).select(
+        "cid", "ce", F.aggregate(
+            "ce", F.lit(0.0), lambda a, x: a + x * x, lambda a: F.sqrt(a)
+        ).alias("cnrm"),
+    )
+    jvm_vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    want = {r.vec_id: r.cid for r in ann.assign_cells(jvm_vecs, cent).collect()}
+
+    assert got == want
+    assert got[0] == 0  # exact tie resolves to the LOWEST cid in both

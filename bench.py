@@ -48,6 +48,39 @@ LLM_BASELINE_SF01 = {
 LLM_GATE_JITTER_S = 0.25
 
 
+def gate_llm(
+    llm_samples: dict[str, list[float]],
+    extra: dict[str, float],
+    llm_steady: dict[str, float],
+) -> tuple[dict, dict]:
+    """The 2x self-regression gate (BASELINE.md "LLM-pipeline baseline").
+
+    Returns (regressions, median_warns). The HARD gate reads the MIN of
+    the steady samples — a real plan regression lifts every sample
+    including the minimum, while host noise lifts only some (measured
+    round 5: one steady window read [8.5, 17.6, 7.5] s for a ~4 s
+    pipeline). median_warns is the NON-GATING companion (ADVICE round 5):
+    an intermittent regression — a plan that sporadically falls off a
+    fast path, e.g. a flaky broadcast threshold — lifts only some samples
+    and never trips the min gate, so a steady MEDIAN above the bound is
+    surfaced as a warning without letting one bad host minute fail a
+    driver run. Pure function so tests/test_bench_config.py can pin both
+    behaviors without a Spark session."""
+    regressions: dict = {}
+    median_warns: dict = {}
+    for name, target in LLM_BASELINE_SF01.items():
+        ss = llm_samples.get(name)
+        got = min(ss[1:]) if ss else extra.get(name)
+        bound = 2.0 * target + LLM_GATE_JITTER_S
+        if got is not None and got > bound:
+            regressions[name] = {"sec": got, "target": target}
+            continue
+        med = llm_steady.get(name)
+        if med is not None and med > bound:
+            median_warns[name] = {"median_sec": med, "target": target}
+    return regressions, median_warns
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -184,26 +217,33 @@ def main() -> None:
     # hard exit so a loaded machine can't fail the driver's bench run
     # outright.
     regressions = {}
+    median_warns = {}
     if abs(float(sf) - 0.1) < 1e-9:
-        for name, target in LLM_BASELINE_SF01.items():
-            # The gate reads the MIN of the steady samples: a real plan
-            # regression lifts every sample (including the minimum), while
-            # host noise lifts only some — measured this round, one steady
-            # window contained samples [8.5, 17.6, 7.5] s for a pipeline
-            # whose settled cost is ~4 s, so even a median can sit above
-            # the gate during a bad minute. llm_steady (the median) stays
-            # the REPORTED number; the min is only the regression test.
-            ss = llm_samples.get(name)
-            got = min(ss[1:]) if ss else extra.get(name)
-            if got is not None and got > 2.0 * target + LLM_GATE_JITTER_S:
-                regressions[name] = {"sec": got, "target": target}
+        regressions, median_warns = gate_llm(llm_samples, extra, llm_steady)
         if regressions:
             print(f"LLM-pipeline 2x regressions: {regressions}", file=sys.stderr)
+        if median_warns:
+            print(
+                "LLM-pipeline steady MEDIAN above 2x bound (non-gating; min "
+                f"sample passed — intermittent or host noise): {median_warns}",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
                 "metric": "headline_total_warm",
                 "value": total,
+                # protocol marker + the r1-r4-comparable number (ADVICE
+                # round 5): since round 5 `value` is the median of four
+                # timed runs, which reads systematically LOWER than the
+                # first-timed-sample protocol BENCH_r01-r04 recorded.
+                # first_sample_total is that legacy protocol's number, so
+                # cross-round comparisons can pick matching protocols
+                # instead of silently mixing them.
+                "value_protocol": "median_of_4",
+                "first_sample_total": round(
+                    sum(s[0] for s in headline_samples.values()), 4
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "queries_steady": steady,
@@ -213,6 +253,7 @@ def main() -> None:
                 "llm_steady": llm_steady,
                 "llm_samples": llm_samples,
                 "llm_regressions": regressions,
+                "llm_median_warnings": median_warns,
                 "sf": float(sf),
             }
         )

@@ -358,9 +358,25 @@ def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
     tests/test_streaming_live.py::test_ivf_probe_stream_equals_batch).
     ``centroids`` is the (cid, vector) INDEX METADATA (k rows, closed over
     — no corpus access); the scoring is one BLAS matmul per batch and the
-    rank loop runs over k=|centroids| entries per row. Row-local and
-    stateless, which is what lets the probe run unmodified inside a
-    Structured Streaming mapInPandas (streaming/live.ivf_probe_stream)."""
+    ranking is one vectorized lexsort over the (n, k) score matrix.
+    Row-local and stateless, which is what lets the probe run unmodified
+    inside a Structured Streaming mapInPandas
+    (streaming/live.ivf_probe_stream).
+
+    Zero-norm vectors are guarded (ADVICE round 5): a zero embedding's
+    norm divides as 1.0, so its cosines are exactly 0.0 to every centroid
+    and the tie-break assigns it the LOWEST cid deterministically — before
+    the guard, Python/NumPy comparisons over NaN keys were order-dependent
+    and could desynchronize a stream probe from the index. This is a
+    deliberate BEHAVIOR SPLIT from the JVM contract path, which under
+    Spark 4 ANSI mode raises DIVIDE_BY_ZERO on the same input: an index
+    BUILD should fail fast on degenerate vectors, while a live stream
+    probe must degrade deterministically instead of dying. Path AGREEMENT
+    therefore keeps nonzero query norms as its precondition; zero-norm
+    CENTROIDS are rejected loudly here (they would make every kernel
+    cosine 0.0 while ANSI errors JVM-side) — trivially satisfied by the
+    sampled-row centroids `ivf_centroid_rows` produces. All pinned by
+    tests/test_ann.py::test_assign_paths_agree_on_zero_norm_vector."""
 
     def kernel(it):
         import numpy as np
@@ -368,27 +384,32 @@ def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
 
         from mapreduce_machine_learning_spark.determinism import np_r6
 
-        cids = [int(c) for c, _ in centroids]
+        cid_arr = np.array([int(c) for c, _ in centroids], dtype="int64")
         C = np.array([v for _, v in centroids], dtype="float64")
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        assert (cn > 0).all(), "zero-norm centroid: JVM/kernel paths diverge"
+        Cn = C / cn
         for pdf in it:
             if not len(pdf):  # np.stack raises on a zero-row Arrow batch
                 continue
             M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            mn = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.where(mn == 0.0, 1.0, mn)  # zero-norm guard
             S = np_r6(Mn @ Cn.T)  # (n, k) round-6 cosines
             ids = pdf["vec_id"].to_numpy()
-            out_vid, out_cid = [], []
-            for i in range(len(ids)):
-                order = sorted(
-                    range(len(cids)), key=lambda j: (-S[i, j], cids[j])
-                )[:nprobe]
-                out_vid.extend([ids[i]] * len(order))
-                out_cid.extend(cids[j] for j in order)
+            # Vectorized ranking (ADVICE round 5 — the per-row Python
+            # sorted() dominated the bulk build at 512k vectors): lexsort
+            # along the centroid axis, LAST key primary, so rows order by
+            # score DESC then cid ASC — the same total order the JVM
+            # struct-max and the old per-row sort computed.
+            keys = np.broadcast_to(cid_arr, S.shape)
+            order = np.lexsort((keys, -S), axis=-1)[:, :nprobe]  # (n, nprobe)
             yield pd.DataFrame(
                 {
-                    "vec_id": pd.Series(out_vid, dtype="int64"),
-                    "cid": pd.Series(out_cid, dtype="int64"),
+                    "vec_id": pd.Series(
+                        np.repeat(ids, order.shape[1]), dtype="int64"
+                    ),
+                    "cid": pd.Series(cid_arr[order].ravel(), dtype="int64"),
                 }
             )
 

@@ -599,3 +599,62 @@ def test_assign_paths_agree_on_random_vectors_and_exact_ties(spark):
 
     assert got == want
     assert got[0] == 0  # exact tie resolves to the LOWEST cid in both
+
+
+def test_assign_paths_agree_on_zero_norm_vector(spark):
+    """Zero-norm vectors (ADVICE round 5): the kernel guards the norm
+    (divide by 1.0 -> cosines exactly 0.0 -> tie-break to the LOWEST cid,
+    deterministically) so a degenerate vector cannot desynchronize or kill
+    a live stream probe; before the guard, Python/NumPy sorts over NaN
+    keys were order-dependent. The JVM contract path is DELIBERATELY
+    different: Spark 4 ANSI mode raises DIVIDE_BY_ZERO -- an index build
+    fails fast on degenerate input. Both behaviors are pinned; path
+    AGREEMENT keeps nonzero norms as its precondition, and zero-norm
+    CENTROIDS are rejected loudly by the kernel."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    cents = rng.normal(size=(4, dim))
+    vecs = np.vstack([np.zeros(dim), rng.normal(size=(20, dim))])
+
+    centroid_rows = [(i + 3, [float(x) for x in c]) for i, c in enumerate(cents)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    bulk = ann.assign_cells_bulk(emb, centroid_rows)
+    got = {r.vec_id: r.cid for r in bulk.collect()}
+    assert got[0] == 3  # zero vector -> all-tie -> lowest cid, every time
+
+    cent = spark.createDataFrame(
+        centroid_rows, "cid bigint, ce array<double>"
+    ).select(
+        "cid",
+        "ce",
+        F.aggregate(
+            "ce", F.lit(0.0), lambda a, x: a + x * x, lambda a: F.sqrt(a)
+        ).alias("cnrm"),
+    )
+    jvm_vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # contract path fails FAST on the zero vector (ANSI divide-by-zero)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        ann.assign_cells(jvm_vecs, cent).collect()
+    # ... and agrees with the kernel exactly once the degenerate row is out
+    want = {
+        r.vec_id: r.cid
+        for r in ann.assign_cells(
+            jvm_vecs.filter(F.col("vec_id") > 0), cent
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k > 0} == want
+
+    # zero-norm CENTROID: the kernel must refuse loudly, not diverge
+    bad = [(0, [0.0] * dim)] + centroid_rows
+    with pytest.raises(Exception, match="zero-norm centroid"):
+        ann.assign_cells_bulk(emb, bad).collect()

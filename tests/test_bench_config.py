@@ -47,3 +47,40 @@ def test_min_of_steady_gate_semantics():
     # and the REPORTED steady number is the median, which the spike does
     # not drag to the spike's level
     assert statistics.median(noisy_but_healthy) == 1.2
+
+
+def test_gate_llm_min_gate_and_median_warning():
+    """gate_llm (ADVICE round 5): the min of the steady samples is the
+    HARD gate; a steady MEDIAN above the bound with a passing min is a
+    NON-GATING warning (intermittent-regression visibility), and a query
+    is never listed in both."""
+    name = next(iter(bench.LLM_BASELINE_SF01))
+    target = bench.LLM_BASELINE_SF01[name]
+    bound = 2.0 * target + bench.LLM_GATE_JITTER_S
+    # healthy: min and median both under the bound -> neither output
+    s = [bound * 0.4] * 4
+    reg, warn = bench.gate_llm({name: s}, {}, {name: s[1]})
+    assert reg == {} and warn == {}
+    # intermittent: median above, min below -> warning only
+    s = [bound * 0.4, bound * 1.5, bound * 1.5, bound * 0.9]
+    reg, warn = bench.gate_llm(
+        {name: s}, {}, {name: statistics.median(s[1:])}
+    )
+    assert reg == {} and name in warn
+    # real regression: every sample above -> hard gate, no duplicate warn
+    s = [bound * 1.2] * 4
+    reg, warn = bench.gate_llm({name: s}, {}, {name: s[1]})
+    assert name in reg and warn == {}
+
+
+def test_bench_emits_protocol_marker_and_first_sample_total():
+    """The judge-facing JSON must carry the protocol marker and the
+    r1-r4-comparable first-sample total (ADVICE round 5) so cross-round
+    comparisons cannot silently mix a median-of-4 against a
+    first-timed-sample number. Source-level pin: main() is only runnable
+    under a live session."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert '"value_protocol": "median_of_4"' in src
+    assert '"first_sample_total"' in src

@@ -38,3 +38,34 @@ def test_embeddings_regenerate_identically_and_cluster_centroids():
     labels = a.column("label").to_pylist()
     # one fixed centroid id per cluster: ids 0..15 carry labels 0..15
     assert labels[:N_CLUSTERS] == list(range(N_CLUSTERS))
+
+
+def test_tpch_tables_regenerate_identically_and_join_keys_close():
+    """The join-curve tables (round 6): bit-identical regeneration, sizes
+    exactly s x the sf0.1 bench corpus, and referentially closed keys --
+    every o_custkey resolves to a customer and every l_orderkey to an
+    order, so the join's selectivity (and therefore its scaling slope) is
+    a property of the sizes, not of dangling keys."""
+    from tools.gen_scaling_corpus import (
+        BASE_CUST,
+        BASE_LINEITEM,
+        BASE_ORDERS,
+        gen_tpch,
+    )
+
+    c1, o1, l1 = gen_tpch(1)
+    c2, o2, l2 = gen_tpch(1)
+    assert c1.equals(c2) and o1.equals(o2) and l1.equals(l2)
+    assert (c1.num_rows, o1.num_rows, l1.num_rows) == (
+        BASE_CUST,
+        BASE_ORDERS,
+        BASE_LINEITEM,
+    )
+    import numpy as np
+
+    assert np.asarray(o1.column("o_custkey")).max() < BASE_CUST
+    assert np.asarray(l1.column("l_orderkey")).max() < BASE_ORDERS
+    assert np.asarray(l1.column("l_discount")).max() <= 0.10
+    # the group-by keys span their full domains at every scale
+    assert len(set(c1.column("c_mktsegment").to_pylist())) == 5
+    assert len(set(o1.column("o_orderpriority").to_pylist())) == 5

@@ -118,15 +118,28 @@ def main() -> None:
 
     _dir_for(args.scale)  # generate once, outside any timing
     results = []
+
+    def _flush() -> None:
+        # written after EVERY point (ADVICE round 5): a raised timeout or a
+        # kill mid-sweep must not lose the hours of already-collected points
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
     for cpus in [int(c) for c in args.cpus.split(",")]:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, __file__, "--inner", "--scale", str(args.scale)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--inner", "--scale", str(args.scale)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired as exc:
+            print(f"cpus={cpus}: TIMEOUT after {exc.timeout}s", flush=True)
+            results.append({"cpus": cpus, "error": f"timeout {exc.timeout}s"})
+            _flush()
+            continue
         line = next(
             (
                 l[len("RESULT ") :]
@@ -140,12 +153,13 @@ def main() -> None:
                 f"cpus={cpus}: FAILED\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}",
                 flush=True,
             )
+            results.append({"cpus": cpus, "error": proc.stderr[-500:] or "no output"})
+            _flush()
             continue
         rec = json.loads(line)
         results.append(rec)
         print(json.dumps(rec), flush=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+        _flush()
     print(f"wrote {args.out}", flush=True)
 
 

@@ -39,6 +39,17 @@ DUP_EVERY = 50  # 2% planted near-dup rate
 DIM = 64
 N_CLUSTERS = 16
 
+# TPC-H-ish relational tables for the q_join_multi scaling curve
+# (VERDICT r5 #4): base sizes match sf0.1 exactly (FIXTURES.md), so
+# "scale s" means s× the bench corpus. Only the columns the flagship
+# join touches plus one numeric filler each, to keep generation and IO
+# proportional to the real tables.
+BASE_CUST = 15_000
+BASE_ORDERS = 150_000
+BASE_LINEITEM = 600_000
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
 
 def _token(doc: int, slot: int) -> str:
     h = hashlib.md5(f"{doc}-{slot}".encode()).hexdigest()
@@ -92,6 +103,79 @@ def gen_embeddings(scale: int):
             "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
             "label": pa.array(labels, pa.int32()),
         }
+    )
+
+
+def _dict_col(indices: np.ndarray, values: list[str]) -> pa.Array:
+    """Low-cardinality string column as a dictionary array — parquet keeps
+    the dictionary encoding, so a 38M-row string column costs int32s."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(indices.astype(np.int32)), pa.array(values, pa.string())
+    )
+
+
+def gen_tpch(scale: int):
+    """customer/orders/lineitem at s× the sf0.1 bench corpus, fully
+    vectorized (64× lineitem = 38.4M rows generates in seconds).
+    Deterministic per scale; key distribution uniform (o_custkey round-
+    robin over customers, l_orderkey uniform over orders → mean fan-out 4,
+    same as the bench corpus)."""
+    n_c = BASE_CUST * scale
+    n_o = BASE_ORDERS * scale
+    n_l = BASE_LINEITEM * scale
+    rng = np.random.default_rng(97)
+
+    ck = np.arange(n_c, dtype=np.int64)
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(ck),
+            "c_mktsegment": _dict_col(ck % len(SEGMENTS), SEGMENTS),
+            "c_acctbal": pa.array(rng.uniform(-999, 9999, n_c).round(2)),
+        }
+    )
+
+    ok = np.arange(n_o, dtype=np.int64)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(ok),
+            "o_custkey": pa.array(ok % n_c),
+            "o_orderpriority": _dict_col(
+                (ok * 2654435761 % len(PRIORITIES)), PRIORITIES
+            ),
+            "o_totalprice": pa.array(rng.uniform(900, 500000, n_o).round(2)),
+        }
+    )
+
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n_o, n_l, dtype=np.int64)),
+            "l_extendedprice": pa.array(
+                rng.uniform(900, 105000, n_l).round(2)
+            ),
+            "l_discount": pa.array(
+                rng.integers(0, 11, n_l).astype(np.float64) / 100.0
+            ),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n_l).astype(np.float64)
+            ),
+        }
+    )
+    return customer, orders, lineitem
+
+
+def generate_tpch(scale: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    customer, orders, lineitem = gen_tpch(scale)
+    for name, t in (
+        ("customer", customer),
+        ("orders", orders),
+        ("lineitem", lineitem),
+    ):
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+    print(
+        f"scale {scale}: {customer.num_rows} cust, {orders.num_rows} orders, "
+        f"{lineitem.num_rows} lineitem -> {out_dir}",
+        flush=True,
     )
 
 

@@ -30,9 +30,15 @@ bound.
 
 Writes one JSON object per (pipeline, scale) to stdout and a summary file.
 
-Usage: python tools/scaling_curve.py [--scales 1,4,16,64] [--out SCALING_runs.json]
+Round 6 adds the relational flagship: `--parts join` times q_join_multi
+(3-table join → agg → top-10) over s× the sf0.1 bench corpus
+(tools/gen_scaling_corpus.gen_tpch) and records the final AQE join
+operators so the broadcast→shuffled strategy flip is on the curve.
+
+Usage: python tools/scaling_curve.py [--scales 1,4,16,64]
+         [--parts text,ivf|join] [--out SCALING_runs.json]
 Inner (one JVM, one scale, one pipeline group — invoked by the outer loop):
-  python tools/scaling_curve.py --inner --scale 16 --part text|ivf
+  python tools/scaling_curve.py --inner --scale 16 --part text|ivf|join
 """
 
 from __future__ import annotations
@@ -51,11 +57,22 @@ os.chdir(REPO)
 
 DATA_ROOT = os.path.join(REPO, ".scaling")
 
-PARTS = ("text", "ivf")
+PARTS = ("text", "ivf", "join")
 
 
-def _dir_for(scale: int) -> str:
+def _dir_for(scale: int, part: str = "text") -> str:
     d = os.path.join(DATA_ROOT, f"x{scale}")
+    if part == "join":
+        # relational tables only — a join-curve run must not pay 64x
+        # document generation it never reads
+        if not all(
+            os.path.exists(os.path.join(d, f"{t}.parquet"))
+            for t in ("customer", "orders", "lineitem")
+        ):
+            from tools.gen_scaling_corpus import generate_tpch
+
+            generate_tpch(scale, d)
+        return d
     if not (
         os.path.exists(os.path.join(d, "documents.parquet"))
         and os.path.exists(os.path.join(d, "embeddings.parquet"))
@@ -267,6 +284,47 @@ def _measure_ivf(spark, runtime, d: str, scale: int, cold) -> list[dict]:
     return [rec]
 
 
+def _measure_join(spark, runtime, d: str, scale: int, cold) -> list[dict]:
+    """The relational flagship (VERDICT r5 #4): q_join_multi — 3-table
+    join → group agg → deterministic top-10 — timed cold under the same
+    protocol as the LLM pipelines, over s× the sf0.1 bench corpus. The
+    interesting scale question is the DIM side: at 1× AQE converts the
+    customer⋈orders result to a broadcast build; as orders grows it must
+    degrade to a shuffled join without a code change (the query carries
+    deliberately NO hint). The record keeps the final-plan join operators
+    so the curve shows WHERE the strategy flipped, plus the row counts
+    the wall time should track."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity with peers)
+
+    from mapreduce_machine_learning_spark.io import load_table as T
+    from mapreduce_machine_learning_spark.operators import relational
+
+    t_med, t_samples, n_rows = cold(
+        lambda: relational.q_join_multi(spark, d)
+    )
+    # final adaptive plan of a fresh run (collect finalizes AQE)
+    df = relational.q_join_multi(spark, d)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [
+        op
+        for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        if op in plan
+    ]
+    rec = {
+        "pipeline": "join_multi",
+        "scale": scale,
+        "cold_s": t_med,
+        "samples_s": t_samples,
+        "n_lineitem": T(spark, d, "lineitem").count(),
+        "n_orders": T(spark, d, "orders").count(),
+        "result_rows": n_rows,
+        "join_ops": sorted(set(joins)),
+    }
+    print(json.dumps(rec), flush=True)
+    return [rec]
+
+
 def inner(scale: int, part: str) -> None:
     """Measure one pipeline group at one scale in this (fresh) JVM."""
     from pyspark.sql import SparkSession
@@ -308,8 +366,12 @@ def inner(scale: int, part: str) -> None:
         med = round(statistics.median(ts), 3)
         return med, ts, n
 
-    d = _dir_for(scale)
-    measure = _measure_text if part == "text" else _measure_ivf
+    d = _dir_for(scale, part)
+    measure = {
+        "text": _measure_text,
+        "ivf": _measure_ivf,
+        "join": _measure_join,
+    }[part]
     results = measure(spark, runtime, d, scale, cold)
 
     for rec in results:
@@ -323,6 +385,9 @@ def main() -> None:
     ap.add_argument("--scales", default="1,4,16,64")
     ap.add_argument("--scale", type=int, default=16)
     ap.add_argument("--part", choices=PARTS, default="text")
+    # default preserves the round-5 sweep; the join curve runs separately
+    # (python tools/scaling_curve.py --parts join --out SCALING_join_runs.json)
+    ap.add_argument("--parts", default="text,ivf")
     ap.add_argument("--out", default="SCALING_runs.json")
     args = ap.parse_args()
 
@@ -330,26 +395,51 @@ def main() -> None:
         inner(args.scale, args.part)
         return
 
+    parts = [p for p in args.parts.split(",") if p]
+    assert all(p in PARTS for p in parts), f"unknown part in {parts}"
     scales = [int(s) for s in args.scales.split(",")]
     for s in scales:
-        _dir_for(s)  # generate once, outside any timing
+        for p in parts:
+            _dir_for(s, p)  # generate once, outside any timing
     results = []
+
+    def _flush() -> None:
+        # written after EVERY point (ADVICE round 5): a raised timeout or a
+        # kill mid-sweep must not lose the hours of already-collected points
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
     for s in scales:
-        for part in PARTS:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    __file__,
-                    "--inner",
-                    "--scale",
-                    str(s),
-                    "--part",
-                    part,
-                ],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
+        for part in parts:
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        __file__,
+                        "--inner",
+                        "--scale",
+                        str(s),
+                        "--part",
+                        part,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+            except subprocess.TimeoutExpired as exc:
+                print(
+                    f"scale={s} part={part}: TIMEOUT after {exc.timeout}s",
+                    flush=True,
+                )
+                results.append(
+                    {
+                        "pipeline": part,
+                        "scale": s,
+                        "error": f"timeout {exc.timeout}s",
+                    }
+                )
+                _flush()
+                continue
             recs = [
                 json.loads(l[len("RESULT ") :])
                 for l in proc.stdout.splitlines()
@@ -361,12 +451,19 @@ def main() -> None:
                     f"{proc.stderr[-2000:]}",
                     flush=True,
                 )
+                results.append(
+                    {
+                        "pipeline": part,
+                        "scale": s,
+                        "error": proc.stderr[-500:] or "no output",
+                    }
+                )
+                _flush()
                 continue
             results.extend(recs)
             for rec in recs:
                 print(json.dumps(rec), flush=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+            _flush()
     print(f"wrote {args.out}", flush=True)
 
 

@@ -572,10 +572,14 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
 def q_llm_sim_threshold(spark, sf_dir):
     """All-pairs cosine above a threshold, blocked by label (the blocking
     keeps it ~10×n² instead of (10n)² — same pattern as LSH banding). The
-    contract threshold is 0.3, not SURVEY's 0.9: the synthetic embeddings
-    are not label-clustered (max within-label cosine ≈ 0.47), so 0.9 selects
-    nothing. 100 TB path: replace the label block with LSH/IVF buckets —
-    implemented as q_llm_dedup_semantic_ann (operators/ann.py)."""
+    contract threshold is 0.3, not the 0.9 SURVEY §2.8's table originally
+    wrote: the synthetic embeddings are not label-clustered (max
+    within-label cosine ≈ 0.47), so 0.9 selects nothing — recorded as the
+    round-6 erratum under the §2.8 table (SURVEY.md), which also notes 0.9
+    stays the right default for real clustered embedding corpora; the
+    threshold is a parameter here, not plan structure. 100 TB path:
+    replace the label block with LSH/IVF buckets — implemented as
+    q_llm_dedup_semantic_ann (operators/ann.py)."""
     # Label blocks scored as CHUNK-PAIR gram matrices (BLAS inside Arrow
     # applyInPandas, task memory capped at 2·256 vectors — see
     # _blocked_cosine_pairs): the n² cosines still cost matmuls, but a hot

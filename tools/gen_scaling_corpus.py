@@ -139,8 +139,12 @@ def gen_tpch(scale: int):
         {
             "o_orderkey": pa.array(ok),
             "o_custkey": pa.array(ok % n_c),
+            # rng, NOT an affine function of o_orderkey: any (a*ok+b) % 5
+            # is a bijection of ok % 5 and therefore perfectly correlated
+            # with c_mktsegment = o_custkey % 5 — which collapsed the
+            # 5×5 = 25 group-by combinations to 5 on the first cut
             "o_orderpriority": _dict_col(
-                (ok * 2654435761 % len(PRIORITIES)), PRIORITIES
+                rng.integers(0, len(PRIORITIES), n_o), PRIORITIES
             ),
             "o_totalprice": pa.array(rng.uniform(900, 500000, n_o).round(2)),
         }

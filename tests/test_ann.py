@@ -658,3 +658,53 @@ def test_assign_paths_agree_on_zero_norm_vector(spark):
     bad = [(0, [0.0] * dim)] + centroid_rows
     with pytest.raises(Exception, match="zero-norm centroid"):
         ann.assign_cells_bulk(emb, bad).collect()
+
+
+def test_cell_probe_kernel_ranking_matches_per_row_reference():
+    """The round-6 lexsort vectorization must compute the SAME total order
+    (round-6 score DESC, then cid ASC) as a per-row reference sort, for
+    nprobe=1 (bulk build) AND nprobe=4 (the batch/stream probe), on random
+    scores AND forced exact r6-grid ties. Pure-numpy path through the real
+    kernel object -- no Spark session."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_machine_learning_spark.determinism import np_r6
+
+    rng = np.random.default_rng(11)
+    k, dim, n = 7, 16, 300
+    # non-contiguous, unsorted-by-position cids: ranking must follow the
+    # cid VALUES, not the centroid array positions
+    cids = [5, 2, 9, 0, 7, 3, 8]
+    C = rng.normal(size=(k, dim))
+    centroids = [(c, [float(x) for x in C[i]]) for i, c in enumerate(cids)]
+    M = rng.normal(size=(n, dim))
+    # force exact ties: rows 0..9 are copies of centroid directions scaled,
+    # so several centroids share the tied top score after rounding
+    M[0] = C[0] * 2.0
+    M[1] = (C[0] / np.linalg.norm(C[0]) + C[1] / np.linalg.norm(C[1]))
+
+    for nprobe in (1, 4):
+        kern = ann.make_cell_probe_kernel(centroids, nprobe=nprobe)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(n), dtype="int64"),
+                "embedding": [row.astype("float64") for row in M],
+            }
+        )
+        out = pd.concat(list(kern(iter([pdf]))))
+        got = {
+            vid: list(g["cid"]) for vid, g in out.groupby("vec_id", sort=True)
+        }
+        # reference: the pre-round-6 per-row sort over the same r6 scores
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np_r6(Mn @ Cn.T)
+        for i in range(n):
+            ref = [
+                cids[j]
+                for j in sorted(
+                    range(k), key=lambda j: (-S[i, j], cids[j])
+                )[:nprobe]
+            ]
+            assert got[i] == ref, f"vec {i} nprobe {nprobe}: {got[i]} != {ref}"

@@ -69,3 +69,31 @@ def test_tpch_tables_regenerate_identically_and_join_keys_close():
     # the group-by keys span their full domains at every scale
     assert len(set(c1.column("c_mktsegment").to_pylist())) == 5
     assert len(set(o1.column("o_orderpriority").to_pylist())) == 5
+
+
+def test_join_curve_corpus_drives_unmodified_q_join_multi(spark, tmp_path):
+    """End-to-end pin of the join scaling harness: the generated TPC-H-ish
+    tables must drive the UNMODIFIED q_join_multi (that is the whole point
+    of matching the bench schemas) and produce the full top-10 -- the
+    round-6 generator bug this guards against collapsed the 25 group-by
+    combinations to 5 via a key correlation, which silently shrank the
+    result to 5 rows while timings kept looking plausible."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_machine_learning_spark.operators import relational
+    from tools.gen_scaling_corpus import generate_tpch
+
+    d = str(tmp_path / "x1")
+    generate_tpch(1, d)
+    rows = relational.q_join_multi(spark, d).collect()
+    assert len(rows) == 10
+    got_cols = list(rows[0].asDict())
+    assert got_cols == ["c_mktsegment", "o_orderpriority", "revenue"]
+    # deterministic top-10: revenue strictly ordered desc with tie-break
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # both group keys span their domains in the result's source tables
+    seg = pq.read_table(os.path.join(d, "customer.parquet"))
+    assert len(set(seg.column("c_mktsegment").to_pylist())) == 5

@@ -13,7 +13,10 @@ Pipelines timed (cold protocol identical to tools/scaling_curve.py: one
 warm run, then four cold-timed runs with runtime.release_all() first;
 the median carries the curve, all samples recorded):
   * neardup   — full q_llm_neardup_pairs pipeline;
-  * ivf_build — _ivf_cells assignment over every vector.
+  * ivf_build — _ivf_cells assignment over every vector;
+  * join      — q_join_multi over the s× TPC-H-ish corpus (round 6:
+    strong-scaling for the sort-merge-join regime; select with
+    --pipelines join).
 
 A pipeline whose work is map-side-dominated with one bounded shuffle should
 show wall time falling with cores until fixed per-stage scheduling cost
@@ -43,9 +46,16 @@ sys.path.insert(0, REPO)
 os.chdir(REPO)
 
 
-def _dir_for(scale: int) -> str:
+def _dir_for(scale: int, pipelines: tuple[str, ...] = ("neardup", "ivf")) -> str:
     d = os.path.join(REPO, ".scaling", f"x{scale}")
-    if not (
+    if "join" in pipelines and not all(
+        os.path.exists(os.path.join(d, f"{t}.parquet"))
+        for t in ("customer", "orders", "lineitem")
+    ):
+        from tools.gen_scaling_corpus import generate_tpch
+
+        generate_tpch(scale, d)
+    if {"neardup", "ivf"} & set(pipelines) and not (
         os.path.exists(os.path.join(d, "documents.parquet"))
         and os.path.exists(os.path.join(d, "embeddings.parquet"))
     ):
@@ -55,9 +65,9 @@ def _dir_for(scale: int) -> str:
     return d
 
 
-def inner(scale: int) -> None:
+def inner(scale: int, pipelines: tuple[str, ...]) -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    d = _dir_for(scale)
+    d = _dir_for(scale, pipelines)
 
     from pyspark.sql import SparkSession
 
@@ -94,12 +104,20 @@ def inner(scale: int) -> None:
         return round(statistics.median(ts), 3), ts
 
     out = {"cpus": cpus, "scale": scale}
-    out["neardup_s"], out["neardup_samples_s"] = cold(
-        lambda: llm.q_llm_neardup_pairs(spark, d)
-    )
-    out["ivf_build_s"], out["ivf_build_samples_s"] = cold(
-        lambda: ann._ivf_cells(spark, d)
-    )
+    if "neardup" in pipelines:
+        out["neardup_s"], out["neardup_samples_s"] = cold(
+            lambda: llm.q_llm_neardup_pairs(spark, d)
+        )
+    if "ivf" in pipelines:
+        out["ivf_build_s"], out["ivf_build_samples_s"] = cold(
+            lambda: ann._ivf_cells(spark, d)
+        )
+    if "join" in pipelines:
+        from mapreduce_machine_learning_spark.operators import relational
+
+        out["join_s"], out["join_samples_s"] = cold(
+            lambda: relational.q_join_multi(spark, d)
+        )
     print("RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -109,14 +127,20 @@ def main() -> None:
     ap.add_argument("--inner", action="store_true")
     ap.add_argument("--cpus", default="2,4,8,16,32")
     ap.add_argument("--scale", type=int, default=16)
+    # default preserves the round-5 sweeps; the join strong-scaling run is
+    # python tools/cores_sweep.py --pipelines join --cpus 8,16,32 --scale 64
+    ap.add_argument("--pipelines", default="neardup,ivf")
     ap.add_argument("--out", default="CORES_runs.json")
     args = ap.parse_args()
 
+    pipelines = tuple(p for p in args.pipelines.split(",") if p)
+    assert all(p in ("neardup", "ivf", "join") for p in pipelines), pipelines
+
     if args.inner:
-        inner(args.scale)
+        inner(args.scale, pipelines)
         return
 
-    _dir_for(args.scale)  # generate once, outside any timing
+    _dir_for(args.scale, pipelines)  # generate once, outside any timing
     results = []
 
     def _flush() -> None:
@@ -129,7 +153,15 @@ def main() -> None:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--inner", "--scale", str(args.scale)],
+                [
+                    sys.executable,
+                    __file__,
+                    "--inner",
+                    "--scale",
+                    str(args.scale),
+                    "--pipelines",
+                    args.pipelines,
+                ],
                 env=env,
                 capture_output=True,
                 text=True,

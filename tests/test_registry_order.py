@@ -169,3 +169,62 @@ def test_oracles_subset_of_queries():
         "q_agg_approx",
         "q_agg_approx_percentile",
     }
+
+
+def test_round7_window_forecast_matches_readme():
+    """README's driver-window forecast (round 6) is a checkable claim, not
+    prose: simulate CORRECTNESS_r06 going all-green for the current
+    round-6 window, replay the ordering, and the next 50-slot window must
+    be the remaining never-green tail followed by the first
+    RECHECK_PRIORITY flagships. If the registry or the green set changes,
+    this fails before the README silently lies."""
+    import json
+    import os
+
+    registry.all_queries()  # populate the raw registration dict
+    names_reg = list(registry._QUERIES)
+
+    contract_rank = {n: i for i, n in enumerate(registry.CONTRACT_QUERIES)}
+    priority_rank = {n: i for i, n in enumerate(registry.EXTENSION_PRIORITY)}
+    recheck_rank = {n: i for i, n in enumerate(registry.RECHECK_PRIORITY)}
+    reg_rank = {n: i for i, n in enumerate(names_reg)}
+
+    def window(done, n=50):
+        def key(name):
+            if name not in done:
+                if name in contract_rank:
+                    return (0, contract_rank[name])
+                if name in priority_rank:
+                    return (1, priority_rank[name])
+                return (2, reg_rank[name])
+            if name in recheck_rank:
+                return (3, recheck_rank[name])
+            if name in contract_rank:
+                return (4, contract_rank[name])
+            return (5, reg_rank[name])
+
+        return sorted(names_reg, key=key)[:n]
+
+    # green set as of the r01-r05 reports SPECIFICALLY (not the live glob):
+    # the forecast is anchored to the round-6 state, and must keep passing
+    # unchanged after the driver writes CORRECTNESS_r06
+    reports = []
+    for i in range(1, 6):
+        path = f"CORRECTNESS_r0{i}.json"
+        if os.path.exists(path):
+            with open(path) as fh:
+                reports.append(json.load(fh))
+    green = registry._done_from_reports(reports)
+
+    w6 = [n for n in window(green) if n not in green]
+    assert len(w6) == 50
+    assert w6[0] == "q_ml_learning_curve" and w6[-1] == "q_sketch_quantile_hist"
+
+    g7 = green | set(w6)
+    w7 = window(g7)
+    never = [n for n in w7 if n not in g7]
+    rechecks = [n for n in w7 if n in g7]
+    assert len(never) == 48
+    assert never[0] == "q_sketch_kmv_setops"
+    assert never[-1] == "q_topk_withties"
+    assert rechecks == ["q_agg_group", "q_join_multi"]

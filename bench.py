@@ -47,6 +47,15 @@ LLM_BASELINE_SF01 = {
 }
 LLM_GATE_JITTER_S = 0.25
 
+# BENCH_r04's headline steady total (the fastest honest full-session
+# measurement on record) — the reference for the host-drift hint below.
+# This box drifts 1.5-1.9x between sessions on identical code (BASELINE.md
+# machine-variance notes, rounds 5-6), and the LLM gate targets are r4
+# steady samples, so a same-run headline ratio >> 1 says a flagged LLM
+# "regression" is likely the host, not a plan (the r6 note records the
+# min gate falsely tripping at ratio ~1.7 on byte-identical code).
+HEADLINE_STEADY_R4_TOTAL_S = 1.6655  # BENCH_r04.json steady_total
+
 
 def gate_llm(
     llm_samples: dict[str, list[float]],
@@ -248,6 +257,12 @@ def main() -> None:
                 "queries": timings,
                 "queries_steady": steady,
                 "steady_total": round(sum(steady.values()), 4),
+                # informational: same-run headline level vs the r4
+                # reference — the mechanical drift attribution for any
+                # llm_regressions entry (see HEADLINE_STEADY_R4_TOTAL_S)
+                "host_drift_hint": round(
+                    sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S, 3
+                ),
                 "headline_samples": headline_samples,
                 "llm_pipeline": extra,
                 "llm_steady": llm_steady,

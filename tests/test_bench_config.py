@@ -84,3 +84,25 @@ def test_bench_emits_protocol_marker_and_first_sample_total():
     src = inspect.getsource(bench.main)
     assert '"value_protocol": "median_of_4"' in src
     assert '"first_sample_total"' in src
+
+
+def test_host_drift_hint_reference_matches_r4_artifact():
+    """The drift-hint denominator must be BENCH_r04's actual steady total,
+    not a transcribed approximation -- the hint exists so a flagged LLM
+    regression can be attributed mechanically, which only works if the
+    reference is the real artifact value."""
+    import json
+    import os
+    import re
+
+    assert bench.HEADLINE_STEADY_R4_TOTAL_S > 0
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_r04.json")
+    if not os.path.exists(path):  # artifact pruned: constant stands alone
+        return
+    with open(path) as fh:
+        tail = json.load(fh)["tail"]
+    m = re.search(r'\{"metric".*', tail)
+    rec = json.loads(m.group(0).split("\r")[0])
+    assert bench.HEADLINE_STEADY_R4_TOTAL_S == rec["steady_total"]
+    src = __import__("inspect").getsource(bench.main)
+    assert '"host_drift_hint"' in src

@@ -106,3 +106,21 @@ def test_host_drift_hint_reference_matches_r4_artifact():
     assert bench.HEADLINE_STEADY_R4_TOTAL_S == rec["steady_total"]
     src = __import__("inspect").getsource(bench.main)
     assert '"host_drift_hint"' in src
+
+
+def test_shuffle_audit_size_parser():
+    """tools/shuffle_audit.py's SQLMetric size parser: single-value and
+    two-line 'total (min, med, max)' formats must both yield the TOTAL in
+    bytes; non-size strings (timing metrics, row counts) must be None --
+    the two-line format silently zeroed multi-task rows on the first cut."""
+    from tools.shuffle_audit import parse_size
+
+    assert parse_size("1312.0 B") == 1312
+    assert parse_size("2.1 MiB") == int(2.1 * 1024 * 1024)
+    two_line = (
+        "total (min, med, max (stageId: taskId))\n"
+        "212.0 B (58.0 B, 58.0 B, 96.0 B (stage 1.0: task 3))"
+    )
+    assert parse_size(two_line) == 212
+    assert parse_size("3 ms (1 ms, 1 ms, 1 ms)") is None
+    assert parse_size("600,000") is None

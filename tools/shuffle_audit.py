@@ -1,0 +1,178 @@
+"""Measured shuffle VOLUME per query across data scales.
+
+ARCHITECTURE.md's shuffle-economics rules ("aggregations shuffle
+statistics, not data"; "dimension joins broadcast, fact joins shuffle
+facts") are plan-shape-gated by tests/test_plans.py, but the VOLUME claim
+behind them was argued, not measured. This tool measures it: run a query
+at sf0.001 / sf0.01 / sf0.1 (100× input growth), read every Exchange's
+"shuffle bytes written" and every BroadcastExchange's "data size" from
+the SQLAppStatusStore after the collect, and report how the moved bytes
+scale with the input.
+
+What the numbers should show (and SCALING.md records):
+  * keyed aggregations (q_agg_group, q_agg_global, q_stream_tumble) move
+    a near-CONSTANT number of bytes at any input size — the partial
+    aggregate emits one row per (partition, group), so the exchange
+    carries statistics;
+  * joins/windows/dedup (q_join_multi, q_win_rank, q_llm_dedup_exact)
+    move bytes LINEAR in their fact input — the fact rows themselves (or
+    their md5 keys) are the shuffle payload — while dimension sides stay
+    broadcast;
+  * nothing moves super-linear bytes anywhere.
+
+One shared session (metrics are per-execution, so cross-query state
+cannot mix them); `runtime.plan_audit_mode` disables the session memo so
+each execution's plan carries its full pipeline.
+
+Usage: python tools/shuffle_audit.py [--out SHUFFLE_audit.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+QUERIES = [
+    "q_agg_global",
+    "q_agg_group",
+    "q_stream_tumble",
+    "q_win_rank",
+    "q_join_multi",
+    "q_llm_dedup_exact",
+    "q_llm_minhash",
+]
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+_UNITS = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3, "TiB": 1024**4}
+
+
+def parse_size(s: str) -> int | None:
+    """SQLMetric size strings. Single-task metrics render as '1312.0 B' /
+    '2.1 MiB'; multi-task ones render as TWO lines — a 'total (min, med,
+    max (stageId: taskId))' header, then '212.0 B (58.0 B, 58.0 B, …)'
+    with the TOTAL leading. Take the first line that starts with a size.
+    Returns bytes, or None for non-size strings (timing metrics etc.)."""
+    for line in s.strip().splitlines():
+        m = re.match(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)\b", line.strip())
+        if m:
+            return int(float(m.group(1)) * _UNITS[m.group(2)])
+    return None
+
+
+def execution_volumes(spark, eid: int) -> dict:
+    """Sum shuffle bytes written / broadcast data size over the physical
+    graph of one SQL execution. Drains the listener bus first: SQL metrics
+    aggregate asynchronously after the collect returns, and reading too
+    early returns an empty metric map (observed as a spurious
+    0-shuffle-bytes row on a busy session)."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30000)
+    except Exception:
+        try:  # Spark versions where waitUntilEmpty takes no timeout
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            import time
+
+            time.sleep(1.0)
+    ss = spark._jsparkSession.sharedState().statusStore()
+    vals = ss.executionMetrics(eid)
+    g = ss.planGraph(eid)
+    shuffle = broadcast = 0
+    n_ex = n_bx = 0
+    it = g.allNodes().iterator()
+    while it.hasNext():
+        node = it.next()
+        name = node.name()
+        mit = node.metrics().iterator()
+        while mit.hasNext():
+            metric = mit.next()
+            if not vals.contains(metric.accumulatorId()):
+                continue
+            size = parse_size(vals.apply(metric.accumulatorId()))
+            if size is None:
+                continue
+            if metric.name() == "shuffle bytes written":
+                shuffle += size
+                n_ex += 1
+            elif name == "BroadcastExchange" and metric.name() == "data size":
+                broadcast += size
+                n_bx += 1
+    return {
+        "shuffle_bytes": shuffle,
+        "broadcast_bytes": broadcast,
+        "n_shuffle_writes": n_ex,
+        "n_broadcasts": n_bx,
+    }
+
+
+def last_execution_id(spark) -> int:
+    execs = spark._jsparkSession.sharedState().statusStore().executionsList()
+    return execs.apply(execs.size() - 1).executionId()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SHUFFLE_audit.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("mrml-shuffle-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mapreduce_machine_learning_spark import runtime
+    from mapreduce_machine_learning_spark.io import load_table
+    from mapreduce_machine_learning_spark.registry import all_queries
+
+    qs = all_queries()
+    results = []
+    runtime.plan_audit_mode(True)
+    try:
+        for sf_dir in SF_DIRS:
+            n_li = load_table(spark, sf_dir, "lineitem").count()
+            n_docs = load_table(spark, sf_dir, "documents").count()
+            n_events = load_table(spark, sf_dir, "events").count()
+            for name in QUERIES:
+                qs[name](spark, sf_dir).collect()
+                rec = {
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "lineitem_rows": n_li,
+                    "documents_rows": n_docs,
+                    "events_rows": n_events,
+                    **execution_volumes(spark, last_execution_id(spark)),
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    finally:
+        runtime.plan_audit_mode(False)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,10 @@ cannot mix them); `runtime.plan_audit_mode` disables the session memo so
 each execution's plan carries its full pipeline.
 
 Usage: python tools/shuffle_audit.py [--out SHUFFLE_audit.json]
+         [--dirs D1,D2,...] [--queries q1,q2,...]
+(--dirs/--queries override the defaults — e.g. the sort-merge-regime
+check over the scaling corpora:
+ --dirs .scaling/x1,.scaling/x16,.scaling/x64 --queries q_join_multi)
 """
 
 from __future__ import annotations
@@ -125,7 +129,11 @@ def last_execution_id(spark) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SHUFFLE_audit.json")
+    ap.add_argument("--dirs", default=",".join(SF_DIRS))
+    ap.add_argument("--queries", default=",".join(QUERIES))
     args = ap.parse_args()
+    sf_dirs = [d for d in args.dirs.split(",") if d]
+    queries = [q for q in args.queries.split(",") if q]
 
     from pyspark.sql import SparkSession
 
@@ -150,18 +158,17 @@ def main() -> None:
     results = []
     runtime.plan_audit_mode(True)
     try:
-        for sf_dir in SF_DIRS:
-            n_li = load_table(spark, sf_dir, "lineitem").count()
-            n_docs = load_table(spark, sf_dir, "documents").count()
-            n_events = load_table(spark, sf_dir, "events").count()
-            for name in QUERIES:
+        for sf_dir in sf_dirs:
+            counts = {}
+            for t in ("lineitem", "documents", "events"):
+                if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+                    counts[f"{t}_rows"] = load_table(spark, sf_dir, t).count()
+            for name in queries:
                 qs[name](spark, sf_dir).collect()
                 rec = {
                     "query": name,
                     "sf_dir": sf_dir,
-                    "lineitem_rows": n_li,
-                    "documents_rows": n_docs,
-                    "events_rows": n_events,
+                    **counts,
                     **execution_volumes(spark, last_execution_id(spark)),
                 }
                 results.append(rec)

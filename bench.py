@@ -79,7 +79,9 @@ def gate_llm(
     median_warns: dict = {}
     for name, target in LLM_BASELINE_SF01.items():
         ss = llm_samples.get(name)
-        got = min(ss[1:]) if ss else extra.get(name)
+        # len guard (ADVICE r6): a 1-sample list has no steady window, so
+        # fall back to `extra` rather than min() of an empty slice.
+        got = min(ss[1:]) if ss and len(ss) > 1 else extra.get(name)
         bound = 2.0 * target + LLM_GATE_JITTER_S
         if got is not None and got > bound:
             regressions[name] = {"sec": got, "target": target}

@@ -342,7 +342,7 @@ _IVF_CTE = f"""
 CELL_PROBE_SCHEMA = "vec_id long, cid long"
 
 
-def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
+def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE, strict=False):
     """Arrow-batch IVF cell-probe kernel: each incoming vector is assigned
     its top-``nprobe`` cells by ROUND-6 cosine to the given centroids (tie
     → lowest cid) — the same RANKING RULE as the batch probe in
@@ -375,7 +375,11 @@ def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
     therefore keeps nonzero query norms as its precondition; zero-norm
     CENTROIDS are rejected loudly here (they would make every kernel
     cosine 0.0 while ANSI errors JVM-side) — trivially satisfied by the
-    sampled-row centroids `ivf_centroid_rows` produces. All pinned by
+    sampled-row centroids `ivf_centroid_rows` produces. ``strict=True``
+    (ADVICE r6) makes zero-norm INPUT vectors raise too, aligning the
+    Arrow path with the JVM fail-fast build contract — `assign_cells_bulk`
+    passes it by default so only the stream probe keeps the lenient
+    degrade. All pinned by
     tests/test_ann.py::test_assign_paths_agree_on_zero_norm_vector."""
 
     def kernel(it):
@@ -394,6 +398,11 @@ def make_cell_probe_kernel(centroids, nprobe=_IVF_NPROBE):
                 continue
             M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             mn = np.linalg.norm(M, axis=1, keepdims=True)
+            if strict and (mn == 0.0).any():
+                bad = pdf["vec_id"].to_numpy()[mn.ravel() == 0.0][:5]
+                raise ValueError(
+                    f"zero-norm vector in strict (build) mode: vec_id {bad}"
+                )
             Mn = M / np.where(mn == 0.0, 1.0, mn)  # zero-norm guard
             S = np_r6(Mn @ Cn.T)  # (n, k) round-6 cosines
             ids = pdf["vec_id"].to_numpy()
@@ -491,7 +500,7 @@ def assign_cells(vectors, cent):
     )
 
 
-def assign_cells_bulk(vectors, centroid_rows):
+def assign_cells_bulk(vectors, centroid_rows, strict=True):
     """(vec_id, cid) Arrow-kernel spherical assignment — the BULK-BUILD
     fast path for the same argmax rule as `assign_cells` (highest round-6
     cosine, tie → lowest cid), scored as one BLAS matmul per Arrow batch
@@ -515,8 +524,14 @@ def assign_cells_bulk(vectors, centroid_rows):
     `ivf_centroid_rows` — parameters, not data; each task closes over it,
     so the plan is a single mapInPandas over the embedding scan with no
     join or shuffle at all.
+
+    ``strict=True`` (the default, ADVICE r6): an index BUILD fails fast on
+    zero-norm input vectors — the same contract the JVM `assign_cells`
+    path enforces via ANSI DIVIDE_BY_ZERO — instead of silently assigning
+    them to the lowest cid. Pass ``strict=False`` only when the lenient
+    stream-probe degrade is explicitly wanted.
     """
-    kernel = make_cell_probe_kernel(centroid_rows, nprobe=1)
+    kernel = make_cell_probe_kernel(centroid_rows, nprobe=1, strict=strict)
     return vectors.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id bigint, cid bigint"
     )

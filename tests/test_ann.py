@@ -608,9 +608,12 @@ def test_assign_paths_agree_on_zero_norm_vector(spark):
     a live stream probe; before the guard, Python/NumPy sorts over NaN
     keys were order-dependent. The JVM contract path is DELIBERATELY
     different: Spark 4 ANSI mode raises DIVIDE_BY_ZERO -- an index build
-    fails fast on degenerate input. Both behaviors are pinned; path
-    AGREEMENT keeps nonzero norms as its precondition, and zero-norm
-    CENTROIDS are rejected loudly by the kernel."""
+    fails fast on degenerate input. Since ADVICE r6 the bulk BUILD entry
+    shares that fail-fast contract by default (strict=True); the lenient
+    degrade is opt-in (strict=False) and reserved for the stream probe.
+    All three behaviors are pinned; path AGREEMENT keeps nonzero norms as
+    its precondition, and zero-norm CENTROIDS are rejected loudly by the
+    kernel."""
     import numpy as np
     import pytest
     from pyspark.sql import functions as F
@@ -626,7 +629,12 @@ def test_assign_paths_agree_on_zero_norm_vector(spark):
         "vec_id bigint, embedding array<float>",
     )
 
-    bulk = ann.assign_cells_bulk(emb, centroid_rows)
+    # default (build) mode fails FAST on the zero vector, like the JVM path
+    with pytest.raises(Exception, match="zero-norm vector in strict"):
+        ann.assign_cells_bulk(emb, centroid_rows).collect()
+
+    # lenient (stream-probe) mode degrades deterministically instead
+    bulk = ann.assign_cells_bulk(emb, centroid_rows, strict=False)
     got = {r.vec_id: r.cid for r in bulk.collect()}
     assert got[0] == 3  # zero vector -> all-tie -> lowest cid, every time
 

@@ -1,0 +1,183 @@
+"""Round-7 pins for the ADVICE r6 measurement-tool fixes — no SparkSession.
+
+Each test pins one of the six round-6 advisor findings so a regression
+reintroducing the original defect fails loudly:
+  * gate_llm on a 1-element sample list (bench.py:81),
+  * headline-probe totals nulled on errored queries (headline_probe.py),
+  * shuffle-volume accumulator dedup under exchange reuse (shuffle_audit.py),
+  * CLI part/pipeline validation surviving `python -O` (scaling_curve.py,
+    cores_sweep.py).
+The ann.py strict-build finding is pinned in
+tests/test_ann.py::test_assign_paths_agree_on_zero_norm_vector.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_gate_llm_single_sample_falls_back_to_extra():
+    """A 1-element samples list has no steady window: gate_llm must not
+    raise (min of an empty slice) and must read the `extra` fallback
+    instead (ADVICE r6, bench.py:81)."""
+    name = next(iter(bench.LLM_BASELINE_SF01))
+    target = bench.LLM_BASELINE_SF01[name]
+    bound = 2.0 * target + bench.LLM_GATE_JITTER_S
+    # one sample only -> falls back to extra, which is over the bound
+    regr, warns = bench.gate_llm(
+        {name: [0.01]}, {name: bound + 1.0}, {}
+    )
+    assert name in regr and regr[name]["sec"] == bound + 1.0
+    # one sample, no extra -> no crash, no verdict
+    regr, warns = bench.gate_llm({name: [0.01]}, {}, {})
+    assert name not in regr
+
+
+def test_headline_probe_summarize_nulls_total_on_error():
+    """An errored/timed-out probe query must null the fresh-JVM total and
+    flag the run incomplete — a partial sum would read as a FAST host
+    state in BASELINE.md variance rows (ADVICE r6)."""
+    from tools.headline_probe import summarize
+
+    ok = [{"query": "a", "median_s": 1.5}, {"query": "b", "median_s": 0.5}]
+    assert summarize(ok) == (2.0, False)
+    assert summarize(ok + [{"query": "c", "error": "timeout"}]) == (None, True)
+
+
+class _JIter:
+    def __init__(self, items):
+        self._items = list(items)
+
+    def hasNext(self):
+        return bool(self._items)
+
+    def next(self):
+        return self._items.pop(0)
+
+
+class _JColl:
+    def __init__(self, items):
+        self._items = items
+
+    def iterator(self):
+        return _JIter(self._items)
+
+
+class _Metric:
+    def __init__(self, name, acc):
+        self._name, self._acc = name, acc
+
+    def name(self):
+        return self._name
+
+    def accumulatorId(self):
+        return self._acc
+
+
+class _Node:
+    def __init__(self, name, metrics):
+        self._name, self._metrics = name, metrics
+
+    def name(self):
+        return self._name
+
+    def metrics(self):
+        return _JColl(self._metrics)
+
+
+class _Vals:
+    def __init__(self, d):
+        self._d = d
+
+    def contains(self, k):
+        return k in self._d
+
+    def apply(self, k):
+        return self._d[k]
+
+
+class _Obj:
+    """Attribute/call chain stub: every attribute is a callable returning
+    the configured leaf or another _Obj."""
+
+    def __init__(self, leaves=None):
+        self._leaves = leaves or {}
+
+    def __getattr__(self, item):
+        leaf = self._leaves.get(item)
+        if leaf is not None:
+            return lambda *a, **k: leaf
+        return lambda *a, **k: _Obj(self._leaves)
+
+
+def _fake_spark(nodes, vals):
+    class _Store:
+        def executionMetrics(self, eid):
+            return _Vals(vals)
+
+        def planGraph(self, eid):
+            return _Obj({"allNodes": _JColl(nodes)})
+
+    class _Shared:
+        def statusStore(self):
+            return _Store()
+
+    class _JSession:
+        def sharedState(self):
+            return _Shared()
+
+    class _Spark:
+        sparkContext = _Obj()  # listenerBus().waitUntilEmpty() no-ops
+        _jsparkSession = _JSession()
+
+    return _Spark()
+
+
+def test_shuffle_audit_dedupes_reused_exchange_accumulators():
+    """ReusedExchange nodes share accumulator IDs with the original
+    Exchange; the byte sum must count each accumulator ONCE or plans with
+    exchange reuse double-count shuffle volume (ADVICE r6,
+    shuffle_audit.py:96)."""
+    from tools.shuffle_audit import execution_volumes
+
+    m = _Metric("shuffle bytes written", 7)
+    nodes = [
+        _Node("Exchange", [m]),
+        _Node("ReusedExchange", [_Metric("shuffle bytes written", 7)]),
+        _Node("Exchange", [_Metric("shuffle bytes written", 9)]),
+        _Node(
+            "BroadcastExchange",
+            [_Metric("data size", 11), _Metric("data size", 11)],
+        ),
+    ]
+    vals = {7: "100.0 B", 9: "50.0 B", 11: "8.0 B"}
+    out = execution_volumes(_fake_spark(nodes, vals), 0)
+    assert out["shuffle_bytes"] == 150  # 100 once + 50, NOT 250
+    assert out["n_shuffle_writes"] == 2
+    assert out["broadcast_bytes"] == 8
+    assert out["n_broadcasts"] == 1
+
+
+def test_sweep_clis_reject_unknown_parts_under_dash_O():
+    """CLI validation must survive `python -O` (ADVICE r6): bare asserts
+    are stripped and a typo'd part name would KeyError deep in a timed
+    inner() run. argparse.error exits 2 with a usage message instead."""
+    for cmd in (
+        ["tools/scaling_curve.py", "--parts", "bogus", "--scales", "1"],
+        ["tools/cores_sweep.py", "--pipelines", "bogus"],
+    ):
+        proc = subprocess.run(
+            [sys.executable, "-O", *cmd],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=120,
+        )
+        assert proc.returncode == 2, (cmd, proc.stderr[-500:])
+        assert "unknown" in proc.stderr

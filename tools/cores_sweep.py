@@ -134,7 +134,10 @@ def main() -> None:
     args = ap.parse_args()
 
     pipelines = tuple(p for p in args.pipelines.split(",") if p)
-    assert all(p in ("neardup", "ivf", "join") for p in pipelines), pipelines
+    # argparse error, not assert (ADVICE r6): asserts vanish under -O
+    bad = [p for p in pipelines if p not in ("neardup", "ivf", "join")]
+    if bad:
+        ap.error(f"unknown pipeline(s) {bad}; choose from neardup,ivf,join")
 
     if args.inner:
         inner(args.scale, pipelines)

@@ -124,16 +124,34 @@ def main() -> None:
             results.extend(recs)
             print(json.dumps(recs[-1]), flush=True)
         _write(args.out, results)  # incremental: partial runs keep their data
-    total = round(
-        sum(r["median_s"] for r in results if "median_s" in r), 4
-    )
-    print(f"fresh-JVM headline total (sum of medians): {total} s", flush=True)
-    _write(args.out, results, total)
+    total, incomplete = summarize(results)
+    if incomplete:
+        print("fresh-JVM headline total: INCOMPLETE (errored query)", flush=True)
+    else:
+        print(f"fresh-JVM headline total (sum of medians): {total} s", flush=True)
+    _write(args.out, results, total, incomplete)
 
 
-def _write(out: str, results: list, total: float | None = None) -> None:
+def summarize(results: list) -> tuple[float | None, bool]:
+    """(total_s, incomplete). A probe with an errored/timed-out query must
+    not report a smaller "fresh-JVM total" that reads as a fast host state
+    (ADVICE r6): the total is only meaningful when every headline query
+    contributed, so any error row nulls it and flags the run."""
+    incomplete = any("error" in r for r in results)
+    if incomplete:
+        return None, True
+    return round(sum(r["median_s"] for r in results if "median_s" in r), 4), False
+
+
+def _write(
+    out: str, results: list, total: float | None = None, incomplete: bool = True
+) -> None:
     with open(out, "w") as f:
-        json.dump({"total_s": total, "results": results}, f, indent=1)
+        json.dump(
+            {"total_s": total, "incomplete": incomplete, "results": results},
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":

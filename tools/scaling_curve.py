@@ -396,7 +396,11 @@ def main() -> None:
         return
 
     parts = [p for p in args.parts.split(",") if p]
-    assert all(p in PARTS for p in parts), f"unknown part in {parts}"
+    # argparse error, not assert (ADVICE r6): asserts vanish under -O and a
+    # typo'd part name would then KeyError deep inside a timed inner() run
+    bad = [p for p in parts if p not in PARTS]
+    if bad:
+        ap.error(f"unknown part(s) {bad}; choose from {sorted(PARTS)}")
     scales = [int(s) for s in args.scales.split(",")]
     for s in scales:
         for p in parts:

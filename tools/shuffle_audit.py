@@ -95,6 +95,7 @@ def execution_volumes(spark, eid: int) -> dict:
     g = ss.planGraph(eid)
     shuffle = broadcast = 0
     n_ex = n_bx = 0
+    seen_accs: set[int] = set()
     it = g.allNodes().iterator()
     while it.hasNext():
         node = it.next()
@@ -104,7 +105,14 @@ def execution_volumes(spark, eid: int) -> dict:
             metric = mit.next()
             if not vals.contains(metric.accumulatorId()):
                 continue
-            size = parse_size(vals.apply(metric.accumulatorId()))
+            # ReusedExchange nodes share accumulator IDs with the original
+            # Exchange; counting each accumulator once keeps plans with
+            # exchange reuse from double-counting bytes (ADVICE r6).
+            acc = metric.accumulatorId()
+            if acc in seen_accs:
+                continue
+            seen_accs.add(acc)
+            size = parse_size(vals.apply(acc))
             if size is None:
                 continue
             if metric.name() == "shuffle bytes written":

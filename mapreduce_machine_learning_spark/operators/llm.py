@@ -262,7 +262,34 @@ def _cand_pairs(spark, sf_dir):
     return _materialize(spark, sf_dir, "cand_pairs", build)
 
 
-def _verified_jaccard(docs, cand, left, right, threshold=0.5):
+# Plan-side cap on the estimated candidate-doc token-array broadcast
+# (VERDICT r6): an explicit F.broadcast() hint has a hard ~8 GB / 512M-row
+# ceiling AQE cannot rescue, so the hint must be conditional. 256 MiB keeps
+# ~32x margin under the hard ceiling while staying in the regime where one
+# executor-resident map beats shuffling the (much larger) pair stream twice;
+# past it the SAME array join runs hint-free as a shuffle (sort-merge) join
+# — identical values, two extra exchanges, no ceiling.
+_VERIFY_BROADCAST_CAP_B = 256 << 20
+
+
+def _verify_arrays_fit_broadcast(tok_arrays, cap_b=_VERIFY_BROADCAST_CAP_B):
+    """Cheap plan-time size probe of the verify stage's candidate-doc
+    token-array frame: rows and total token count from the (persisted)
+    frame, folded into an UnsafeRow-shaped byte estimate — 8 B per int64
+    token in `toks` + ~4 B in the half-length `pref` slice + 64 B/row
+    headers (doc_id, n_tok, array/offset headers). One aggregate job over
+    a frame the main action materializes anyway; the pair-stream join that
+    follows dwarfs it."""
+    n_docs, n_toks = tok_arrays.agg(
+        F.count("*"), F.coalesce(F.sum("n_tok"), F.lit(0.0))
+    ).first()
+    est_b = int(12 * n_toks + 64 * n_docs)
+    return est_b <= cap_b, est_b
+
+
+def _verified_jaccard(
+    docs, cand, left, right, threshold=0.5, broadcast_cap_b=_VERIFY_BROADCAST_CAP_B
+):
     """Exact-Jaccard verification of a candidate pair stream: returns
     ``(left, right, jac)`` for pairs with raw distinct-token Jaccard
     ≥ threshold. Shared by the full near-dup pipeline (doc_a/doc_b) and
@@ -274,11 +301,23 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
     ≈ half-billion-row intermediate through two shuffles at sf0.1; the
     array form measured ~4× faster end to end). The doc→array map is
     bounded by the candidate DOC set, not the pair set: the arrays side is
-    semi-join-restricted to the distinct candidate ids BEFORE the broadcast
-    hint, so what ships to every executor is the docs that survived LSH
-    banding, never the whole corpus. If even that outgrows a broadcast the
-    exploded-join form (git history) is the shuffle-based fallback — same
-    values either way.
+    semi-join-restricted to the distinct candidate ids BEFORE any
+    broadcast, so what could ship to every executor is the docs that
+    survived LSH banding, never the whole corpus.
+
+    JOIN STRATEGY IS CONDITIONAL (VERDICT r6): on a degenerate corpus
+    where LSH prunes little — the shipped synthetic table is exactly
+    that, candidate docs ≈ all docs — an UNCONDITIONAL F.broadcast()
+    hint would hit the hard ~8 GB / 512M-row broadcast ceiling that AQE
+    cannot rescue. So the hint is gated on a plan-time byte estimate of
+    the token-array frame (`_verify_arrays_fit_broadcast`, one cheap
+    aggregate over the persisted frame): under `broadcast_cap_b` the two
+    array sides broadcast (one executor-resident map, zero pair-stream
+    shuffles); over it the SAME join runs hint-free and Spark shuffles
+    both sides (sort-merge) — identical values, linear-in-input
+    exchanges, no ceiling. Both regimes are plan-pinned by
+    tests/test_plans.py::test_verify_join_strategy_is_conditional and
+    byte-measured in SHUFFLE_neardup_audit.json (degenerate-corpus row).
 
     Token sets are xxhash64 INT arrays, not strings: array_intersect only
     feeds Jaccard through |A∩B| and |A|, |B| — any injective token→int64
@@ -372,9 +411,11 @@ def _verified_jaccard(docs, cand, left, right, threshold=0.5):
     )
     n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
+    fits, _est = _verify_arrays_fit_broadcast(tok_arrays, broadcast_cap_b)
+    hint = F.broadcast if fits else (lambda df: df)
     return (
-        cand.join(F.broadcast(ta), left)
-        .join(F.broadcast(tb), right)
+        cand.join(hint(ta), left)
+        .join(hint(tb), right)
         .filter(
             # keep iff J_max = m/(a+b−m) ≥ t ⟺ a+b ≤ m·(1+1/t). The FP
             # product can land an ulp BELOW an exact-integer boundary

@@ -372,3 +372,59 @@ def test_neardup_broadcast_is_candidate_bounded(spark):
         # accept the restriction within a window either side of the site
         window = "\n".join(lines[max(0, i - 8) : i + 8])
         assert "LeftSemi" in window, window
+
+
+def test_verify_join_strategy_is_conditional(spark):
+    """VERDICT r6: the near-dup verify stage's token-array broadcast must
+    be GATED, not unconditional — an explicit F.broadcast() hint has a
+    hard ~8 GB / 512M-row ceiling AQE cannot rescue, and on a degenerate
+    corpus (candidates ~ all docs) the frame can outgrow it. Under the
+    byte-estimate cap the hint forces BroadcastHashJoin even with
+    autoBroadcastJoinThreshold disabled (proving the HINT, not stats,
+    drives the fast regime); over the cap the SAME join runs hint-free as
+    a SortMergeJoin. Both regimes must return identical values."""
+    from mapreduce_machine_learning_spark.operators.llm import (
+        _verified_jaccard,
+        _verify_arrays_fit_broadcast,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "x y z"), (4, "a b c e")],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "doc_a bigint, doc_b bigint"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast = _verified_jaccard(docs, cand, "doc_a", "doc_b")
+        plan = explain_str(fast)
+        assert "BroadcastHashJoin" in plan, plan
+
+        slow = _verified_jaccard(
+            docs, cand, "doc_a", "doc_b", broadcast_cap_b=0
+        )
+        plan = explain_str(slow)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        key = lambda r: (r[0], r[1])  # noqa: E731
+        got_fast = sorted(fast.collect(), key=key)
+        got_slow = sorted(slow.collect(), key=key)
+        assert [tuple(r) for r in got_fast] == [tuple(r) for r in got_slow]
+        assert [(r.doc_a, r.doc_b) for r in got_fast] == [(1, 2), (2, 4)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # and the estimator itself: tiny frame fits, cap 0 never does
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("n_tok", F.size("toks").cast("double"))
+    fits, est = _verify_arrays_fit_broadcast(toks)
+    assert fits and 0 < est < 10_000
+    fits0, _ = _verify_arrays_fit_broadcast(toks, cap_b=0)
+    assert not fits0

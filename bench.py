@@ -92,6 +92,21 @@ def gate_llm(
     return regressions, median_warns
 
 
+def normalize_queries(per_query: dict[str, float], hint: float) -> dict[str, float]:
+    """Host-drift-normalized per-query seconds (VERDICT r6 #6): steady
+    timing ÷ the run's own host_drift_hint, so cross-round per-query
+    comparisons read in r4-equivalent units without consulting the
+    BASELINE.md variance notes. Normalizing by the SAME-RUN headline
+    level removes the measured host component (which BASELINE.md shows
+    moving 1.5–1.9× between sessions uniformly across queries) while a
+    genuine single-plan regression still shows: it lifts its own entry
+    far more than it lifts the 6-query hint denominator. Pure function,
+    pinned by tests/test_bench_config.py."""
+    if not hint or hint <= 0:
+        return {}
+    return {k: round(v / hint, 4) for k, v in per_query.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -264,6 +279,16 @@ def main() -> None:
                 # llm_regressions entry (see HEADLINE_STEADY_R4_TOTAL_S)
                 "host_drift_hint": round(
                     sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S, 3
+                ),
+                # steady ÷ host_drift_hint: r4-equivalent per-query units
+                # for cross-round reads (VERDICT r6 #6; BASELINE.md Rules
+                # #5). The headline block normalizes to ~its r4 numbers by
+                # construction; the LLM block is the informative one.
+                "queries_normalized": normalize_queries(
+                    steady, sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S
+                ),
+                "llm_steady_normalized": normalize_queries(
+                    llm_steady, sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S
                 ),
                 "headline_samples": headline_samples,
                 "llm_pipeline": extra,

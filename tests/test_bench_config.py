@@ -124,3 +124,21 @@ def test_shuffle_audit_size_parser():
     assert parse_size(two_line) == 212
     assert parse_size("3 ms (1 ms, 1 ms, 1 ms)") is None
     assert parse_size("600,000") is None
+
+
+def test_normalize_queries_divides_out_host_drift():
+    """queries_normalized (VERDICT r6 #6): steady seconds ÷ the run's own
+    host_drift_hint — a uniform host slowdown divides out exactly, a
+    single-plan regression survives normalization, and a degenerate hint
+    (0/negative) yields an empty block rather than a divide error."""
+    steady = {"a": 1.0, "b": 2.0}
+    assert bench.normalize_queries(steady, 2.0) == {"a": 0.5, "b": 1.0}
+    # uniform 2x host drift: normalized values equal the fast-host values
+    fast = bench.normalize_queries(steady, 1.0)
+    slow = bench.normalize_queries({k: 2 * v for k, v in steady.items()}, 2.0)
+    assert fast == slow
+    assert bench.normalize_queries(steady, 0) == {}
+    assert bench.normalize_queries(steady, -1.0) == {}
+    # and the bench output actually emits both normalized blocks
+    src = __import__("inspect").getsource(bench.main)
+    assert '"queries_normalized"' in src and '"llm_steady_normalized"' in src

@@ -16,6 +16,8 @@ scale path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -287,8 +289,19 @@ def _verify_arrays_fit_broadcast(tok_arrays, cap_b=_VERIFY_BROADCAST_CAP_B):
     return est_b <= cap_b, est_b
 
 
+def _resolve_verify_cap(broadcast_cap_b):
+    """Cap precedence: explicit argument > SPARK_GRAFT_VERIFY_BCAST_CAP_B
+    env (ops/audit knob — lets tools/shuffle_audit.py measure the shuffle
+    regime on a corpus whose arrays would otherwise fit the broadcast) >
+    module default."""
+    if broadcast_cap_b is not None:
+        return broadcast_cap_b
+    env = os.environ.get("SPARK_GRAFT_VERIFY_BCAST_CAP_B")
+    return int(env) if env else _VERIFY_BROADCAST_CAP_B
+
+
 def _verified_jaccard(
-    docs, cand, left, right, threshold=0.5, broadcast_cap_b=_VERIFY_BROADCAST_CAP_B
+    docs, cand, left, right, threshold=0.5, broadcast_cap_b=None
 ):
     """Exact-Jaccard verification of a candidate pair stream: returns
     ``(left, right, jac)`` for pairs with raw distinct-token Jaccard
@@ -411,7 +424,9 @@ def _verified_jaccard(
     )
     n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
-    fits, _est = _verify_arrays_fit_broadcast(tok_arrays, broadcast_cap_b)
+    fits, _est = _verify_arrays_fit_broadcast(
+        tok_arrays, _resolve_verify_cap(broadcast_cap_b)
+    )
     hint = F.broadcast if fits else (lambda df: df)
     return (
         cand.join(hint(ta), left)

@@ -51,6 +51,10 @@ QUERIES = [
     "q_join_multi",
     "q_llm_dedup_exact",
     "q_llm_minhash",
+    # round 7 (VERDICT r6 #4): the remaining LLM flagships
+    "q_llm_dedup_incremental",
+    "q_llm_ann_knn",
+    "q_llm_ann_ivf_knn",
 ]
 
 SF_DIRS = [
@@ -139,13 +143,17 @@ def main() -> None:
     ap.add_argument("--out", default="SHUFFLE_audit.json")
     ap.add_argument("--dirs", default=",".join(SF_DIRS))
     ap.add_argument("--queries", default=",".join(QUERIES))
+    # session conf overrides, e.g. --conf spark.sql.autoBroadcastJoinThreshold=-1
+    # (round 7: measuring the verify stage's SHUFFLE regime on a corpus whose
+    # stats would otherwise let Catalyst pick broadcast even without the hint)
+    ap.add_argument("--conf", action="append", default=[])
     args = ap.parse_args()
     sf_dirs = [d for d in args.dirs.split(",") if d]
     queries = [q for q in args.queries.split(",") if q]
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("mrml-shuffle-audit")
         .config("spark.sql.shuffle.partitions", "8")
@@ -154,8 +162,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from mapreduce_machine_learning_spark import runtime

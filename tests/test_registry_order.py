@@ -228,3 +228,41 @@ def test_round7_window_forecast_matches_readme():
     assert never[0] == "q_sketch_kmv_setops"
     assert never[-1] == "q_topk_withties"
     assert rechecks == ["q_agg_group", "q_join_multi"]
+
+
+def test_round8_window_forecast_matches_readme():
+    """Round-8 forecast (VERDICT r6 #7), pre-committed like round 7's:
+    with the round-7 window landed (cumulative 347/347 green), the
+    round-8 driver window is rechecks-only — the 18 RECHECK_PRIORITY
+    flagships in recheck order, then the first 32 remaining contract
+    queries in SURVEY §2 table order (`q_scan_stats .. q_stream_latedata`).
+    Anchored to the full registry, so it keeps passing unchanged after
+    the driver writes CORRECTNESS_r07."""
+    registry.all_queries()
+    names_reg = list(registry._QUERIES)
+    contract_rank = {n: i for i, n in enumerate(registry.CONTRACT_QUERIES)}
+    priority_rank = {n: i for i, n in enumerate(registry.EXTENSION_PRIORITY)}
+    recheck_rank = {n: i for i, n in enumerate(registry.RECHECK_PRIORITY)}
+    reg_rank = {n: i for i, n in enumerate(names_reg)}
+
+    def key(name, done):
+        if name not in done:
+            if name in contract_rank:
+                return (0, contract_rank[name])
+            if name in priority_rank:
+                return (1, priority_rank[name])
+            return (2, reg_rank[name])
+        if name in recheck_rank:
+            return (3, recheck_rank[name])
+        if name in contract_rank:
+            return (4, contract_rank[name])
+        return (5, reg_rank[name])
+
+    g8 = set(names_reg)  # round 7 drains the tail: everything green
+    w8 = sorted(names_reg, key=lambda n: key(n, g8))[:50]
+    assert w8[:18] == list(registry.RECHECK_PRIORITY)
+    want_rest = [
+        n for n in registry.CONTRACT_QUERIES if n not in recheck_rank
+    ][:32]
+    assert w8[18:] == want_rest
+    assert w8[18] == "q_scan_stats" and w8[-1] == "q_stream_latedata"

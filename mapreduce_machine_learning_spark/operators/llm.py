@@ -698,9 +698,11 @@ def q_llm_sim_threshold(spark, sf_dir):
 )
 def q_llm_tfidf(spark, sf_dir):
     """TF-IDF (tf · ln(N/df), natural log) with top-3 terms for docs 0–9,
-    totally ordered (score DESC, term ASC). The df table is tiny (vocabulary)
-    → broadcast to the tf side; mirrors MLlib's HashingTF/IDF pipeline
-    (ml_iterative has the MLlib variant, rows-only)."""
+    totally ordered (score DESC, term ASC). The FILTERED tf slice (10 docs
+    by construction) broadcasts to the vocabulary-sized df table — the
+    vocabulary grows with the corpus, the doc slice never does; mirrors
+    MLlib's HashingTF/IDF pipeline (ml_iterative has the MLlib variant,
+    rows-only)."""
     docs = T(spark, sf_dir, "documents")
     tf_rows = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -713,9 +715,14 @@ def q_llm_tfidf(spark, sf_dir):
         F.countDistinct("doc_id").cast("double").alias("df")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # broadcast the FILTERED tf side (10 docs by construction), not the
+    # vocabulary df table (round 7): vocabulary grows with the corpus
+    # (Heaps' law) and is the join's big side at 100 TB; the 10-doc tf
+    # slice is the structurally small one.
     scored = (
-        tfc.filter(F.col("doc_id").between(0, 9))
-        .join(F.broadcast(df), "term")
+        df.join(
+            F.broadcast(tfc.filter(F.col("doc_id").between(0, 9))), "term"
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -958,9 +965,14 @@ def q_llm_ngram_jaccard(spark, sf_dir):
     jac = F.col("n_inter") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
     )
+    # NO broadcast hint on the per-doc size tables (round 7): `sizes` is
+    # one row per document — corpus-sized at 100 TB, not structurally
+    # small — so the join strategy is left to Catalyst/AQE stats: at
+    # contract scale it picks broadcast on its own; at fleet scale it
+    # degrades to a shuffle join instead of hitting the hint's ceiling.
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", r6(jac).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
@@ -2022,9 +2034,13 @@ def q_llm_dup_sources(spark, sf_dir):
     sb = src.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
     )
+    # broadcast the PAIR side, not the doc→source map (round 7): pairs is
+    # ≤ 1000 rows by construction (the memoized cap) while the source map
+    # is one row per document — corpus-sized at 100 TB. Each join's build
+    # side is the pair-derived frame; the corpus map streams.
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        sa.join(F.broadcast(pairs), "doc_a")
+        .transform(lambda j1: sb.join(F.broadcast(j1), "doc_b"))
         .groupBy(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),

@@ -428,3 +428,31 @@ def test_verify_join_strategy_is_conditional(spark):
     assert fits and 0 < est < 10_000
     fits0, _ = _verify_arrays_fit_broadcast(toks, cap_b=0)
     assert not fits0
+
+
+def test_broadcast_hints_sit_on_structurally_small_sides(spark):
+    """Round-7 broadcast-side audit: a hint belongs only on a side that is
+    small BY CONSTRUCTION at any corpus size. Pins the three corrected
+    sites: q_llm_dup_sources must hint the <=1000-row pair-derived side
+    (never the corpus-sized doc->source map), q_llm_tfidf must hint the
+    10-doc tf slice (never the vocabulary df table), and
+    q_llm_ngram_jaccard must carry NO hint at all on its corpus-sized
+    per-doc size tables (Catalyst stats pick broadcast at contract scale;
+    fleet scale degrades to a shuffle join instead of a ceiling)."""
+    for name in ("q_llm_dup_sources", "q_llm_tfidf"):
+        lg = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # as written, the broadcast-hinted frame is the join's RIGHT side
+        assert "rightHint=(strategy=broadcast" in lg, (name, lg)
+        assert "leftHint=(strategy=broadcast" not in lg, (name, lg)
+    lg = (
+        QUERIES["q_llm_ngram_jaccard"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" not in lg, lg

@@ -51,6 +51,9 @@ LIVE_BUDGET_B = {
     "q_stream_tumble": 262_144,  # 54 KB — per-window partial aggs
     "q_llm_minhash": 1 << 20,  # 167 KB — 16-way min-agg signatures
     "q_llm_dedup_incremental": 2 << 20,  # 285 KB — delta-bounded pipeline
+    # 372 KB measured at sf0.01 (500 docs, same as sf0.001) in the
+    # broadcast regime — SHUFFLE_neardup_degenerate_r7.json
+    "q_llm_neardup_pairs": 2 << 20,
 }
 
 
@@ -107,3 +110,16 @@ def test_audit_artifact_growth_budgets():
     # dropped from the audit run would otherwise pass vacuously
     missing = (set(CONSTANT_CEILING_B) | set(PER_ROW_CEILING)) - seen
     assert not missing, f"budgeted queries absent from audit: {missing}"
+
+
+def test_neardup_audit_stays_linear_per_doc():
+    """The realistic-corpus near-dup curve (SHUFFLE_neardup_audit.json,
+    1x-64x): bytes per document must stay bounded (~424-592 B/doc
+    measured) — a super-linear drift here is the all-pairs failure mode
+    the LSH design exists to prevent."""
+    with open(os.path.join(REPO, "SHUFFLE_neardup_audit.json")) as fh:
+        rows = json.load(fh)
+    assert len(rows) >= 4, rows
+    for r in rows:
+        per_doc = r["shuffle_bytes"] / r["documents_rows"]
+        assert per_doc <= 1024.0, (r["sf_dir"], per_doc)

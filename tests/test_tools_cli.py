@@ -181,3 +181,21 @@ def test_sweep_clis_reject_unknown_parts_under_dash_O():
         )
         assert proc.returncode == 2, (cmd, proc.stderr[-500:])
         assert "unknown" in proc.stderr
+
+
+def test_memory_audit_max_parser():
+    """tools/memory_audit.py's MAX-entry parser: single-task values carry
+    themselves; the two-line 'total (min, med, max)' format must yield
+    the MAX task value (peak memory is a per-task maximum — summing task
+    peaks would fabricate a bigger task); non-size strings are None."""
+    from tools.memory_audit import parse_max_size
+
+    assert parse_max_size("1312.0 B") == 1312
+    two_line = (
+        "total (min, med, max (stageId: taskId))\n"
+        "212.0 B (58.0 B, 58.0 B, 96.0 B (stage 1.0: task 3))"
+    )
+    assert parse_max_size(two_line) == 96
+    assert parse_max_size("64.2 MiB (16.0 MiB, 16.1 MiB, 16.4 MiB (stage 2.0: task 9))") == int(16.4 * 1024**2)
+    assert parse_max_size("3 ms (1 ms, 1 ms, 1 ms)") is None
+    assert parse_max_size("600,000") is None

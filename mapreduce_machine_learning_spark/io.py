@@ -21,6 +21,8 @@ how the parquet was written.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,7 +48,49 @@ def prepare(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
     return spark
+
+
+# applicationIds already shipped to (or skipped for single-JVM masters)
+_SHIPPED: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers — the self-served
+    equivalent of ``spark-submit --py-files engine.zip``. Arrow UDF
+    closures that reference package-level helpers are cloudpickled BY
+    REFERENCE (module path), so they deserialize on an executor only if
+    the package is importable there. Under ``local[*]`` the workers
+    inherit the driver's ``sys.path`` and this is a no-op; under any
+    multi-JVM master (``local-cluster`` — the multi-executor test rig —
+    standalone, YARN, k8s) the zip rides Spark's file server to every
+    executor. One zip per process, one ``addPyFile`` per application."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    if sc.master.startswith("local[") or sc.master == "local":
+        _SHIPPED.add(sc.applicationId)
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mrml_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(sc.applicationId)
 
 
 # ``spark.read.parquet`` pays ~150 ms of driver-side file listing + footer

@@ -5,7 +5,15 @@ FP addition order relative to both the default session and DuckDB — the
 partition-robustness check .claude/skills/verify/SKILL.md requires before
 shipping any rounding-policy change.
 
-Usage: python tools/verify_sweep.py [default|adversarial]
+The third mode, `localcluster`, runs the same sweep under
+`local-cluster[2,4,4096]` — two REAL executor JVMs with serialized task
+dispatch, network shuffle fetch, and per-executor memory, the closest a
+single box gets to multi-machine deployment. It upgrades the
+"multi-executor behavior is a design argument" gap to a measured result:
+every oracle answer must be identical when the shuffle actually crosses
+process boundaries.
+
+Usage: python tools/verify_sweep.py [default|adversarial|localcluster]
 """
 
 from __future__ import annotations
@@ -23,9 +31,18 @@ SF = "/root/testdata/sf0.01"
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "default"
+    if mode not in ("default", "adversarial", "localcluster"):
+        raise SystemExit(f"unknown mode {mode!r}")
     from pyspark.sql import SparkSession
 
-    if mode == "adversarial":
+    if mode == "localcluster":
+        b = (
+            SparkSession.builder.master("local-cluster[2,4,4096]")
+            .appName("mrml-verify-localcluster")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+        )
+    elif mode == "adversarial":
         b = (
             SparkSession.builder.master("local[16]")
             .appName("mrml-verify-adversarial")

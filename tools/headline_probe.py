@@ -45,8 +45,12 @@ def inner(name: str) -> None:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_PROBE_MASTER overrides the master (e.g.
+    # local-cluster[2,16,8192] to time the same fresh-JVM protocol under
+    # two real executor JVMs — the serialization/shuffle-fetch tax A/B)
+    master = os.environ.get("SPARK_GRAFT_PROBE_MASTER", f"local[{cpus}]")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(f"mrml-headline-probe-{name}")
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
         .config("spark.sql.adaptive.enabled", "true")

@@ -109,6 +109,22 @@ def test_registry_wide_memory_sweep_artifact():
     assert not bad, f"registry-wide memory sweep violations: {bad}"
 
 
+def test_fault_probe_artifact():
+    """FAULT_probe_r7.json (tools/fault_probe.py): an executor JVM
+    SIGKILLed mid-query under local-cluster must have landed INSIDE the
+    query window and the job must have completed with row-identical
+    output — the lineage-recovery contract a 1000-executor run lives
+    on, exercised rather than cited. (Lives here with the other
+    resource/deployment artifact gates.)"""
+    with open(os.path.join(REPO, "FAULT_probe_r7.json")) as fh:
+        rec = json.load(fh)
+    assert rec["kill_landed_inside_query_window"] is True
+    assert rec["results_identical_to_unperturbed_run"] is True
+    assert rec["killed_pid"] in rec["executor_pids_before"]
+    assert rec["killed_pid"] not in rec["executor_pids_after"]
+    assert rec["n_rows"] > 0
+
+
 def test_neardup_regime_memory_artifact():
     """MEMORY_neardup_regimes_r7.json: the verify stage's join regimes at
     contract scale never spill, and the forced-spill probe (execution

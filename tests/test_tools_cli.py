@@ -183,6 +183,24 @@ def test_sweep_clis_reject_unknown_parts_under_dash_O():
         assert "unknown" in proc.stderr
 
 
+def test_drift_ab_cli_validation():
+    """tools/drift_ab.py: --ref is mandatory (there is nothing to pair
+    against without it) and unknown query names must argparse-error
+    before any worktree or JVM is created — both exit 2 under -O."""
+    for cmd in (
+        ["tools/drift_ab.py"],
+        ["tools/drift_ab.py", "--ref", "HEAD", "--queries", "bogus"],
+    ):
+        proc = subprocess.run(
+            [sys.executable, "-O", *cmd],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=120,
+        )
+        assert proc.returncode == 2, (cmd, proc.stderr[-500:])
+
+
 def test_memory_audit_max_parser():
     """tools/memory_audit.py's MAX-entry parser: single-task values carry
     themselves; the two-line 'total (min, med, max)' format must yield

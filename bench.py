@@ -296,6 +296,22 @@ def main() -> None:
                 "llm_samples": llm_samples,
                 "llm_regressions": regressions,
                 "llm_median_warnings": median_warns,
+                # non-empty flags are host-adjudicable: the JVM and Python
+                # sides of this box drift INDEPENDENTLY (BASELINE.md r7
+                # note — host_drift_hint is JVM-side and can read ~1 while
+                # the Arrow-kernel side sits slow). tools/drift_ab.py
+                # replays flagged queries on this tree vs a reference
+                # commit in paired fresh-JVM passes; DRIFT_ab_r7.json
+                # adjudicated exactly these gates at ratio 1.036 on
+                # code-equivalent trees.
+                "flag_protocol": (
+                    "llm_regressions/llm_median_warnings: before reading as"
+                    " a code regression, run tools/drift_ab.py --ref <last"
+                    " round commit> (paired A,B,B,A fresh-JVM replay;"
+                    " BASELINE.md round-7 machine-variance note)"
+                )
+                if (regressions or median_warns)
+                else None,
                 "sf": float(sf),
             }
         )

@@ -13,7 +13,13 @@ single box gets to multi-machine deployment. It upgrades the
 every oracle answer must be identical when the shuffle actually crosses
 process boundaries.
 
-Usage: python tools/verify_sweep.py [default|adversarial|localcluster]
+The fourth mode, `arrowbatch`, fragments every Arrow transfer into 7-row
+batches (`spark.sql.execution.arrow.maxRecordsPerBatch=7`) — the
+adversarial axis for Python kernels: `mapInPandas` surfaces must not
+assume one batch spans a partition. (`applyInPandas` groups arrive whole
+by contract either way.)
+
+Usage: python tools/verify_sweep.py [default|adversarial|localcluster|arrowbatch]
 """
 
 from __future__ import annotations
@@ -31,11 +37,19 @@ SF = "/root/testdata/sf0.01"
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "default"
-    if mode not in ("default", "adversarial", "localcluster"):
+    if mode not in ("default", "adversarial", "localcluster", "arrowbatch"):
         raise SystemExit(f"unknown mode {mode!r}")
     from pyspark.sql import SparkSession
 
-    if mode == "localcluster":
+    if mode == "arrowbatch":
+        b = (
+            SparkSession.builder.master("local[16]")
+            .appName("mrml-verify-arrowbatch")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+            .config("spark.ui.enabled", "false")
+        )
+    elif mode == "localcluster":
         b = (
             SparkSession.builder.master("local-cluster[2,4,4096]")
             .appName("mrml-verify-localcluster")

@@ -254,6 +254,9 @@ def main() -> None:
                 f"sample passed — intermittent or host noise): {median_warns}",
                 file=sys.stderr,
             )
+    # one drift hint, reused by every field derived from it — three
+    # inline copies of the same division invite silent desynchronization
+    drift_hint = sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S
     print(
         json.dumps(
             {
@@ -277,19 +280,20 @@ def main() -> None:
                 # informational: same-run headline level vs the r4
                 # reference — the mechanical drift attribution for any
                 # llm_regressions entry (see HEADLINE_STEADY_R4_TOTAL_S)
-                "host_drift_hint": round(
-                    sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S, 3
-                ),
+                "host_drift_hint": round(drift_hint, 3),
                 # steady ÷ host_drift_hint: r4-equivalent per-query units
                 # for cross-round reads (VERDICT r6 #6; BASELINE.md Rules
-                # #5). The headline block normalizes to ~its r4 numbers by
-                # construction; the LLM block is the informative one.
-                "queries_normalized": normalize_queries(
-                    steady, sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S
-                ),
+                # #5). CAVEAT (round 7, BASELINE.md r7 note): the hint is
+                # JVM-side; the Python/Arrow side drifts INDEPENDENTLY on
+                # this box, so llm_steady_normalized removes only the JVM
+                # component — a uniform lift across the LLM block is
+                # still more likely host than code (adjudicate with
+                # tools/drift_ab.py, never from this block alone).
+                "queries_normalized": normalize_queries(steady, drift_hint),
                 "llm_steady_normalized": normalize_queries(
-                    llm_steady, sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S
+                    llm_steady, drift_hint
                 ),
+                "llm_normalized_is_jvm_hint_only": True,
                 "headline_samples": headline_samples,
                 "llm_pipeline": extra,
                 "llm_steady": llm_steady,

@@ -92,6 +92,7 @@ def _signatures(spark, sf_dir):
 # recompute the signature+banding+verify work 3× per session. Results are
 # identical with or without the cache.
 from mapreduce_machine_learning_spark.runtime import (  # noqa: E402
+    is_audit_mode,
     materialize as _materialize,
 )
 
@@ -331,6 +332,8 @@ def _verified_jaccard(
     exchanges, no ceiling. Both regimes are plan-pinned by
     tests/test_plans.py::test_verify_join_strategy_is_conditional and
     byte-measured in SHUFFLE_neardup_audit.json (degenerate-corpus row).
+    Under ``runtime.plan_audit_mode`` the probe is skipped (plan walks
+    must not execute jobs) and the default broadcast regime is assumed.
 
     Token sets are xxhash64 INT arrays, not strings: array_intersect only
     feeds Jaccard through |A∩B| and |A|, |B| — any injective token→int64
@@ -424,9 +427,16 @@ def _verified_jaccard(
     )
     n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
-    fits, _est = _verify_arrays_fit_broadcast(
-        tok_arrays, _resolve_verify_cap(broadcast_cap_b)
-    )
+    if is_audit_mode():
+        # plan-audit contract: nothing may execute during an audit walk
+        # (tools/scale_audit.py, the plan-shape tests) — skip the size
+        # probe and take the documented default regime (broadcast), the
+        # same pattern as ann.py's edge-cap count under audit mode.
+        fits = True
+    else:
+        fits, _est = _verify_arrays_fit_broadcast(
+            tok_arrays, _resolve_verify_cap(broadcast_cap_b)
+        )
     hint = F.broadcast if fits else (lambda df: df)
     return (
         cand.join(hint(ta), left)

@@ -430,6 +430,36 @@ def test_verify_join_strategy_is_conditional(spark):
     assert not fits0
 
 
+def test_audit_mode_plan_build_runs_no_jobs(spark):
+    """The plan-audit contract: building a query's DataFrame under
+    ``runtime.plan_audit_mode`` must not execute ANY Spark job — the
+    scale-audit and plan-shape sweeps walk all 347 plans and would
+    silently become data jobs otherwise. The near-dup verify stage's
+    size probe (.first() in _verify_arrays_fit_broadcast) is exactly
+    such a trap: it must be skipped (default regime assumed) in audit
+    mode. Counts SQL executions before/after a plan-only build."""
+    from mapreduce_machine_learning_spark import runtime
+    from mapreduce_machine_learning_spark.registry import all_queries
+
+    def n_execs():
+        return (
+            spark._jsparkSession.sharedState()
+            .statusStore()
+            .executionsList()
+            .size()
+        )
+
+    runtime.plan_audit_mode(True)
+    try:
+        for name in ("q_llm_neardup_pairs", "q_llm_dedup_incremental"):
+            before = n_execs()
+            df = all_queries()[name](spark, SF_DIR)  # the probe ran HERE
+            _ = df._jdf.queryExecution().executedPlan()  # force planning
+            assert n_execs() == before, f"{name} planned with a job"
+    finally:
+        runtime.plan_audit_mode(False)
+
+
 def test_broadcast_hints_sit_on_structurally_small_sides(spark):
     """Round-7 broadcast-side audit: a hint belongs only on a side that is
     small BY CONSTRUCTION at any corpus size. Pins the three corrected

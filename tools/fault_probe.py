@@ -34,9 +34,12 @@ sys.path.insert(0, REPO)
 os.chdir(REPO)
 
 
-def executor_pids() -> list[int]:
+def executor_pids(app_id: str) -> list[int]:
+    # scope to THIS application's executors (the --app-id flag in the
+    # backend cmdline): an unscoped pgrep could SIGKILL an executor
+    # belonging to a concurrently running Spark session
     out = subprocess.run(
-        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*{app_id}"],
         capture_output=True,
         text=True,
     ).stdout
@@ -71,13 +74,14 @@ def main() -> None:
         t_base = time.time()
         baseline = sorted(tuple(r) for r in q(spark, args.sf_dir).collect())
         baseline_wall = time.time() - t_base
-        pids_before = executor_pids()
+        app_id = spark.sparkContext.applicationId
+        pids_before = executor_pids(app_id)
 
         state: dict = {}
 
         def _kill():
             time.sleep(args.kill_after)
-            pids = executor_pids()
+            pids = executor_pids(app_id)
             if pids:
                 state["killed_pid"] = pids[0]
                 state["kill_t"] = time.time()
@@ -106,7 +110,7 @@ def main() -> None:
         "baseline_wall_s": round(baseline_wall, 3),
         "n_rows": len(rows),
         "results_identical_to_unperturbed_run": rows == baseline,
-        "executor_pids_after": executor_pids(),
+        "executor_pids_after": executor_pids(app_id),
     }
     print(json.dumps(rec, indent=1), flush=True)
     with open(args.out, "w") as f:

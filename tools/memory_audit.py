@@ -44,6 +44,7 @@ from tools.shuffle_audit import (  # noqa: E402
     _UNITS,
     last_execution_id,
     parse_size,
+    walk_execution_metrics,
 )
 
 _SIZE_RE = re.compile(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)\b")
@@ -68,39 +69,19 @@ def parse_max_size(s: str) -> int | None:
 
 def execution_memory(spark, eid: int) -> dict:
     """Max per-task peak memory and total spill over one SQL execution's
-    physical graph (accumulator-deduped, like the shuffle audit)."""
-    try:
-        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30000)
-    except Exception:
-        import time
-
-        time.sleep(1.0)
-    ss = spark._jsparkSession.sharedState().statusStore()
-    vals = ss.executionMetrics(eid)
-    g = ss.planGraph(eid)
+    physical graph (walker — bus drain + accumulator dedup — shared with
+    the shuffle audit via walk_execution_metrics)."""
     peak = spill = 0
     peak_node = ""
-    seen: set[int] = set()
-    it = g.allNodes().iterator()
-    while it.hasNext():
-        node = it.next()
-        mit = node.metrics().iterator()
-        while mit.hasNext():
-            metric = mit.next()
-            acc = metric.accumulatorId()
-            if not vals.contains(acc) or acc in seen:
-                continue
-            seen.add(acc)
-            mname = metric.name()
-            raw = vals.apply(acc)
-            if mname == "peak memory":
-                v = parse_max_size(raw)
-                if v is not None and v > peak:
-                    peak, peak_node = v, node.name()
-            elif "spill size" in mname:
-                v = parse_size(raw)
-                if v:
-                    spill += v
+    for node_name, mname, raw in walk_execution_metrics(spark, eid):
+        if mname == "peak memory":
+            v = parse_max_size(raw)
+            if v is not None and v > peak:
+                peak, peak_node = v, node_name
+        elif "spill size" in mname:
+            v = parse_size(raw)
+            if v:
+                spill += v
     return {
         "peak_task_memory_bytes": peak,
         "peak_node": peak_node,

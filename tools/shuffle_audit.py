@@ -79,12 +79,16 @@ def parse_size(s: str) -> int | None:
     return None
 
 
-def execution_volumes(spark, eid: int) -> dict:
-    """Sum shuffle bytes written / broadcast data size over the physical
-    graph of one SQL execution. Drains the listener bus first: SQL metrics
-    aggregate asynchronously after the collect returns, and reading too
-    early returns an empty metric map (observed as a spurious
-    0-shuffle-bytes row on a busy session)."""
+def walk_execution_metrics(spark, eid: int):
+    """Yield ``(node_name, metric_name, raw_value)`` for every populated
+    SQLMetric of one execution's physical graph, deduped by accumulatorId
+    (ReusedExchange nodes share IDs with the original Exchange — counting
+    each accumulator once keeps exchange-reuse plans from double-counting,
+    ADVICE r6). Drains the listener bus first: SQL metrics aggregate
+    asynchronously after the collect returns, and reading too early
+    returns an empty metric map (observed as a spurious 0-bytes row on a
+    busy session). Shared scaffolding for the shuffle AND memory audits —
+    one walker, so a metrics-plumbing fix lands in both."""
     try:
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30000)
     except Exception:
@@ -97,34 +101,35 @@ def execution_volumes(spark, eid: int) -> dict:
     ss = spark._jsparkSession.sharedState().statusStore()
     vals = ss.executionMetrics(eid)
     g = ss.planGraph(eid)
-    shuffle = broadcast = 0
-    n_ex = n_bx = 0
     seen_accs: set[int] = set()
     it = g.allNodes().iterator()
     while it.hasNext():
         node = it.next()
-        name = node.name()
         mit = node.metrics().iterator()
         while mit.hasNext():
             metric = mit.next()
-            if not vals.contains(metric.accumulatorId()):
-                continue
-            # ReusedExchange nodes share accumulator IDs with the original
-            # Exchange; counting each accumulator once keeps plans with
-            # exchange reuse from double-counting bytes (ADVICE r6).
             acc = metric.accumulatorId()
-            if acc in seen_accs:
+            if not vals.contains(acc) or acc in seen_accs:
                 continue
             seen_accs.add(acc)
-            size = parse_size(vals.apply(acc))
-            if size is None:
-                continue
-            if metric.name() == "shuffle bytes written":
-                shuffle += size
-                n_ex += 1
-            elif name == "BroadcastExchange" and metric.name() == "data size":
-                broadcast += size
-                n_bx += 1
+            yield node.name(), metric.name(), vals.apply(acc)
+
+
+def execution_volumes(spark, eid: int) -> dict:
+    """Sum shuffle bytes written / broadcast data size over the physical
+    graph of one SQL execution (walker shared with the memory audit)."""
+    shuffle = broadcast = 0
+    n_ex = n_bx = 0
+    for name, mname, raw in walk_execution_metrics(spark, eid):
+        size = parse_size(raw)
+        if size is None:
+            continue
+        if mname == "shuffle bytes written":
+            shuffle += size
+            n_ex += 1
+        elif name == "BroadcastExchange" and mname == "data size":
+            broadcast += size
+            n_bx += 1
     return {
         "shuffle_bytes": shuffle,
         "broadcast_bytes": broadcast,

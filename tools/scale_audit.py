@@ -226,8 +226,19 @@ def main() -> None:
     lines.append("")
 
     out = os.path.join(ROOT, "SCALE_AUDIT.md")
+    # preserve the manually-maintained sweep log: the rounds append rows
+    # to it (verify_sweep results), and a regeneration must not eat them
+    sweep_header = "## Partition-robustness sweeps"
+    tail = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        i = old.find(sweep_header)
+        if i >= 0:
+            tail = old[i:]
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
+        if tail:
+            fh.write("\n" + tail)
     print(f"wrote {out}")
     spark.stop()
     if cartesians or rogue_udfs or errors:

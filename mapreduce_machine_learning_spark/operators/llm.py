@@ -427,11 +427,18 @@ def _verified_jaccard(
     )
     n_inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
-    if is_audit_mode():
+    explicit_cap = (
+        broadcast_cap_b is not None
+        or os.environ.get("SPARK_GRAFT_VERIFY_BCAST_CAP_B")
+    )
+    if is_audit_mode() and not explicit_cap:
         # plan-audit contract: nothing may execute during an audit walk
         # (tools/scale_audit.py, the plan-shape tests) — skip the size
         # probe and take the documented default regime (broadcast), the
-        # same pattern as ann.py's edge-cap count under audit mode.
+        # same pattern as ann.py's edge-cap count under audit mode. An
+        # EXPLICIT cap (arg or env) still probes: the shuffle/memory
+        # audit tools execute their queries anyway and use the override
+        # to measure the non-default regimes.
         fits = True
     else:
         fits, _est = _verify_arrays_fit_broadcast(

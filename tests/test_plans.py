@@ -2,6 +2,8 @@
 100 TB design depends on must actually show up in `.explain`, not just be
 assumed. Each test pins one load-bearing plan property."""
 
+import os
+
 from mapreduce_machine_learning_spark.plans import (
     assert_in_plan,
     assert_not_in_plan,
@@ -456,6 +458,19 @@ def test_audit_mode_plan_build_runs_no_jobs(spark):
             df = all_queries()[name](spark, SF_DIR)  # the probe ran HERE
             _ = df._jdf.queryExecution().executedPlan()  # force planning
             assert n_execs() == before, f"{name} planned with a job"
+
+        # but an EXPLICIT cap override must still probe even in audit
+        # mode — the shuffle/memory audit tools execute anyway and use
+        # the env knob to measure the non-default join regimes
+        os.environ["SPARK_GRAFT_VERIFY_BCAST_CAP_B"] = "1"
+        try:
+            before = n_execs()
+            df = all_queries()["q_llm_neardup_pairs"](spark, SF_DIR)
+            assert n_execs() > before, "explicit cap skipped the probe"
+            plan = explain_str(df)
+            assert "SortMergeJoin" in plan, plan  # over-cap regime held
+        finally:
+            del os.environ["SPARK_GRAFT_VERIFY_BCAST_CAP_B"]
     finally:
         runtime.plan_audit_mode(False)
 

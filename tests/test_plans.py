@@ -444,11 +444,18 @@ def test_audit_mode_plan_build_runs_no_jobs(spark):
     from mapreduce_machine_learning_spark.registry import all_queries
 
     def n_execs():
+        # the LAST execution id, not the list size: the status store
+        # retains at most spark.sql.ui.retainedExecutions (1000) entries,
+        # so size() saturates in a long test session while ids stay
+        # monotonic. Drain the bus first — executions register async.
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30000)
+        execs = (
+            spark._jsparkSession.sharedState().statusStore().executionsList()
+        )
         return (
-            spark._jsparkSession.sharedState()
-            .statusStore()
-            .executionsList()
-            .size()
+            execs.apply(execs.size() - 1).executionId()
+            if execs.size()
+            else -1
         )
 
     runtime.plan_audit_mode(True)

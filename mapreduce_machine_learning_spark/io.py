@@ -91,7 +91,23 @@ def _ship_package(spark: SparkSession) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
     sc.addPyFile(zpath)
+    # ADVICE r7: without cleanup these mkstemp zips accumulate in /tmp
+    # forever on long-lived hosts running many multi-JVM sessions. The zip
+    # must OUTLIVE the app (executors fetch it from the driver's file
+    # server, which serves the original path, for as long as tasks run),
+    # so removal is deferred to interpreter exit — by then every app this
+    # process started has stopped.
+    import atexit
+
+    atexit.register(_unlink_quiet, zpath)
     _SHIPPED.add(sc.applicationId)
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 # ``spark.read.parquet`` pays ~150 ms of driver-side file listing + footer

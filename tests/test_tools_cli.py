@@ -42,12 +42,31 @@ def test_gate_llm_single_sample_falls_back_to_extra():
 def test_headline_probe_summarize_nulls_total_on_error():
     """An errored/timed-out probe query must null the fresh-JVM total and
     flag the run incomplete — a partial sum would read as a FAST host
-    state in BASELINE.md variance rows (ADVICE r6)."""
+    state in BASELINE.md variance rows (ADVICE r6). Completeness is
+    POSITIVE (ADVICE r7): an empty results list, or one silently missing
+    a headline query, must also read incomplete — summarize([]) used to
+    report an impossibly fast 0 s complete probe."""
     from tools.headline_probe import summarize
 
-    ok = [{"query": "a", "median_s": 1.5}, {"query": "b", "median_s": 0.5}]
-    assert summarize(ok) == (2.0, False)
-    assert summarize(ok + [{"query": "c", "error": "timeout"}]) == (None, True)
+    ok = [{"query": q, "median_s": 0.25} for q in bench.HEADLINE]
+    total = round(0.25 * len(bench.HEADLINE), 4)
+    assert summarize(ok) == (total, False)
+    bad = ok[:-1] + [{"query": ok[-1]["query"], "error": "timeout"}]
+    assert summarize(bad) == (None, True)
+    # ADVICE r7 cases: empty and silently-partial runs are incomplete
+    assert summarize([]) == (None, True)
+    assert summarize(ok[:-1]) == (None, True)
+
+
+def test_drift_ab_verdict_inconclusive_when_no_ratios():
+    """drift_ab adjudication (ADVICE r7): None median_ratio (no computable
+    per-query ratio) must yield a DISTINCT inconclusive verdict, never
+    'possible regression' — an invalid measurement is not evidence."""
+    from tools.drift_ab import verdict_for
+
+    assert verdict_for(None) == "inconclusive (no valid ratios)"
+    assert verdict_for(1.02).startswith("code_equivalent")
+    assert verdict_for(1.5) == "possible regression since ref"
 
 
 class _JIter:
@@ -162,6 +181,30 @@ def test_shuffle_audit_dedupes_reused_exchange_accumulators():
     assert out["n_shuffle_writes"] == 2
     assert out["broadcast_bytes"] == 8
     assert out["n_broadcasts"] == 1
+
+
+def test_shuffle_audit_reuse_node_first_still_counts_broadcast():
+    """ADVICE r7: graph iteration order is not guaranteed — when the
+    ReusedExchange node is visited BEFORE its BroadcastExchange, a
+    yield-time dedup attributed the shared 'data size' accumulator to
+    "ReusedExchange" and the broadcast classifier dropped it (the old
+    double-count traded for an undercount). The walker must emit each
+    accumulator once under its OWNING exchange's name regardless of
+    visit order."""
+    from tools.shuffle_audit import execution_volumes
+
+    nodes = [
+        _Node("ReusedExchange", [_Metric("data size", 11)]),
+        _Node("BroadcastExchange", [_Metric("data size", 11)]),
+        _Node("ReusedExchange", [_Metric("shuffle bytes written", 7)]),
+        _Node("Exchange", [_Metric("shuffle bytes written", 7)]),
+    ]
+    vals = {7: "100.0 B", 11: "8.0 B"}
+    out = execution_volumes(_fake_spark(nodes, vals), 0)
+    assert out["broadcast_bytes"] == 8  # not dropped under the reuse name
+    assert out["n_broadcasts"] == 1
+    assert out["shuffle_bytes"] == 100  # still counted exactly once
+    assert out["n_shuffle_writes"] == 1
 
 
 def test_sweep_clis_reject_unknown_parts_under_dash_O():

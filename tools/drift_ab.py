@@ -81,6 +81,19 @@ def run_tree(tree: str, queries: list[str], sf_dir: str) -> dict:
     )
 
 
+def verdict_for(median_ratio: float | None) -> str:
+    """Three-way adjudication verdict (ADVICE r7): a run with NO computable
+    ratio (ref steady 0, or every per-query entry None) is a broken
+    MEASUREMENT, not evidence of a regression — conflating the two would
+    let an empty replay "confirm" a bench flag. Pure so
+    tests/test_tools_cli.py can pin all three branches without a JVM."""
+    if median_ratio is None:
+        return "inconclusive (no valid ratios)"
+    if median_ratio <= 1.15:
+        return "code_equivalent (flag was host state)"
+    return "possible regression since ref"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", required=True, help="reference commit to compare against")
@@ -126,16 +139,14 @@ def main() -> None:
         }
     ratios = [v["head_over_ref"] for v in result["queries"].values() if v["head_over_ref"]]
     result["median_ratio"] = round(statistics.median(ratios), 3) if ratios else None
-    result["verdict"] = (
-        "code_equivalent (flag was host state)"
-        if result["median_ratio"] is not None and result["median_ratio"] <= 1.15
-        else "possible regression since ref"
-    )
+    result["verdict"] = verdict_for(result["median_ratio"])
     print(json.dumps(result["queries"], indent=1))
     print("median head/ref ratio:", result["median_ratio"], "->", result["verdict"])
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {args.out}", flush=True)
+    if result["median_ratio"] is None:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

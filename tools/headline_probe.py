@@ -140,8 +140,12 @@ def summarize(results: list) -> tuple[float | None, bool]:
     """(total_s, incomplete). A probe with an errored/timed-out query must
     not report a smaller "fresh-JVM total" that reads as a fast host state
     (ADVICE r6): the total is only meaningful when every headline query
-    contributed, so any error row nulls it and flags the run."""
-    incomplete = any("error" in r for r in results)
+    contributed, so any error row nulls it and flags the run. Completeness
+    is POSITIVE, not just absence-of-error rows (ADVICE r7): an empty or
+    partial results list — a probe that never recorded some query at all —
+    must read incomplete too, or it reports an impossibly fast 0 s host."""
+    measured = {r.get("query") for r in results if "median_s" in r}
+    incomplete = any("error" in r for r in results) or measured != set(HEADLINE)
     if incomplete:
         return None, True
     return round(sum(r["median_s"] for r in results if "median_s" in r), 4), False

@@ -84,7 +84,13 @@ def walk_execution_metrics(spark, eid: int):
     SQLMetric of one execution's physical graph, deduped by accumulatorId
     (ReusedExchange nodes share IDs with the original Exchange — counting
     each accumulator once keeps exchange-reuse plans from double-counting,
-    ADVICE r6). Drains the listener bus first: SQL metrics aggregate
+    ADVICE r6). Dedup happens AFTER the full graph walk, preferring the
+    non-ReusedExchange owner of a shared accumulator (ADVICE r7): graph
+    iteration order is not guaranteed, and a yield-time dedup that visits
+    the ReusedExchange node first would attribute the shared 'data size'
+    accumulator to "ReusedExchange", which the broadcast classifier in
+    execution_volumes would then drop. Drains the listener bus first: SQL
+    metrics aggregate
     asynchronously after the collect returns, and reading too early
     returns an empty metric map (observed as a spurious 0-bytes row on a
     busy session). Shared scaffolding for the shuffle AND memory audits —
@@ -101,18 +107,25 @@ def walk_execution_metrics(spark, eid: int):
     ss = spark._jsparkSession.sharedState().statusStore()
     vals = ss.executionMetrics(eid)
     g = ss.planGraph(eid)
-    seen_accs: set[int] = set()
+    owner: dict[int, tuple[str, str]] = {}  # acc -> (node_name, metric_name)
     it = g.allNodes().iterator()
     while it.hasNext():
         node = it.next()
+        name = node.name()
         mit = node.metrics().iterator()
         while mit.hasNext():
             metric = mit.next()
             acc = metric.accumulatorId()
-            if not vals.contains(acc) or acc in seen_accs:
+            if not vals.contains(acc):
                 continue
-            seen_accs.add(acc)
-            yield node.name(), metric.name(), vals.apply(acc)
+            cur = owner.get(acc)
+            if cur is None or (
+                cur[0].startswith("ReusedExchange")
+                and not name.startswith("ReusedExchange")
+            ):
+                owner[acc] = (name, metric.name())
+    for acc, (name, mname) in owner.items():
+        yield name, mname, vals.apply(acc)
 
 
 def execution_volumes(spark, eid: int) -> dict:

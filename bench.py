@@ -4,8 +4,14 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS], one shared SparkSession, one warm-up run + four
 timed runs per query with the MEDIAN reported (BASELINE.md protocol; medians
-since round 5 — single samples are spike-hostage on this box), and prints
-ONE JSON line.
+since round 5 — single samples are spike-hostage on this box).
+
+Output protocol (VERDICT r7 #2): the FULL record (sample arrays, normalized
+maps, flag prose) prints as the first JSON line and is mirrored to the
+BENCH_detail.json sidecar; the LAST stdout line is the COMPACT summary
+(headline totals, per-query medians/steady, gate outcomes) guaranteed to fit
+the driver's 2,000-char tail window — that line is the machine-readable
+record of the round.
 """
 
 from __future__ import annotations
@@ -105,6 +111,69 @@ def normalize_queries(per_query: dict[str, float], hint: float) -> dict[str, flo
     if not hint or hint <= 0:
         return {}
     return {k: round(v / hint, 4) for k, v in per_query.items()}
+
+
+# The driver archives only the LAST ~2,000 characters of bench stdout and
+# json-parses the final line (VERDICT r7: BENCH_r07's record was lost when
+# the growing full record outran that window mid-key). The FINAL stdout
+# line is therefore a compact summary — headline totals, steady maps, gate
+# outcomes — hard-bounded well under the window; the full record (sample
+# arrays, normalized maps, flag protocol) prints on an EARLIER line and
+# lands in the BENCH_detail.json sidecar.
+COMPACT_LINE_MAX_CHARS = 1800
+DETAIL_SIDECAR = "BENCH_detail.json"
+
+# compact keeps every judge-facing number (BASELINE.md-comparable value,
+# both protocol totals, per-query medians + steady, gate outcomes); the
+# dropped fields are the per-sample audit trails and derived normalized
+# maps, all recoverable from the detail record.
+_COMPACT_KEYS = [
+    "metric",
+    "value",
+    "value_protocol",
+    "first_sample_total",
+    "unit",
+    "queries",
+    "queries_steady",
+    "steady_total",
+    "host_drift_hint",
+    "llm_pipeline",
+    "llm_steady",
+    "llm_regressions",
+    "llm_median_warnings",
+    "sf",
+]
+
+
+def compact_summary(full: dict) -> dict:
+    """Project the full bench record onto the compact final-line fields.
+    Pure, pinned by tests/test_bench_config.py: the rendered line (compact
+    separators — see compact_line) must stay under COMPACT_LINE_MAX_CHARS
+    even with every LLM gate tripped, or the driver's tail window
+    truncates it and the round's machine-readable bench record is lost
+    (VERDICT r7 #2). The gate maps flatten to {query: seconds} here — the
+    targets are bench.py constants and the full {sec, target} shape stays
+    in the detail record."""
+    out = {k: full[k] for k in _COMPACT_KEYS if k in full}
+    out["llm_regressions"] = {
+        q: v["sec"] for q, v in full.get("llm_regressions", {}).items()
+    }
+    out["llm_median_warnings"] = {
+        q: v["median_sec"]
+        for q, v in full.get("llm_median_warnings", {}).items()
+    }
+    if full.get("flag_protocol"):
+        # gates tripped: point at the adjudication protocol without
+        # carrying the full prose (that stays in the detail record)
+        out["flags_see"] = "tools/drift_ab.py + detail record"
+    out["detail"] = DETAIL_SIDECAR
+    return out
+
+
+def compact_line(full: dict) -> str:
+    """The final stdout line: compact separators buy ~15% width headroom
+    against the driver's fixed tail window."""
+    return json.dumps(compact_summary(full), separators=(",", ":"))
 
 
 def main() -> None:
@@ -257,69 +326,75 @@ def main() -> None:
     # one drift hint, reused by every field derived from it — three
     # inline copies of the same division invite silent desynchronization
     drift_hint = sum(steady.values()) / HEADLINE_STEADY_R4_TOTAL_S
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm",
-                "value": total,
-                # protocol marker + the r1-r4-comparable number (ADVICE
-                # round 5): since round 5 `value` is the median of four
-                # timed runs, which reads systematically LOWER than the
-                # first-timed-sample protocol BENCH_r01-r04 recorded.
-                # first_sample_total is that legacy protocol's number, so
-                # cross-round comparisons can pick matching protocols
-                # instead of silently mixing them.
-                "value_protocol": "median_of_4",
-                "first_sample_total": round(
-                    sum(s[0] for s in headline_samples.values()), 4
-                ),
-                "unit": "sec",
-                "queries": timings,
-                "queries_steady": steady,
-                "steady_total": round(sum(steady.values()), 4),
-                # informational: same-run headline level vs the r4
-                # reference — the mechanical drift attribution for any
-                # llm_regressions entry (see HEADLINE_STEADY_R4_TOTAL_S)
-                "host_drift_hint": round(drift_hint, 3),
-                # steady ÷ host_drift_hint: r4-equivalent per-query units
-                # for cross-round reads (VERDICT r6 #6; BASELINE.md Rules
-                # #5). CAVEAT (round 7, BASELINE.md r7 note): the hint is
-                # JVM-side; the Python/Arrow side drifts INDEPENDENTLY on
-                # this box, so llm_steady_normalized removes only the JVM
-                # component — a uniform lift across the LLM block is
-                # still more likely host than code (adjudicate with
-                # tools/drift_ab.py, never from this block alone).
-                "queries_normalized": normalize_queries(steady, drift_hint),
-                "llm_steady_normalized": normalize_queries(
-                    llm_steady, drift_hint
-                ),
-                "llm_normalized_is_jvm_hint_only": True,
-                "headline_samples": headline_samples,
-                "llm_pipeline": extra,
-                "llm_steady": llm_steady,
-                "llm_samples": llm_samples,
-                "llm_regressions": regressions,
-                "llm_median_warnings": median_warns,
-                # non-empty flags are host-adjudicable: the JVM and Python
-                # sides of this box drift INDEPENDENTLY (BASELINE.md r7
-                # note — host_drift_hint is JVM-side and can read ~1 while
-                # the Arrow-kernel side sits slow). tools/drift_ab.py
-                # replays flagged queries on this tree vs a reference
-                # commit in paired fresh-JVM passes; DRIFT_ab_r7.json
-                # adjudicated exactly these gates at ratio 1.036 on
-                # code-equivalent trees.
-                "flag_protocol": (
-                    "llm_regressions/llm_median_warnings: before reading as"
-                    " a code regression, run tools/drift_ab.py --ref <last"
-                    " round commit> (paired A,B,B,A fresh-JVM replay;"
-                    " BASELINE.md round-7 machine-variance note)"
-                )
-                if (regressions or median_warns)
-                else None,
-                "sf": float(sf),
-            }
+    full = {
+        "metric": "headline_total_warm",
+        "value": total,
+        # protocol marker + the r1-r4-comparable number (ADVICE
+        # round 5): since round 5 `value` is the median of four
+        # timed runs, which reads systematically LOWER than the
+        # first-timed-sample protocol BENCH_r01-r04 recorded.
+        # first_sample_total is that legacy protocol's number, so
+        # cross-round comparisons can pick matching protocols
+        # instead of silently mixing them.
+        "value_protocol": "median_of_4",
+        "first_sample_total": round(
+            sum(s[0] for s in headline_samples.values()), 4
+        ),
+        "unit": "sec",
+        "queries": timings,
+        "queries_steady": steady,
+        "steady_total": round(sum(steady.values()), 4),
+        # informational: same-run headline level vs the r4
+        # reference — the mechanical drift attribution for any
+        # llm_regressions entry (see HEADLINE_STEADY_R4_TOTAL_S)
+        "host_drift_hint": round(drift_hint, 3),
+        # steady ÷ host_drift_hint: r4-equivalent per-query units
+        # for cross-round reads (VERDICT r6 #6; BASELINE.md Rules
+        # #5). CAVEAT (round 7, BASELINE.md r7 note): the hint is
+        # JVM-side; the Python/Arrow side drifts INDEPENDENTLY on
+        # this box, so llm_steady_normalized removes only the JVM
+        # component — a uniform lift across the LLM block is
+        # still more likely host than code (adjudicate with
+        # tools/drift_ab.py, never from this block alone).
+        "queries_normalized": normalize_queries(steady, drift_hint),
+        "llm_steady_normalized": normalize_queries(
+            llm_steady, drift_hint
+        ),
+        "llm_normalized_is_jvm_hint_only": True,
+        "headline_samples": headline_samples,
+        "llm_pipeline": extra,
+        "llm_steady": llm_steady,
+        "llm_samples": llm_samples,
+        "llm_regressions": regressions,
+        "llm_median_warnings": median_warns,
+        # non-empty flags are host-adjudicable: the JVM and Python
+        # sides of this box drift INDEPENDENTLY (BASELINE.md r7
+        # note — host_drift_hint is JVM-side and can read ~1 while
+        # the Arrow-kernel side sits slow). tools/drift_ab.py
+        # replays flagged queries on this tree vs a reference
+        # commit in paired fresh-JVM passes; DRIFT_ab_r7.json
+        # adjudicated exactly these gates at ratio 1.036 on
+        # code-equivalent trees.
+        "flag_protocol": (
+            "llm_regressions/llm_median_warnings: before reading as"
+            " a code regression, run tools/drift_ab.py --ref <last"
+            " round commit> (paired A,B,B,A fresh-JVM replay;"
+            " BASELINE.md round-7 machine-variance note)"
         )
-    )
+        if (regressions or median_warns)
+        else None,
+        "sf": float(sf),
+    }
+    # full record: EARLY stdout line + sidecar (both auditable); the final
+    # line is the compact projection the driver's 2,000-char tail window
+    # can always hold whole (VERDICT r7 #2)
+    print(json.dumps(full), flush=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_SIDECAR),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+    print(compact_line(full), flush=True)
     spark.stop()
 
 

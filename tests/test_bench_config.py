@@ -108,6 +108,74 @@ def test_host_drift_hint_reference_matches_r4_artifact():
     assert '"host_drift_hint"' in src
 
 
+def test_compact_final_line_fits_driver_tail_window():
+    """VERDICT r7 #2: the driver keeps only the last ~2,000 chars of bench
+    stdout and json-parses the FINAL line — BENCH_r07's record was lost
+    when the full record outgrew that window. The final line is now the
+    compact projection; this pins (a) it stays under
+    COMPACT_LINE_MAX_CHARS even in the WORST realistic case (every LLM
+    gate tripped, every float at max rendered width), (b) it is
+    json-loadable and carries the judge-facing fields, and (c) main()
+    actually prints it last."""
+    import inspect
+    import json
+
+    # worst-case full record: 6 headline + 6 LLM queries, wide floats,
+    # every gate and warning tripped (regressions/median_warns maximal)
+    heads = {q: 12345.6789 for q in bench.HEADLINE}
+    llms = {q: 12345.6789 for q in bench.LLM_BASELINE_SF01}
+    full = {
+        "metric": "headline_total_warm",
+        "value": 123456.7891,
+        "value_protocol": "median_of_4",
+        "first_sample_total": 123456.7891,
+        "unit": "sec",
+        "queries": heads,
+        "queries_steady": heads,
+        "steady_total": 123456.7891,
+        "host_drift_hint": 1.987,
+        "queries_normalized": heads,
+        "llm_steady_normalized": llms,
+        "llm_normalized_is_jvm_hint_only": True,
+        "headline_samples": {q: [12345.6789] * 4 for q in heads},
+        "llm_pipeline": llms,
+        "llm_steady": llms,
+        "llm_samples": {q: [12345.6789] * 4 for q in llms},
+        "llm_regressions": {
+            q: {"sec": 12345.6789, "target": 12345.6789} for q in llms
+        },
+        "llm_median_warnings": {
+            q: {"median_sec": 12345.6789, "target": 12345.6789} for q in llms
+        },
+        "flag_protocol": "x" * 300,
+        "sf": 0.1,
+    }
+    line = bench.compact_line(full)
+    assert len(line) < bench.COMPACT_LINE_MAX_CHARS, len(line)
+    rec = json.loads(line)
+    # the driver-contract fields survive the projection
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in rec, key
+    assert rec["queries"] == heads
+    # gate maps flatten to {query: seconds} (targets are bench constants)
+    assert rec["llm_regressions"] == llms
+    assert rec["llm_median_warnings"] == llms
+    assert rec["flags_see"]  # tripped gates leave a visible pointer
+    # and the audit-trail fields are where the detail pointer says
+    for heavy in ("headline_samples", "llm_samples", "queries_normalized"):
+        assert heavy not in rec
+    assert rec["detail"] == bench.DETAIL_SIDECAR
+
+    # source pin: the compact line is the LAST print in main() (only
+    # spark.stop() follows), so nothing can land after it on stdout
+    last_print = [
+        l.strip()
+        for l in inspect.getsource(bench.main).splitlines()
+        if l.strip().startswith("print(")
+    ][-1]
+    assert last_print == "print(compact_line(full), flush=True)"
+
+
 def test_shuffle_audit_size_parser():
     """tools/shuffle_audit.py's SQLMetric size parser: single-value and
     two-line 'total (min, med, max)' formats must both yield the TOTAL in

@@ -12,10 +12,21 @@ SF_DIR_T2 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # Per-run warehouse (VERDICT r7 #3): saveAsTable tests (bucketing,
+    # incremental state) used the repo-local ./spark-warehouse, where a
+    # table directory left behind by ANOTHER process (a killed session, a
+    # driver run) has no entry in THIS session's in-memory catalog — DROP
+    # TABLE IF EXISTS is then a no-op and the next saveAsTable errors with
+    # LOCATION_ALREADY_EXISTS. A fresh tmp dir per pytest run means no
+    # cross-process warehouse state in either direction (warehouse.dir is
+    # a static conf, so it must be set here, not in the fixtures that
+    # write tables).
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
     s = (
         SparkSession.builder.master("local[*]")
         .appName("mrml-spark-tests")
+        .config("spark.sql.warehouse.dir", str(warehouse))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

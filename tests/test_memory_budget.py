@@ -109,6 +109,42 @@ def test_registry_wide_memory_sweep_artifact():
     assert not bad, f"registry-wide memory sweep violations: {bad}"
 
 
+def test_localcluster_budget_artifacts():
+    """VERDICT r7 #8: the memory/shuffle budgets re-measured under TWO
+    REAL executor JVMs (local-cluster[2,8,4096]) instead of local[*].
+    Memory: zero spill anywhere and per-executor task peaks BELOW the
+    local[*] ceiling (they read smaller — the page-size floor scales with
+    per-executor memory, 4 GB/8 cores vs one shared heap). Shuffle: the
+    bytes a plan moves are deployment-INVARIANT — byte-identical
+    shuffle_bytes and identical exchange counts per (query, scale) vs the
+    local[*] SHUFFLE_audit.json rows. (broadcast data-size totals may
+    differ for plans with broadcast REUSE: the shared accumulator
+    attributes to one exchange or two depending on reuse materialization;
+    counts and shuffle volumes are the invariants pinned here.)"""
+    with open(os.path.join(REPO, "MEMORY_localcluster_r8.json")) as fh:
+        mrows = json.load(fh)
+    assert {r["query"] for r in mrows} == set(AUDITED)
+    for r in mrows:
+        assert r["spill_bytes"] == 0, r
+        assert r["peak_task_memory_bytes"] < LIVE_PEAK_CEILING_B, r
+
+    with open(os.path.join(REPO, "SHUFFLE_localcluster_r8.json")) as fh:
+        lc = json.load(fh)
+    with open(os.path.join(REPO, "SHUFFLE_audit.json")) as fh:
+        base = json.load(fh)
+    bk = {(r["query"], r["sf_dir"]): r for r in base}
+    compared = 0
+    for r in lc:
+        b = bk.get((r["query"], r["sf_dir"]))
+        if b is None:
+            continue
+        compared += 1
+        assert r["shuffle_bytes"] == b["shuffle_bytes"], (r, b)
+        assert r["n_shuffle_writes"] == b["n_shuffle_writes"], (r, b)
+        assert r["n_broadcasts"] == b["n_broadcasts"], (r, b)
+    assert compared >= 20, compared
+
+
 def test_fault_probe_artifact():
     """FAULT_probe_r7.json (tools/fault_probe.py): an executor JVM
     SIGKILLed mid-query under local-cluster must have landed INSIDE the
@@ -123,6 +159,45 @@ def test_fault_probe_artifact():
     assert rec["killed_pid"] in rec["executor_pids_before"]
     assert rec["killed_pid"] not in rec["executor_pids_after"]
     assert rec["n_rows"] > 0
+
+
+def test_fault_probe_r8_artifact():
+    """FAULT_probe_r8.json (VERDICT r7 #7): one executor kill per failure
+    surface, each landing while tasks were actively running and each
+    recovering to row-identical output — (1) the near-dup banding map
+    stage, (2) q_join_multi's 16-task reduce mid shuffle-fetch (losing
+    map outputs with the executor, the expensive path), (3) the Arrow
+    applyInPandas stage with EVERY executor killed (the in-flight Python
+    worker provably dies; the stage resubmits onto respawned executors
+    with the UDF re-shipped)."""
+    with open(os.path.join(REPO, "FAULT_probe_r8.json")) as fh:
+        art = json.load(fh)
+    assert art["all_ok"] is True
+    names = [s["query"] for s in art["scenarios"]]
+    assert names == [
+        "q_llm_neardup_pairs",
+        "q_join_multi",
+        "q_llm_sim_threshold",
+    ]
+    for s in art["scenarios"]:
+        assert s["kill_landed_inside_query_window"] is True, s["query"]
+        assert s["kill_landed_while_tasks_active"] is True, s["query"]
+        assert s["results_identical_to_unperturbed_run"] is True, s["query"]
+        assert s["n_rows"] > 0
+        assert s["killed_pids"]
+        assert set(s["killed_pids"]) <= set(s["executor_pids_before"])
+        assert not set(s["killed_pids"]) & set(s["executor_pids_after"])
+    # shuffle-fetch attribution: the busy stage at kill was the
+    # shuffle.partitions-wide reduce, not the (9-task) parquet scan
+    jm = art["scenarios"][1]
+    assert any(
+        st["num_tasks"] >= 16 and st["active_tasks"] > 0
+        for st in jm["stages_active_at_kill"]
+    ), jm["stages_active_at_kill"]
+    # Arrow scenario: total executor loss, not a coin-flip single kill
+    arrow = art["scenarios"][2]
+    assert arrow["kill_all_executors"] is True
+    assert len(arrow["killed_pids"]) >= 2
 
 
 def test_neardup_regime_memory_artifact():

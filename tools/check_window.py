@@ -2,15 +2,18 @@
 
 Replays the driver's t2 differential-oracle compare (tests/parity.py) at
 sf0.01 for exactly the queries the driver will check this round: the first
-N registry entries that have no green row in any CORRECTNESS_r*.json yet.
+N entries of the registry's driver order. The registry already sorts
+never-green queries first and — once the tail drained (round 7) — the
+recheck buckets (RECHECK_PRIORITY flagships, then contract queries in §2
+order), so the head of the order IS the window in both eras; filtering to
+never-green entries here (the pre-round-8 logic) would leave an empty
+window forever.
 
 Usage: python tools/check_window.py [N]
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import sys
 import time
@@ -28,12 +31,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    green = set()
-    for f in sorted(glob.glob("CORRECTNESS_r0*.json")):
-        green.update(json.load(open(f)))
     queries = registry.all_queries()
     oracles = registry.all_oracles()
-    window = [name for name in queries if name not in green][:n]
+    window = list(queries)[:n]
     print(f"window of {len(window)}: {window[0]} .. {window[-1]}", flush=True)
 
     from pyspark.sql import SparkSession

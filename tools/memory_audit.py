@@ -95,6 +95,10 @@ def main() -> None:
     ap.add_argument("--dirs", default=",".join(SF_DIRS))
     ap.add_argument("--queries", default=",".join(QUERIES))
     ap.add_argument("--conf", action="append", default=[])
+    # --master local-cluster[2,8,4096]: per-executor peaks under two real
+    # JVMs (VERDICT r7 #8) — local[*] budgets share one heap and could in
+    # principle flatter a plan whose tasks pack differently per executor
+    ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
     sf_dirs = [d for d in args.dirs.split(",") if d]
     queries = [q for q in args.queries.split(",") if q]
@@ -102,7 +106,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(args.master)
         .appName("mrml-memory-audit")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

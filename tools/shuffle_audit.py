@@ -165,6 +165,11 @@ def main() -> None:
     # (round 7: measuring the verify stage's SHUFFLE regime on a corpus whose
     # stats would otherwise let Catalyst pick broadcast even without the hint)
     ap.add_argument("--conf", action="append", default=[])
+    # --master local-cluster[2,8,4096] measures the same budgets under two
+    # REAL executor JVMs (VERDICT r7 #8): the SQLMetrics aggregate on the
+    # driver's status store either way, but per-executor peaks and shuffle
+    # write paths are genuinely remote-ish under local-cluster
+    ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
     sf_dirs = [d for d in args.dirs.split(",") if d]
     queries = [q for q in args.queries.split(",") if q]
@@ -172,7 +177,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(args.master)
         .appName("mrml-shuffle-audit")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

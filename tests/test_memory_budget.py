@@ -117,10 +117,14 @@ def test_localcluster_budget_artifacts():
     per-executor memory, 4 GB/8 cores vs one shared heap). Shuffle: the
     bytes a plan moves are deployment-INVARIANT — byte-identical
     shuffle_bytes and identical exchange counts per (query, scale) vs the
-    local[*] SHUFFLE_audit.json rows. (broadcast data-size totals may
-    differ for plans with broadcast REUSE: the shared accumulator
-    attributes to one exchange or two depending on reuse materialization;
-    counts and shuffle volumes are the invariants pinned here.)"""
+    local[*] SHUFFLE_audit.json rows. (broadcast data-size totals are NOT
+    pinned: for multi-execution queries — q_llm_dedup_incremental's
+    _ckpt/materialize steps — the walker reads the FINAL execution only,
+    and which broadcast materializes inside that window vs an earlier one
+    varies with session history; measured 2.2 MB vs 33.7 MB for the same
+    token-array broadcast in two local[8] sessions differing only in
+    warm-up counts. Exchange counts and shuffle volumes are the
+    deployment invariants pinned here.)"""
     with open(os.path.join(REPO, "MEMORY_localcluster_r8.json")) as fh:
         mrows = json.load(fh)
     assert {r["query"] for r in mrows} == set(AUDITED)

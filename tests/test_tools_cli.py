@@ -1,12 +1,15 @@
-"""Round-7 pins for the ADVICE r6 measurement-tool fixes — no SparkSession.
+"""Pins for the ADVICE r6/r7 measurement-tool fixes — no SparkSession.
 
-Each test pins one of the six round-6 advisor findings so a regression
-reintroducing the original defect fails loudly:
-  * gate_llm on a 1-element sample list (bench.py:81),
-  * headline-probe totals nulled on errored queries (headline_probe.py),
-  * shuffle-volume accumulator dedup under exchange reuse (shuffle_audit.py),
+Each test pins one advisor finding so a regression reintroducing the
+original defect fails loudly:
+  * gate_llm on a 1-element sample list (bench.py, r6),
+  * headline-probe totals nulled on errored queries AND on empty/partial
+    results (headline_probe.py, r6 + r7),
+  * shuffle-volume accumulator dedup under exchange reuse, in either
+    graph-visit order (shuffle_audit.py, r6 + r7),
+  * drift_ab inconclusive verdict when no ratio is computable (r7),
   * CLI part/pipeline validation surviving `python -O` (scaling_curve.py,
-    cores_sweep.py).
+    cores_sweep.py, r6).
 The ann.py strict-build finding is pinned in
 tests/test_ann.py::test_assign_paths_agree_on_zero_norm_vector.
 """

@@ -96,6 +96,15 @@ CONTRACT_QUERIES: tuple[str, ...] = (
 
 
 _DONE_CACHE: Optional[set] = None
+_LAST_RECHECK_CACHE: Optional[dict] = None
+
+
+def _driver_last_recheck() -> dict:
+    """name -> latest recheck-era round (>= RECHECK_ERA_START) with a
+    driver row; populated together with the done cache."""
+    if _LAST_RECHECK_CACHE is None:
+        _driver_done_queries()
+    return _LAST_RECHECK_CACHE or {}
 
 
 def _report_round(path: str) -> int:
@@ -138,12 +147,13 @@ def _driver_done_queries() -> set[str]:
     import json
     import os
 
-    global _DONE_CACHE
+    global _DONE_CACHE, _LAST_RECHECK_CACHE
     if _DONE_CACHE is not None:
         return _DONE_CACHE
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     reports = []
+    rounds = []
     # NUMERIC round order (r01 < r2 < r10 < r100); later rounds override.
     for path in sorted(
         glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
@@ -154,8 +164,38 @@ def _driver_done_queries() -> set[str]:
                 reports.append(json.load(fh))
         except (OSError, ValueError):
             continue
+        rounds.append(_report_round(path))
     _DONE_CACHE = _done_from_reports(reports)
+    _LAST_RECHECK_CACHE = _last_recheck_from_reports(reports, rounds)
     return _DONE_CACHE
+
+
+# Recheck rotation (round 8): once the whole registry is driver-green
+# (round 7 drained the tail), a STATIC ordering would hand the driver the
+# same 50-query window every round and the other ~297 queries would never
+# re-verify. Rounds >= RECHECK_ERA_START therefore count as "recheck era":
+# within the already-green buckets below, queries checked in an EARLIER
+# recheck-era round (or never) sort ahead of ones checked more recently,
+# so each round's window advances through the registry — full coverage
+# re-verifies every ~9 rounds — while the RECHECK_PRIORITY flagships stay
+# pinned to every round's window. Pre-era rounds (r1-r7, the build-out)
+# deliberately do NOT count: counting them would reorder the pinned
+# round-8 window by each query's historical green round.
+RECHECK_ERA_START = 8
+
+
+def _last_recheck_from_reports(reports, rounds) -> dict:
+    """name -> latest recheck-era round with ANY row for the query (green
+    or red — a red row rotates the query forward via the done-set instead,
+    and must not also make it look 'recently rechecked'). 0 if none."""
+    last: dict[str, int] = {}
+    for report, rnd in zip(reports, rounds):
+        if rnd < RECHECK_ERA_START or not isinstance(report, dict):
+            continue
+        for name, row in report.items():
+            if isinstance(row, dict):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _done_from_reports(reports) -> set[str]:
@@ -234,29 +274,37 @@ def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     SURVEY §2 table order; (1) EXTENSION_PRIORITY queries with no green row,
     in priority order; (2) other extension queries with no green row, in
     module registration order; then the already-driver-green block: (3)
-    RECHECK_PRIORITY flagships in recheck order, (4) remaining contract
-    queries in SURVEY §2 table order, (5) remaining extensions in module
-    registration order. Within a bucket the order is deterministic, so
+    RECHECK_PRIORITY flagships in recheck order — EVERY round's window,
+    (4) everything else, least-recently-rechecked FIRST (recheck-era
+    rounds only — see RECHECK_ERA_START), tie-broken contract-before-
+    extension then SURVEY §2 table order / module registration order.
+    Recency dominates the tie-break so the driver's 50-query window
+    ROTATES through the whole registry across rounds 8+ (full re-verify
+    roughly every nine rounds) instead of re-verifying the same head
+    forever; with no recheck-era report yet the order is identical to the
+    pre-rotation one (all recencies 0), which keeps the pinned round-8
+    window byte-stable. Within a bucket the order is deterministic, so
     reruns of the same round are stable.
     """
     done = _driver_done_queries()
+    last = _driver_last_recheck()
     contract_rank = {name: i for i, name in enumerate(CONTRACT_QUERIES)}
     priority_rank = {name: i for i, name in enumerate(EXTENSION_PRIORITY)}
     recheck_rank = {name: i for i, name in enumerate(RECHECK_PRIORITY)}
     reg_rank = {name: i for i, name in enumerate(queries)}
 
-    def key(name: str) -> tuple[int, int]:
+    def key(name: str) -> tuple:
         if name not in done:
             if name in contract_rank:
-                return (0, contract_rank[name])
+                return (0, 0, 0, contract_rank[name])
             if name in priority_rank:
-                return (1, priority_rank[name])
-            return (2, reg_rank[name])
+                return (1, 0, 0, priority_rank[name])
+            return (2, 0, 0, reg_rank[name])
         if name in recheck_rank:
-            return (3, recheck_rank[name])
+            return (3, 0, 0, recheck_rank[name])
         if name in contract_rank:
-            return (4, contract_rank[name])
-        return (5, reg_rank[name])
+            return (4, last.get(name, 0), 0, contract_rank[name])
+        return (4, last.get(name, 0), 1, reg_rank[name])
 
     return {name: queries[name] for name in sorted(queries, key=key)}
 

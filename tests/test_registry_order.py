@@ -266,3 +266,57 @@ def test_round8_window_forecast_matches_readme():
     ][:32]
     assert w8[18:] == want_rest
     assert w8[18] == "q_scan_stats" and w8[-1] == "q_stream_latedata"
+
+
+def test_round9_window_forecast_rotation():
+    """Round-9 forecast, pre-committed like rounds 7/8 (registry recheck
+    ROTATION, round 8): once CORRECTNESS_r08 lands with the pinned
+    round-8 window, recency sorts those 32 contract queries behind
+    everything not yet rechecked — the round-9 window is the 18
+    RECHECK_PRIORITY flagships (every round), the REMAINING contract
+    queries in §2 order, then the first extensions in registration
+    order. Simulated with a synthetic r08 report through the registry's
+    own recency parser, so the forecast keeps passing unchanged after
+    the real CORRECTNESS_r08 is written."""
+    registry.all_queries()
+    names_reg = list(registry._QUERIES)
+    contract_rank = {n: i for i, n in enumerate(registry.CONTRACT_QUERIES)}
+    recheck_rank = {n: i for i, n in enumerate(registry.RECHECK_PRIORITY)}
+    reg_rank = {n: i for i, n in enumerate(names_reg)}
+
+    # the pinned round-8 window, fed back as a synthetic r08 report
+    nonflag_contract = [
+        n for n in registry.CONTRACT_QUERIES if n not in recheck_rank
+    ]
+    w8 = list(registry.RECHECK_PRIORITY) + nonflag_contract[:32]
+    last = registry._last_recheck_from_reports(
+        [{n: {"rows_match": True} for n in w8}], [8]
+    )
+    assert set(last) == set(w8) and set(last.values()) == {8}
+    # ...and a pre-era report must NOT count toward recency
+    assert registry._last_recheck_from_reports(
+        [{n: {"rows_match": True} for n in w8}], [7]
+    ) == {}
+
+    def key(name):  # _ordered's done-block key, everything green
+        if name in recheck_rank:
+            return (3, 0, 0, recheck_rank[name])
+        if name in contract_rank:
+            return (4, last.get(name, 0), 0, contract_rank[name])
+        return (4, last.get(name, 0), 1, reg_rank[name])
+
+    w9 = sorted(names_reg, key=key)[:50]
+    assert w9[:18] == list(registry.RECHECK_PRIORITY)
+    rest_contract = nonflag_contract[32:]
+    assert w9[18 : 18 + len(rest_contract)] == rest_contract
+    n_ext = 50 - 18 - len(rest_contract)
+    assert n_ext > 0  # the window genuinely reaches the extension tail
+    first_exts = [
+        n
+        for n in names_reg
+        if n not in contract_rank and n not in recheck_rank
+    ][:n_ext]
+    assert w9[18 + len(rest_contract) :] == first_exts
+    # rotation is exhaustive: windows of 50 with 18 pinned flagships
+    # re-verify the other 329 queries within ceil(329/32) = 11 rounds
+    assert len(names_reg) == 347

@@ -98,6 +98,13 @@ def test_overcap_artifact():
     assert art["array_frame_stayed_off_broadcast"] is True
     assert art["regimes_identical_output"] is True
     assert art["output_rows"] > 0
+    # the no-ceiling regime's memory story: per-task peak stays bounded
+    # (sort buffers, < 1 GiB) while the rest SPILLS — this corpus reaches
+    # the spill path naturally under the tool's fixed 12g/16-thread
+    # session (round 7 needed an artificial memory.fraction squeeze),
+    # and the output above is still byte-identical across regimes
+    assert 0 < art["memory_natural"]["peak_task_memory_bytes"] < (1 << 30)
+    assert art["memory_natural"]["spill_bytes"] > 0
     gb = art["gate_forced_broadcast"]
     assert gb["fits"] is True and gb["explicit_cap"] is True
 

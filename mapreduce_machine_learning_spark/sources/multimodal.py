@@ -2,11 +2,18 @@
 with typed metadata, processed by Arrow-batched pandas over ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning, UDF
-signature, batch shapes. Only the *codec* is stubbed: this container has no
-image/audio libraries, so ``decode_image`` raises NotImplementedError and the
-pipeline runs with ``fake_features`` (a deterministic md5-derived feature
-vector) instead. Swapping in a real decoder changes one function, nothing
-about the plan.
+signature, batch shapes. The codec layer (round 8) is real for the formats
+the standard library can carry: **24-bit uncompressed BMP** images
+(``decode_bmp``/``encode_bmp``, struct-parsed — real pixels, real
+nearest-neighbor resize) and **16-bit PCM WAV** audio
+(``decode_wav``/``encode_wav`` via the stdlib ``wave`` module — real
+samples, RMS/ZCR features). Payloads are dispatched by magic bytes
+(``BM`` / ``RIFF..WAVE``); anything else — JPEG/PNG, MP3, and all VIDEO
+codecs — still needs external libraries this container lacks, raises
+``NotImplementedError`` at the documented seam, and flows through the
+deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
+stay runnable end to end. Swapping in a full decoder still changes one
+function, nothing about the plan.
 
 Scale notes: media payloads ride the normal columnar path (parquet BYTE_ARRAY
 with dictionary off), so partition sizing is by bytes not rows — set
@@ -18,6 +25,9 @@ worker per partition, Arrow record batches) rather than a per-row UDF.
 from __future__ import annotations
 
 import hashlib
+import io as _io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -59,12 +69,167 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder slot — image libs are absent in this environment."""
-    raise NotImplementedError(
-        "image codec not available in this container; pipeline runs with "
-        "fake_features (deterministic md5-derived) instead"
+def is_bmp(payload: bytes) -> bool:
+    return len(payload) > 54 and payload[:2] == b"BM"
+
+
+def is_wav(payload: bytes) -> bool:
+    return (
+        len(payload) > 44
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
     )
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """24-bit uncompressed bottom-up BMP from a uint8 (h, w, 3) RGB array —
+    pure struct/numpy, no image library. Rows pad to 4-byte boundaries per
+    the format; pixels store as BGR."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects uint8 (h, w, 3) RGB")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = b"".join(
+        arr[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    return header + dib + body
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """uint8 (h, w, 3) RGB from a 24-bit uncompressed (BI_RGB) BMP; handles
+    both bottom-up (positive height) and top-down storage and row padding.
+    Other bit depths / compressions raise at the documented seam."""
+    if not is_bmp(payload):
+        raise NotImplementedError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodes in-container (got "
+            f"{bpp}-bit, compression {comp})"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    out = np.empty((h, w, 3), np.uint8)
+    pos = off
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        out[y] = np.frombuffer(payload, np.uint8, row, pos).reshape(w, 3)[
+            :, ::-1
+        ]
+        pos += row + pad
+    return out
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """16-bit PCM mono WAV from an int16 sample array — stdlib ``wave``."""
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """(int16 samples, sample_rate) from a 16-bit PCM WAV — stdlib
+    ``wave``. Multi-channel audio is downmixed to channel 0 (deterministic,
+    keeps the feature contract mono)."""
+    if not is_wav(payload):
+        raise NotImplementedError("not a WAV payload")
+    with wave.open(_io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                "only 16-bit PCM WAV decodes in-container"
+            )
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        rate = wf.getframerate()
+        ch = wf.getnchannels()
+    samples = np.frombuffer(raw, dtype="<i2")
+    if ch > 1:
+        samples = samples[::ch]
+    return samples, rate
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decoder: 24-bit BMP parses in-container (struct + numpy);
+    every other image format needs external libraries this container
+    lacks, so the seam raises and callers fall back to fake_features."""
+    if is_bmp(payload):
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only 24-bit BMP decodes in this container (no PIL/libjpeg); "
+        "pipeline runs with fake_features (deterministic md5-derived) "
+        "for other formats"
+    )
+
+
+def real_image_features(arr: "np.ndarray") -> "np.ndarray":
+    """8 deterministic floats from decoded pixels: normalized dims,
+    per-channel means, gray std/min/max."""
+    h, w = arr.shape[:2]
+    gray = arr.mean(axis=2)
+    return np.array(
+        [
+            w / 4096.0,
+            h / 4096.0,
+            arr[..., 0].mean() / 255.0,
+            arr[..., 1].mean() / 255.0,
+            arr[..., 2].mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def real_audio_features(samples: "np.ndarray", rate: int) -> "np.ndarray":
+    """8 deterministic floats from decoded samples: duration, RMS,
+    zero-crossing rate, |x| statistics, normalized sample rate."""
+    x = samples.astype(np.float64) / 32768.0
+    ax = np.abs(x)
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return np.array(
+        [
+            len(x) / rate / 60.0,
+            float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+            zc,
+            float(ax.mean()) if len(x) else 0.0,
+            float(ax.max()) if len(x) else 0.0,
+            float(np.percentile(ax, 10)) if len(x) else 0.0,
+            float(np.percentile(ax, 90)) if len(x) else 0.0,
+            rate / 48000.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def features_for(payload: bytes) -> "np.ndarray":
+    """Codec dispatch by magic bytes: real pixel/sample features for the
+    in-container formats (BMP, 16-bit WAV), the md5 stand-in otherwise.
+    Pure per-payload function — deterministic under any partitioning."""
+    try:
+        if is_bmp(payload):
+            return real_image_features(decode_bmp(payload))
+        if is_wav(payload):
+            return real_audio_features(*decode_wav(payload))
+    except NotImplementedError:
+        pass  # unsupported sub-format: same fallback as unknown formats
+    return fake_features(payload)
 
 
 def fake_features(payload: bytes) -> np.ndarray:
@@ -86,7 +251,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "features": [list(fake_features(p)) for p in pdf["payload"]],
+                    "features": [list(features_for(p)) for p in pdf["payload"]],
                 }
             )
 
@@ -110,6 +275,44 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 1000 * (i % 7),
             )
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Synthesize a media table whose image/audio payloads are REAL encoded
+    formats the in-container codecs decode: deterministic BMP gradients
+    (id-seeded geometry and channel phases) and 16-bit PCM WAV sine bursts
+    (id-seeded frequency). Video payloads stay opaque stand-in bytes —
+    video codecs are the remaining environment-bound seam."""
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = 16 + i % 5, 12 + i % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [
+                    (xx * (3 + i) + yy) % 256,
+                    (yy * (5 + i)) % 256,
+                    (xx + yy * 2 + i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, kind, bytearray(encode_bmp(arr)), w, h, 0))
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(400 + 40 * (i % 4))
+            freq = 100.0 + 37.0 * i
+            samples = (
+                np.sin(2 * np.pi * freq * t / rate) * (8000 + 100 * i)
+            ).astype(np.int16)
+            payload = encode_wav(samples, rate)
+            dur_ms = int(1000 * len(samples) / rate)
+            rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
+        else:
+            payload = hashlib.md5(f"video-{i}".encode()).digest() * 6
+            rows.append((i, kind, bytearray(payload), 64, 48, 2000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -150,11 +353,15 @@ FRAMES_SCHEMA = StructType(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize slot — image libs are absent in this environment."""
-    raise NotImplementedError(
-        "image codec not available in this container; pipeline runs with "
-        "fake_resize (deterministic md5-derived) instead"
-    )
+    """Real resize for the in-container format: BMP decodes, resamples
+    nearest-neighbor (pure numpy index arithmetic — deterministic, no
+    interpolation-library variance), and re-encodes as BMP. Other formats
+    raise at the seam; resize_media falls back to fake_resize for them."""
+    arr = decode_image(payload)  # raises NotImplementedError for non-BMP
+    h, w = arr.shape[:2]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_bmp(arr[yi][:, xi])
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -171,12 +378,20 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     the column opaque, so resize composes with extract_features /
     sample_frames in one pipeline without schema churn."""
 
+    def _resize(p: bytes) -> bytes:
+        # real nearest-neighbor resample for the in-container format,
+        # deterministic stand-in for everything else (same seam contract
+        # as features_for)
+        return resize_image(p, width, height) if is_bmp(p) else fake_resize(
+            p, width, height
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             visual = pdf["kind"] != "audio"
             out = pdf[["media_id", "kind"]].copy()
             out["payload"] = [
-                fake_resize(p, width, height) if v else p
+                _resize(p) if v else p
                 for p, v in zip(pdf["payload"], visual)
             ]
             out["width"] = np.where(visual, width, pdf["width"]).astype("int32")

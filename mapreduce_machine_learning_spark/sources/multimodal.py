@@ -221,14 +221,20 @@ def real_audio_features(samples: "np.ndarray", rate: int) -> "np.ndarray":
 def features_for(payload: bytes) -> "np.ndarray":
     """Codec dispatch by magic bytes: real pixel/sample features for the
     in-container formats (BMP, 16-bit WAV), the md5 stand-in otherwise.
-    Pure per-payload function — deterministic under any partitioning."""
+    Pure per-payload function — deterministic under any partitioning.
+
+    ANY codec failure degrades to the stand-in, not just unsupported
+    sub-formats: at pipeline scale malformed payloads (truncated rows,
+    lying magic bytes) are routine, and one corrupt row must not kill a
+    100k-row task — mirrors how production media pipelines quarantine
+    undecodable items rather than failing the job."""
     try:
         if is_bmp(payload):
             return real_image_features(decode_bmp(payload))
         if is_wav(payload):
             return real_audio_features(*decode_wav(payload))
-    except NotImplementedError:
-        pass  # unsupported sub-format: same fallback as unknown formats
+    except Exception:
+        pass  # undecodable: same fallback as unknown formats
     return fake_features(payload)
 
 
@@ -380,11 +386,15 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def _resize(p: bytes) -> bytes:
         # real nearest-neighbor resample for the in-container format,
-        # deterministic stand-in for everything else (same seam contract
-        # as features_for)
-        return resize_image(p, width, height) if is_bmp(p) else fake_resize(
-            p, width, height
-        )
+        # deterministic stand-in for everything else — including payloads
+        # whose magic lies or whose body is truncated (features_for's
+        # quarantine contract: one corrupt row never kills the task)
+        if is_bmp(p):
+            try:
+                return resize_image(p, width, height)
+            except Exception:
+                pass
+        return fake_resize(p, width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

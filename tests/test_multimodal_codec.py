@@ -83,6 +83,13 @@ def test_unsupported_formats_raise_and_fall_back():
     assert list(features_for(bytes(payload))) == list(
         fake_features(bytes(payload))
     )
+    # lying magic / truncated body: a payload that CLAIMS to be BMP or WAV
+    # but is garbage must also quarantine to the stand-in, never raise —
+    # one corrupt row cannot be allowed to kill a 100k-row task
+    corrupt_bmp = b"BM" + b"\x07" * 60
+    corrupt_wav = b"RIFF\x00\x00\x00\x00WAVE" + b"\x07" * 40
+    for c in (corrupt_bmp, corrupt_wav):
+        assert list(features_for(c)) == list(fake_features(c))
 
 
 def test_spark_features_match_local_decoders(spark):

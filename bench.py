@@ -389,11 +389,20 @@ def main() -> None:
     # line is the compact projection the driver's 2,000-char tail window
     # can always hold whole (VERDICT r7 #2)
     print(json.dumps(full), flush=True)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_SIDECAR),
-        "w",
-    ) as fh:
-        json.dump(full, fh, indent=1)
+    # the sidecar is best-effort: an OSError here (read-only tree, disk
+    # full) must not abort main() before the compact line prints — losing
+    # the round's machine-readable record is the exact failure mode the
+    # two-line protocol exists to prevent (ADVICE round 8)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), DETAIL_SIDECAR
+            ),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as exc:
+        print(f"# sidecar write failed (non-fatal): {exc}", flush=True)
     print(compact_line(full), flush=True)
     spark.stop()
 

@@ -286,7 +286,20 @@ def _verify_arrays_fit_broadcast(tok_arrays, cap_b=_VERIFY_BROADCAST_CAP_B):
     because the frame broadcasts TWICE — once per pair side (`ta` and
     `tb` below are both this frame), and the ceiling applies to what
     actually ships (ADVICE r7: a one-copy estimate silently halved the
-    documented margin). One aggregate job over a frame the main action
+    documented margin). ADVICE r8 asked whether broadcast-exchange REUSE
+    makes the ×2 a double-count (ta/tb project the same persisted frame,
+    so Spark could ship one copy); measured: it does not — the two
+    differently-aliased projections do NOT collapse into one
+    BroadcastExchange, the final adaptive plan carries two
+    BroadcastExchange and zero ReusedExchange (pinned by
+    tests/test_plans.py::test_verify_join_strategy_is_conditional), and
+    the degenerate-corpus byte audit counts n_broadcasts=3 (ta + tb + the
+    cand-id semi join) with broadcast_bytes ≈ 2× the one-copy frame size
+    (SHUFFLE_neardup_degenerate_r7.json). Should a future Spark version
+    start reusing the exchange, the ×2 degrades gracefully into an upper
+    bound on shipped bytes: the gate would flip to the shuffle regime at
+    ~128 MiB actually shipped — a conservative early flip, identical
+    values either way. One aggregate job over a frame the main action
     materializes anyway; the pair-stream join that follows dwarfs it."""
     n_docs, n_toks = tok_arrays.agg(
         F.count("*"), F.coalesce(F.sum("n_tok"), F.lit(0.0))

@@ -177,8 +177,10 @@ def _driver_done_queries() -> set[str]:
 # within the already-green buckets below, queries checked in an EARLIER
 # recheck-era round (or never) sort ahead of ones checked more recently,
 # so each round's window advances through the registry — full coverage
-# re-verifies every ~9 rounds — while the RECHECK_PRIORITY flagships stay
-# pinned to every round's window. Pre-era rounds (r1-r7, the build-out)
+# re-verifies every ~11 rounds (329 non-flagship queries / 32 rotating
+# slots per 50-query window after the 18 pinned flagships; README and
+# test_round9_window_forecast_rotation compute the same figure) — while
+# the RECHECK_PRIORITY flagships stay pinned to every round's window. Pre-era rounds (r1-r7, the build-out)
 # deliberately do NOT count: counting them would reorder the pinned
 # round-8 window by each query's historical green round.
 RECHECK_ERA_START = 8
@@ -280,7 +282,8 @@ def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     extension then SURVEY §2 table order / module registration order.
     Recency dominates the tie-break so the driver's 50-query window
     ROTATES through the whole registry across rounds 8+ (full re-verify
-    roughly every nine rounds) instead of re-verifying the same head
+    roughly every eleven rounds; see the cadence note above
+    RECHECK_ERA_START) instead of re-verifying the same head
     forever; with no recheck-era report yet the order is identical to the
     pre-rotation one (all recencies 0), which keeps the pinned round-8
     window byte-stable. Within a bucket the order is deterministic, so

@@ -176,6 +176,26 @@ def test_compact_final_line_fits_driver_tail_window():
     assert last_print == "print(compact_line(full), flush=True)"
 
 
+def test_sidecar_write_cannot_abort_compact_line():
+    """ADVICE round 8: the BENCH_detail.json sidecar write sits between
+    the full-record print and the compact final-line print; an OSError
+    there (read-only tree, disk full) must not abort main() before the
+    compact line prints. Pins that the sidecar json.dump is guarded by a
+    try/except OSError that appears BEFORE the final compact print."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    dump_at = src.index("json.dump(full, fh")
+    guard_at = src.rindex("try:", 0, dump_at)
+    handler_at = src.index("except OSError", dump_at)
+    compact_at = src.index("print(compact_line(full)")
+    assert guard_at < dump_at < handler_at < compact_at
+    # the handler reports instead of re-raising
+    handler_body = src[handler_at:compact_at]
+    assert "raise" not in handler_body
+    assert "non-fatal" in handler_body
+
+
 def test_shuffle_audit_size_parser():
     """tools/shuffle_audit.py's SQLMetric size parser: single-value and
     two-line 'total (min, med, max)' formats must both yield the TOTAL in

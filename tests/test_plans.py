@@ -416,6 +416,18 @@ def test_verify_join_strategy_is_conditional(spark):
         got_slow = sorted(slow.collect(), key=key)
         assert [tuple(r) for r in got_fast] == [tuple(r) for r in got_slow]
         assert [(r.doc_a, r.doc_b) for r in got_fast] == [(1, 2), (2, 4)]
+
+        # ADVICE r8 adjudication pin: the size estimator prices BOTH
+        # broadcast copies (×2), which is only honest if both genuinely
+        # ship — and they do: the differently-aliased ta/tb projections of
+        # the same persisted frame do NOT collapse into one reused
+        # exchange in the final adaptive plan (post-execution). If this
+        # ever fails (a future Spark reuses the exchange), the ×2 becomes
+        # an upper bound on shipped bytes — update the
+        # _verify_arrays_fit_broadcast docstring, don't just flip counts.
+        final = fast._jdf.queryExecution().executedPlan().toString()
+        assert final.count("ReusedExchange") == 0, final
+        assert final.count("BroadcastExchange") >= 2, final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

@@ -119,33 +119,53 @@ def test_report_sort_key_breaks_round_ties_deterministically():
     ]
 
 
-def test_slack_fill_order_is_flagships_then_contract():
-    """Once pending < the 50-entry driver window (expected round 7), the
-    ordering auto-fills the slack with ALREADY-GREEN queries. The recheck
-    cadence is deliberate (VERDICT round 4, "Next round" #4): the
-    RECHECK_PRIORITY flagships (bench headline set + LLM-pipeline
-    operators) re-verify first, then the remaining contract queries in
-    SURVEY §2 table order, then green extensions in registration order.
-    Pinned BEFORE the slack fill first happens."""
+def test_slack_fill_order_is_flagships_then_rotation():
+    """Once pending < the 50-entry driver window (round 7), the ordering
+    auto-fills the slack with ALREADY-GREEN queries. The recheck cadence is
+    deliberate: the RECHECK_PRIORITY flagships (bench headline set +
+    LLM-pipeline operators) re-verify EVERY round, then the rest rotates
+    least-recently-rechecked first (recheck-era rounds only, see
+    RECHECK_ERA_START), contract-before-extension within equal recency
+    (ADVICE round 8: the old static all-contract-before-any-extension
+    assertion breaks by design the moment a recheck-era CORRECTNESS report
+    lands, because rechecked contract queries rotate behind never-rechecked
+    extensions)."""
     names = list(registry.all_queries())
     done = registry._driver_done_queries()
+    last = registry._driver_last_recheck()
     done_block = [n for n in names if n in done]
     contract = set(registry.CONTRACT_QUERIES)
     recheck = set(registry.RECHECK_PRIORITY)
     done_recheck = [n for n in registry.RECHECK_PRIORITY if n in done]
-    done_contract = [
-        n for n in registry.CONTRACT_QUERIES if n in done and n not in recheck
-    ]
-    # the done block leads with the green flagships, in recheck order …
+    # the done block always leads with the green flagships, in recheck order
     assert done_block[: len(done_recheck)] == done_recheck
-    # … then every remaining green contract query, in §2 order …
-    assert (
-        done_block[len(done_recheck) : len(done_recheck) + len(done_contract)]
-        == done_contract
-    )
-    # … and no contract or flagship query hides in the extension tail
-    tail = done_block[len(done_recheck) + len(done_contract) :]
-    assert not [n for n in tail if n in contract or n in recheck]
+    tail = done_block[len(done_recheck) :]
+    # flagships never hide in the rotating tail
+    assert not [n for n in tail if n in recheck]
+    # the rotating tail is least-recently-rechecked first …
+    recencies = [last.get(n, 0) for n in tail]
+    assert recencies == sorted(recencies)
+    # … and within each equal-recency run, contract queries precede
+    # extensions, each sub-block in its canonical order
+    contract_rank = {n: i for i, n in enumerate(registry.CONTRACT_QUERIES)}
+    reg_rank = {n: i for i, n in enumerate(registry._QUERIES)}
+    for rec in sorted(set(recencies)):
+        run = [n for n in tail if last.get(n, 0) == rec]
+        c_run = [n for n in run if n in contract]
+        assert run[: len(c_run)] == c_run
+        assert c_run == sorted(c_run, key=contract_rank.__getitem__)
+        x_run = run[len(c_run) :]
+        assert x_run == sorted(x_run, key=reg_rank.__getitem__)
+    # pre-rotation degenerate case (no recheck-era report on disk): the
+    # rotation order collapses to the original static slack-fill order —
+    # all green contract queries in §2 order before any green extension
+    if not last:
+        done_contract = [
+            n
+            for n in registry.CONTRACT_QUERIES
+            if n in done and n not in recheck
+        ]
+        assert tail[: len(done_contract)] == done_contract
 
 
 def test_recheck_priority_names_registered_queries():

@@ -2,14 +2,17 @@
 with typed metadata, processed by Arrow-batched pandas over ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning, UDF
-signature, batch shapes. The codec layer (round 8) is real for the formats
-the standard library can carry: **24-bit uncompressed BMP** images
+signature, batch shapes. The codec layer (rounds 8–9) is real for the
+formats the standard library can carry: **24-bit uncompressed BMP** images
 (``decode_bmp``/``encode_bmp``, struct-parsed — real pixels, real
-nearest-neighbor resize) and **16-bit PCM WAV** audio
-(``decode_wav``/``encode_wav`` via the stdlib ``wave`` module — real
-samples, RMS/ZCR features). Payloads are dispatched by magic bytes
-(``BM`` / ``RIFF..WAVE``); anything else — JPEG/PNG, MP3, and all VIDEO
-codecs — still needs external libraries this container lacks, raises
+nearest-neighbor resize), **8-bit PNG** images
+(``decode_png``/``encode_png`` — stdlib ``zlib`` inflate + numpy
+unfiltering of all five RFC 2083 scanline filters; color types 0/2/3/4/6),
+and **16-bit PCM WAV** audio (``decode_wav``/``encode_wav`` via the stdlib
+``wave`` module — real samples, RMS/ZCR features). Payloads are dispatched
+by magic bytes (``BM`` / ``\\x89PNG`` / ``RIFF..WAVE``); anything else —
+JPEG (needs a DCT/entropy library), MP3, and all VIDEO codecs — still
+needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
 stay runnable end to end. Swapping in a full decoder still changes one
@@ -28,6 +31,7 @@ import hashlib
 import io as _io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -79,6 +83,142 @@ def is_wav(payload: bytes) -> bool:
         and payload[:4] == b"RIFF"
         and payload[8:12] == b"WAVE"
     )
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(payload: bytes) -> bool:
+    return len(payload) > 8 + 25 and payload[:8] == _PNG_MAGIC
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """8-bit truecolor (color type 2) PNG from a uint8 (h, w, 3) RGB array —
+    stdlib ``zlib`` + ``struct``, no image library. Every scanline uses
+    filter 0 (None); correctness over ratio, and zlib still deflates the
+    raw rows."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8 (h, w, 3) RGB")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> "np.ndarray":
+    """Invert the per-scanline PNG filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth; RFC 2083 §6). Returns uint8 (h, w*bpp) of reconstructed bytes.
+    Up/None rows are whole-row numpy ops; Sub/Average/Paeth carry a
+    left-neighbor dependency, so those scan column-wise in ``bpp``-wide
+    numpy slices — O(w) python steps per filtered row, vectorized down the
+    byte lanes. Fine for the metadata-sized media of the test tables; a
+    100 TB image pipeline would decode in a native library at this seam
+    anyway (the surrounding mapInPandas plumbing is the part that scales)."""
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        raise NotImplementedError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, np.uint8, h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    out = np.zeros((h, stride), np.int16)  # int16: filter math mod 256
+    for y in range(h):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int16)
+        prev = out[y - 1] if y else np.zeros(stride, np.int16)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: + left
+            cur = out[y]
+            cur[:bpp] = line[:bpp]
+            for x in range(bpp, stride, bpp):
+                cur[x : x + bpp] = (
+                    line[x : x + bpp] + cur[x - bpp : x]
+                ) & 0xFF
+        elif ftype == 2:  # Up: + above (whole-row vector op)
+            out[y] = (line + prev) & 0xFF
+        elif ftype == 3:  # Average: + floor((left + above) / 2)
+            cur = out[y]
+            cur[:bpp] = (line[:bpp] + prev[:bpp] // 2) & 0xFF
+            for x in range(bpp, stride, bpp):
+                cur[x : x + bpp] = (
+                    line[x : x + bpp]
+                    + (cur[x - bpp : x] + prev[x : x + bpp]) // 2
+                ) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            cur = out[y]
+            cur[:bpp] = (line[:bpp] + prev[:bpp]) & 0xFF
+            for x in range(bpp, stride, bpp):
+                a = cur[x - bpp : x]
+                b = prev[x : x + bpp]
+                c = prev[x - bpp : x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x : x + bpp] = (line[x : x + bpp] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """uint8 (h, w, 3) RGB from an 8-bit non-interlaced PNG — stdlib
+    ``zlib`` inflate + numpy unfiltering, no image library. Color types:
+    0 (gray, replicated to RGB), 2 (RGB), 3 (palette via PLTE), 4
+    (gray+alpha, alpha dropped), 6 (RGBA, alpha dropped) — the full
+    8-bit-depth matrix of RFC 2083. 16-bit depth and Adam7 interlacing
+    raise at the documented seam."""
+    if not is_png(payload):
+        raise NotImplementedError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + crc
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodes in-container (depth "
+            f"{depth}, interlace {interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or (ctype == 3 and plte is None):
+        raise NotImplementedError(f"PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[..., :3])
+    if ctype == 3:
+        return plte[px[..., 0]]
+    # gray / gray+alpha: replicate luma across RGB
+    return np.repeat(px[..., :1], 3, axis=2)
 
 
 def encode_bmp(arr: "np.ndarray") -> bytes:
@@ -165,15 +305,19 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder: 24-bit BMP parses in-container (struct + numpy);
-    every other image format needs external libraries this container
-    lacks, so the seam raises and callers fall back to fake_features."""
+    """Real decoder: 24-bit BMP (struct + numpy) and 8-bit non-interlaced
+    PNG (stdlib zlib + numpy unfiltering) parse in-container; the remaining
+    image formats (JPEG and friends) need DCT/entropy libraries this
+    container lacks, so the seam raises and callers fall back to
+    fake_features."""
     if is_bmp(payload):
         return decode_bmp(payload)
+    if is_png(payload):
+        return decode_png(payload)
     raise NotImplementedError(
-        "only 24-bit BMP decodes in this container (no PIL/libjpeg); "
-        "pipeline runs with fake_features (deterministic md5-derived) "
-        "for other formats"
+        "only 24-bit BMP and 8-bit PNG decode in this container (no "
+        "PIL/libjpeg); pipeline runs with fake_features (deterministic "
+        "md5-derived) for other formats"
     )
 
 
@@ -229,8 +373,8 @@ def features_for(payload: bytes) -> "np.ndarray":
     100k-row task — mirrors how production media pipelines quarantine
     undecodable items rather than failing the job."""
     try:
-        if is_bmp(payload):
-            return real_image_features(decode_bmp(payload))
+        if is_bmp(payload) or is_png(payload):
+            return real_image_features(decode_image(payload))
         if is_wav(payload):
             return real_audio_features(*decode_wav(payload))
     except Exception:
@@ -286,10 +430,11 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     """Synthesize a media table whose image/audio payloads are REAL encoded
-    formats the in-container codecs decode: deterministic BMP gradients
-    (id-seeded geometry and channel phases) and 16-bit PCM WAV sine bursts
-    (id-seeded frequency). Video payloads stay opaque stand-in bytes —
-    video codecs are the remaining environment-bound seam."""
+    formats the in-container codecs decode: deterministic gradients encoded
+    alternately as 24-bit BMP and 8-bit PNG (id-seeded geometry and channel
+    phases) and 16-bit PCM WAV sine bursts (id-seeded frequency). Video
+    payloads stay opaque stand-in bytes — video codecs are the remaining
+    environment-bound seam."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
@@ -305,7 +450,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            rows.append((i, kind, bytearray(encode_bmp(arr)), w, h, 0))
+            enc = encode_png if (i // 3) % 2 else encode_bmp
+            rows.append((i, kind, bytearray(enc(arr)), w, h, 0))
         elif kind == "audio":
             rate = 8000
             t = np.arange(400 + 40 * (i % 4))
@@ -359,15 +505,17 @@ FRAMES_SCHEMA = StructType(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize for the in-container format: BMP decodes, resamples
+    """Real resize for the in-container formats: BMP/PNG decode, resample
     nearest-neighbor (pure numpy index arithmetic — deterministic, no
-    interpolation-library variance), and re-encodes as BMP. Other formats
-    raise at the seam; resize_media falls back to fake_resize for them."""
-    arr = decode_image(payload)  # raises NotImplementedError for non-BMP
+    interpolation-library variance), and re-encode in the SOURCE format
+    (PNG in → PNG out). Other formats raise at the seam; resize_media
+    falls back to fake_resize for them."""
+    arr = decode_image(payload)  # raises NotImplementedError otherwise
     h, w = arr.shape[:2]
     yi = np.minimum((np.arange(height) * h) // height, h - 1)
     xi = np.minimum((np.arange(width) * w) // width, w - 1)
-    return encode_bmp(arr[yi][:, xi])
+    out = np.ascontiguousarray(arr[yi][:, xi])
+    return encode_png(out) if is_png(payload) else encode_bmp(out)
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -385,11 +533,11 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     sample_frames in one pipeline without schema churn."""
 
     def _resize(p: bytes) -> bytes:
-        # real nearest-neighbor resample for the in-container format,
+        # real nearest-neighbor resample for the in-container formats,
         # deterministic stand-in for everything else — including payloads
         # whose magic lies or whose body is truncated (features_for's
         # quarantine contract: one corrupt row never kills the task)
-        if is_bmp(p):
+        if is_bmp(p) or is_png(p):
             try:
                 return resize_image(p, width, height)
             except Exception:

@@ -1,33 +1,41 @@
-"""REAL in-container media codecs (round 8): 24-bit BMP + 16-bit PCM WAV.
+"""REAL in-container media codecs: 24-bit BMP + 8-bit PNG + 16-bit PCM WAV.
 
 The multimodal pipeline's codec layer was a documented NotImplementedError
-seam ("no PIL/ffmpeg in this container"). Round 8 closes the stdlib-reachable
-part of that gap: BMP images parse with struct/numpy (real pixels, real
-nearest-neighbor resize) and WAV audio with the stdlib ``wave`` module (real
-samples, RMS/ZCR features), dispatched by magic bytes so unknown formats
-still flow through the deterministic stand-ins. Video codecs remain the
+seam ("no PIL/ffmpeg in this container"). Round 8 closed the struct-reachable
+part of that gap (BMP via struct/numpy, WAV via the stdlib ``wave`` module);
+round 9 adds 8-bit PNG — stdlib ``zlib`` inflate plus numpy unfiltering of
+all five RFC 2083 scanline filters, color types 0/2/3/4/6 — dispatched by
+magic bytes so unknown formats still flow through the deterministic
+stand-ins. JPEG (DCT/entropy libraries) and video codecs remain the
 environment-bound seam.
 
-These tests pin: exact encode/decode round-trips (including row padding and
-top-down BMPs), the Spark ``mapInPandas`` path computing the same features
-the local decoder computes, real resizes verified pixel-for-pixel against
-local numpy, fallback behavior for unsupported sub-formats, and
+These tests pin: exact encode/decode round-trips (including BMP row padding,
+top-down BMPs, and every PNG filter type and color type), the Spark
+``mapInPandas`` path computing the same features the local decoder computes,
+real resizes verified pixel-for-pixel against local numpy (PNG in → PNG
+out), fallback behavior for unsupported sub-formats, and
 partitioning-independence of everything."""
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from mapreduce_machine_learning_spark.sources.multimodal import (
+    _png_chunk,
+    _PNG_MAGIC,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
     extract_features,
     fake_features,
     features_for,
+    is_png,
     real_audio_features,
     real_image_features,
     resize_image,
@@ -63,6 +71,123 @@ def test_bmp_top_down_storage_decodes():
     assert np.array_equal(decode_bmp(bytes(payload)), a)
 
 
+def _png_forward_filter(arr, ftypes):
+    """Hand-encode a PNG applying the GIVEN per-row filter types (RFC 2083
+    §6 forward direction) — the encoder in the package always emits filter
+    0, so decoding payloads built here is the only way to prove the
+    unfilter path inverts Sub/Up/Average/Paeth, not just None."""
+    h, w, bpp = arr.shape
+    px = arr.astype(np.int16)
+    raw = bytearray()
+    for y in range(h):
+        line = px[y].reshape(-1)
+        prev = px[y - 1].reshape(-1) if y else np.zeros(w * bpp, np.int16)
+        left = np.zeros(w * bpp, np.int16)
+        left[bpp:] = line[:-bpp]
+        ul = np.zeros(w * bpp, np.int16)
+        ul[bpp:] = prev[:-bpp]
+        f = ftypes[y]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = line - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip_exact():
+    for h, w in ((1, 1), (3, 7), (9, 5), (12, 16)):
+        a = _arr(h, w, seed=h * 100 + w)
+        payload = encode_png(a)
+        assert is_png(payload)
+        assert np.array_equal(decode_png(payload), a), (h, w)
+        # and through the generic dispatcher
+        assert np.array_equal(decode_image(payload), a)
+
+
+def test_png_unfilter_inverts_every_filter_type():
+    a = _arr(7, 6, seed=42)
+    # each filter type as a uniform choice, plus a mixed sequence — the
+    # mixed case catches cross-row state bugs (Up/Average/Paeth read the
+    # RECONSTRUCTED previous row, not the filtered one)
+    for ftypes in ([0] * 7, [1] * 7, [2] * 7, [3] * 7, [4] * 7,
+                   [0, 1, 2, 3, 4, 2, 4]):
+        payload = _png_forward_filter(a, ftypes)
+        assert np.array_equal(decode_png(payload), a), ftypes
+
+
+def test_png_color_types_decode_to_rgb():
+    h, w = 4, 5
+    rng = np.random.default_rng(7)
+
+    def build(ctype, body_px, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + body_px[y].tobytes() for y in range(h)
+        )
+        chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += _png_chunk(b"PLTE", plte.tobytes())
+        return chunks + _png_chunk(
+            b"IDAT", zlib.compress(raw)
+        ) + _png_chunk(b"IEND", b"")
+
+    # type 0 (gray): luma replicated across RGB
+    gray = rng.integers(0, 256, (h, w, 1), dtype=np.uint16).astype(np.uint8)
+    out = decode_png(build(0, gray))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    # type 4 (gray+alpha): alpha dropped
+    ga = rng.integers(0, 256, (h, w, 2), dtype=np.uint16).astype(np.uint8)
+    out = decode_png(build(4, ga))
+    assert np.array_equal(out, np.repeat(ga[..., :1], 3, axis=2))
+    # type 6 (RGBA): alpha dropped
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint16).astype(np.uint8)
+    out = decode_png(build(6, rgba))
+    assert np.array_equal(out, rgba[..., :3])
+    # type 3 (palette): PLTE lookup
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint16).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w, 1), dtype=np.uint16).astype(np.uint8)
+    out = decode_png(build(3, idx, plte=plte))
+    assert np.array_equal(out, plte[idx[..., 0]])
+
+
+def test_png_seams_raise_and_quarantine():
+    a = _arr(3, 3, seed=9)
+    good = bytearray(encode_png(a))
+    # 16-bit depth: IHDR body byte 8 (offset: magic 8 + len 4 + tag 4 + 8)
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(deep))
+    # Adam7 interlace: IHDR body byte 12
+    inter = bytearray(good)
+    inter[8 + 8 + 12] = 1
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(inter))
+    # truncated IDAT (valid magic, garbage body) quarantines via the
+    # dispatcher — one corrupt row never kills the task
+    trunc = bytes(good[:40])
+    assert list(features_for(trunc)) == list(fake_features(trunc))
+
+
 def test_wav_round_trip_exact():
     samples = (np.sin(np.linspace(0, 40, 777)) * 12345).astype(np.int16)
     back, rate = decode_wav(encode_wav(samples, 8000))
@@ -71,6 +196,10 @@ def test_wav_round_trip_exact():
 
 
 def test_unsupported_formats_raise_and_fall_back():
+    # JPEG magic: no DCT library in-container, the seam raises
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 100)
+    # near-PNG magic (truncated signature) is NOT dispatched as PNG
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n" + b"\x00" * 100)
     # 8-bit BMP: header parses, depth is unsupported -> seam raises...
@@ -97,10 +226,13 @@ def test_spark_features_match_local_decoders(spark):
     got = {r.media_id: r for r in extract_features(media).collect()}
     src = {r.media_id: r for r in media.collect()}
     assert len(got) == 48
+    n_png = n_bmp = 0
     for i, row in src.items():
         payload = bytes(row.payload)
         if row.kind == "image":
-            want = real_image_features(decode_bmp(payload))
+            # synth alternates BMP and PNG images; dispatch decodes both
+            n_png, n_bmp = n_png + is_png(payload), n_bmp + (not is_png(payload))
+            want = real_image_features(decode_image(payload))
         elif row.kind == "audio":
             want = real_audio_features(*decode_wav(payload))
         else:  # video: still the documented stand-in
@@ -109,24 +241,29 @@ def test_spark_features_match_local_decoders(spark):
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
+    # and BOTH real image formats were actually exercised
+    assert n_png > 0 and n_bmp > 0
 
 
-def test_spark_resize_is_real_nearest_neighbor_for_bmp(spark):
+def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
     media = synth_media_real(spark, n=24)
     out = {r.media_id: r for r in resize_media(media, 8, 6).collect()}
     for row in media.collect():
         payload = bytes(row.payload)
         if row.kind == "image":
-            resized = decode_bmp(bytes(out[row.media_id].payload))
+            out_payload = bytes(out[row.media_id].payload)
+            # format-preserving re-encode: PNG in -> PNG out, BMP -> BMP
+            assert is_png(out_payload) == is_png(payload)
+            resized = decode_image(out_payload)
             assert resized.shape == (6, 8, 3)
-            src = decode_bmp(payload)
+            src = decode_image(payload)
             h, w = src.shape[:2]
             yi = np.minimum((np.arange(6) * h) // 6, h - 1)
             xi = np.minimum((np.arange(8) * w) // 8, w - 1)
             assert np.array_equal(resized, src[yi][:, xi])
         elif row.kind == "audio":
             assert bytes(out[row.media_id].payload) == payload  # untouched
-    # and the seam contract: resize_image refuses non-BMP outright
+    # and the seam contract: resize_image refuses unknown formats outright
     with pytest.raises(NotImplementedError):
         resize_image(b"not-an-image", 8, 6)
 

@@ -1,0 +1,609 @@
+"""Baseline JPEG codec in stdlib + numpy — no libjpeg, no PIL.
+
+Round 9 closes the last *image* seam in ``sources/multimodal.py``: the
+container has no DCT/entropy library, so this module implements the
+baseline sequential JFIF process (ITU-T T.81) directly — Huffman entropy
+coding bit by bit, 8×8 type-II DCT as a numpy matrix product, Annex-K
+quantization/Huffman tables for the encoder, and full DHT/DQT parsing for
+the decoder (so streams with non-standard tables decode too).
+
+Supported on DECODE: baseline DCT (SOF0), 8-bit precision, grayscale or
+3-component YCbCr, any sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0,
+and the transposed variants), restart markers (DRI/RSTn), multi-table
+DQT/DHT segments, APPn/COM skip. Progressive (SOF2), extended/arithmetic
+SOFs, 12-bit precision, and 16-bit quant tables raise
+``NotImplementedError`` at the documented seam — same contract as the
+PNG/BMP codecs (callers quarantine to the deterministic stand-ins).
+
+Supported on ENCODE: 8-bit RGB → YCbCr baseline JFIF at a given IJG-style
+quality, 4:4:4 or 4:2:0 chroma subsampling, standard Annex-K tables.
+
+Scale note (mirrors the PNG codec's): the per-bit Python loops are fine
+for the metadata-sized media of the test tables; a 100 TB image pipeline
+would decode in a native library at exactly this seam — the surrounding
+``mapInPandas`` plumbing in ``multimodal.py`` is the part that scales.
+Decode(encode(x)) is NOT bit-exact (JPEG is lossy by construction); tests
+bound the error instead of pinning bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constant tables (public: ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+#: zigzag scan: ZIGZAG[i] = natural (row-major) index of zigzag position i
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 quantization tables, natural (row-major) order
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 "typical" Huffman tables: (BITS counts for lengths 1..16, values)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II basis: forward F = D @ b @ D.T, inverse
+# b = D.T @ F @ D — exactly the JPEG 2-D DCT normalization.
+_D = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return len(payload) > 4 and payload[:3] == b"\xff\xd8\xff"
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """{(code_length, code): value} — canonical code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """{value: (code, code_length)} — inverse of the decode table."""
+    return {v: (c, ln) for (ln, c), v in _build_decode_table(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Bit-level IO over the entropy-coded segment
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def marker(self, byte: int) -> None:
+        """Byte-align and emit a raw marker (no stuffing on marker bytes)."""
+        self.flush()
+        self.buf += bytes([0xFF, byte])
+
+
+class _BitReader:
+    """MSB-first bit reader with 0xFF00 unstuffing; RSTn resynchronization."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # a real marker inside the scan: stream is malformed
+                    raise NotImplementedError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                    )
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (DRI intervals)."""
+        self._n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise NotImplementedError("missing RST marker at restart interval")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_block(
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, qt: "np.ndarray"
+) -> "np.ndarray":
+    """One 8×8 block: Huffman → dequantized natural-order coefficients."""
+    coef = np.zeros(64, np.float64)
+    t = _huff_decode(reader, dc_tab)
+    coef[0] = _extend(reader.receive(t), t)  # DC diff; caller adds predictor
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise NotImplementedError("JPEG AC run past block end")
+        coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
+        k += 1
+    return coef * qt  # dequantize (DC still a diff — caller fixes)
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """uint8 (h, w, 3) RGB from a baseline (SOF0) 8-bit JPEG.
+
+    Grayscale streams replicate luma across RGB (same contract as
+    decode_png color type 0). Progressive/extended/arithmetic SOFs,
+    12-bit precision, and 16-bit DQT tables raise at the documented seam.
+    """
+    if not is_jpeg(payload):
+        raise NotImplementedError("not a JPEG payload")
+    data = payload
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    comps: list[dict] = []
+    h_img = w_img = 0
+    dri = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("desynchronized JPEG marker stream")
+        while data[pos + 1] == 0xFF:  # optional fill bytes (B.1.1.2)
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before any SOS
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xC0:  # SOF0 baseline
+            prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"JPEG sampling factors {hs}x{vs}"
+                    )
+                comps.append({"cid": cid, "h": hs, "v": vs, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline SOF0 decodes in-container (got SOF "
+                f"0xFF{marker:02X})"
+            )
+        elif marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                vals = np.frombuffer(body, np.uint8, 64, i + 1).astype(
+                    np.float64
+                )
+                nat = np.empty(64, np.float64)
+                nat[ZIGZAG] = vals  # stream order is zigzag
+                qtables[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["cid"] == cs)
+                comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
+                scan.append(comp)
+            return _decode_scan(
+                data, pos, scan, qtables, huff, h_img, w_img, dri
+            )
+        # APPn / COM / anything else: skip
+    raise NotImplementedError("JPEG stream has no SOS scan")
+
+
+def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri):
+    if not scan or h_img == 0 or w_img == 0:
+        raise NotImplementedError("JPEG SOS before SOF0")
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    planes = {
+        c["cid"]: np.empty(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64
+        )
+        for c in scan
+    }
+    preds = {c["cid"]: 0.0 for c in scan}
+    reader = _BitReader(data, pos)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.sync_restart()
+                preds = {c["cid"]: 0.0 for c in scan}
+            for c in scan:
+                qt = qtables[c["tq"]]
+                dc_tab = huff[(0, c["td"])]
+                ac_tab = huff[(1, c["ta"])]
+                plane = planes[c["cid"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = _decode_block(reader, dc_tab, ac_tab, qt)
+                        coef[0] += preds[c["cid"]]
+                        preds[c["cid"]] = coef[0]
+                        px = _D.T @ coef.reshape(8, 8) @ _D + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
+            n_mcu += 1
+    up = {}
+    for c in scan:
+        p = planes[c["cid"]]
+        p = np.repeat(p, vmax // c["v"], axis=0)
+        p = np.repeat(p, hmax // c["h"], axis=1)
+        up[c["cid"]] = p[:h_img, :w_img]
+    if len(scan) == 1:
+        g = np.clip(up[scan[0]["cid"]] + 0.5, 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = (up[c["cid"]] for c in scan)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.stack([r, g, b], axis=2) + 0.5, 0, 255
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _quality_scale(base: "np.ndarray", quality: int) -> "np.ndarray":
+    """IJG quality scaling: 1..100 → per-entry divisors in [1, 255]."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    writer: _BitWriter,
+    block: "np.ndarray",
+    qt: "np.ndarray",
+    pred: float,
+    dc_tab: dict,
+    ac_tab: dict,
+) -> int:
+    """FDCT + quantize + Huffman one 8×8 block; returns the new DC value."""
+    f = _D @ (block - 128.0) @ _D.T
+    q = np.round(f.reshape(64) / qt).astype(np.int64)
+    dc = int(q[0])
+    diff = dc - int(pred)
+    t = int(diff != 0 and abs(diff).bit_length())
+    code, ln = dc_tab[t]
+    writer.write(code, ln)
+    if t:
+        writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    zz = q[ZIGZAG][1:]  # AC in zigzag order
+    nz = np.nonzero(zz)[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    run = 0
+    for i in range(last):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def _pad_to(plane: "np.ndarray", mult_y: int, mult_x: int) -> "np.ndarray":
+    h, w = plane.shape
+    ph = (-h) % mult_y
+    pw = (-w) % mult_x
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    arr: "np.ndarray",
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes from a uint8 (h, w, 3) RGB array.
+
+    ``subsample=False`` → 4:4:4; ``True`` → 4:2:0 (chroma block-mean
+    2×2 downsample, the common camera layout — exercises the decoder's
+    multi-block MCU path). ``restart_interval=N`` writes a DRI segment
+    and an RSTn marker every N MCUs (resetting the DC predictors), the
+    layout real encoders use for error resilience — and the only way to
+    exercise the decoder's restart path without an external encoder.
+    Standard Annex-K quant (scaled by ``quality``) and Huffman tables,
+    written explicitly as DQT/DHT so any baseline decoder can read the
+    stream.
+    """
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 (h, w, 3) RGB")
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+    sub = 2 if subsample else 1
+    qt_l = _quality_scale(_QT_LUMA, quality).astype(np.float64)
+    qt_c = _quality_scale(_QT_CHROMA, quality).astype(np.float64)
+
+    y = _pad_to(y, 8 * sub, 8 * sub)
+    cb = _pad_to(cb, 8 * sub, 8 * sub)
+    cr = _pad_to(cr, 8 * sub, 8 * sub)
+    if sub == 2:  # 2×2 block-mean chroma downsample
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+
+    enc_dc_l = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    enc_ac_l = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    enc_dc_c = _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    enc_ac_c = _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    writer = _BitWriter()
+    mcus_y = y.shape[0] // (8 * sub)
+    mcus_x = y.shape[1] // (8 * sub)
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.marker(0xD0 + (n_mcu // restart_interval - 1) % 8)
+                pred = {"y": 0, "cb": 0, "cr": 0}
+            n_mcu += 1
+            for by in range(sub):
+                for bx in range(sub):
+                    y0, x0 = (my * sub + by) * 8, (mx * sub + bx) * 8
+                    pred["y"] = _encode_block(
+                        writer, y[y0 : y0 + 8, x0 : x0 + 8], qt_l,
+                        pred["y"], enc_dc_l, enc_ac_l,
+                    )
+            for name, plane in (("cb", cb), ("cr", cr)):
+                y0, x0 = my * 8, mx * 8
+                pred[name] = _encode_block(
+                    writer, plane[y0 : y0 + 8, x0 : x0 + 8], qt_c,
+                    pred[name], enc_dc_c, enc_ac_c,
+                )
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, nat: "np.ndarray") -> bytes:
+        zz = nat[ZIGZAG].astype(np.uint8).tobytes()
+        return seg(0xDB, bytes([tq]) + zz)
+
+    def dht(tc: int, th: int, bits: list, vals: list) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sub << 4) | sub, 0])  # Y
+        + bytes([2, 0x11, 1])  # Cb
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + dri
+        + sof
+        + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        + sos
+        + bytes(writer.buf)
+        + b"\xff\xd9"
+    )

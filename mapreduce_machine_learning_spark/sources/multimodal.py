@@ -2,17 +2,21 @@
 with typed metadata, processed by Arrow-batched pandas over ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning, UDF
-signature, batch shapes. The codec layer (rounds 8–9) is real for the
-formats the standard library can carry: **24-bit uncompressed BMP** images
+signature, batch shapes. The codec layer (rounds 8–9) is real for every
+format pure stdlib + numpy can carry: **24-bit uncompressed BMP** images
 (``decode_bmp``/``encode_bmp``, struct-parsed — real pixels, real
-nearest-neighbor resize), **8-bit PNG** images
+nearest-neighbor resize), **8/16-bit PNG** images, Adam7-interlaced or not
 (``decode_png``/``encode_png`` — stdlib ``zlib`` inflate + numpy
 unfiltering of all five RFC 2083 scanline filters; color types 0/2/3/4/6),
-and **16-bit PCM WAV** audio (``decode_wav``/``encode_wav`` via the stdlib
-``wave`` module — real samples, RMS/ZCR features). Payloads are dispatched
-by magic bytes (``BM`` / ``\\x89PNG`` / ``RIFF..WAVE``); anything else —
-JPEG (needs a DCT/entropy library), MP3, and all VIDEO codecs — still
-needs external libraries this container lacks, raises
+**baseline JPEG** (``sources/jpeg.py`` — Huffman entropy coding + 8×8 DCT
+as numpy matrix products; SOF0, 4:4:4/4:2:2/4:2:0, restart markers), and
+**16-bit PCM WAV** audio (``decode_wav``/``encode_wav`` via the stdlib
+``wave`` module — real samples, RMS/ZCR features), and **uncompressed AVI**
+video (``sources/avi.py`` — RIFF chunk walk, 24-bit DIB frames; real frame
+sampling and per-frame resize). Payloads are dispatched by magic bytes
+(``BM`` / ``\\x89PNG`` / ``\\xff\\xd8\\xff`` / ``RIFF..WAVE`` /
+``RIFF..AVI``); anything else — progressive JPEG, MP3, and all COMPRESSED
+video codecs — still needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
 stay runnable end to end. Swapping in a full decoder still changes one
@@ -37,6 +41,18 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from mapreduce_machine_learning_spark.sources.avi import (
+    avi_fps,
+    decode_avi,
+    encode_avi,
+    is_avi,
+    real_video_features,
+)
+from mapreduce_machine_learning_spark.sources.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -101,16 +117,39 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: "np.ndarray") -> bytes:
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(arr: "np.ndarray", interlace: bool = False) -> bytes:
     """8-bit truecolor (color type 2) PNG from a uint8 (h, w, 3) RGB array —
     stdlib ``zlib`` + ``struct``, no image library. Every scanline uses
     filter 0 (None); correctness over ratio, and zlib still deflates the
-    raw rows."""
+    raw rows. ``interlace=True`` writes the Adam7 seven-pass layout (each pass
+    its own filtered scanlines) — mainly so the decoder's deinterlacer can
+    be round-trip-tested without an external encoder."""
     h, w, c = arr.shape
     if c != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_png expects uint8 (h, w, 3) RGB")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+            for sub in (
+                arr[y0::dy, x0::dx] for x0, y0, dx, dy in _ADAM7
+            )
+            if sub.size
+        )
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -176,12 +215,13 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> "np.ndarray":
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
-    """uint8 (h, w, 3) RGB from an 8-bit non-interlaced PNG — stdlib
-    ``zlib`` inflate + numpy unfiltering, no image library. Color types:
-    0 (gray, replicated to RGB), 2 (RGB), 3 (palette via PLTE), 4
-    (gray+alpha, alpha dropped), 6 (RGBA, alpha dropped) — the full
-    8-bit-depth matrix of RFC 2083. 16-bit depth and Adam7 interlacing
-    raise at the documented seam."""
+    """uint8 (h, w, 3) RGB from an 8- or 16-bit PNG, interlaced or not —
+    stdlib ``zlib`` inflate + numpy unfiltering, no image library. Color
+    types: 0 (gray, replicated to RGB), 2 (RGB), 3 (palette via PLTE), 4
+    (gray+alpha, alpha dropped), 6 (RGBA, alpha dropped). 16-bit samples
+    render to their high byte (the standard 8-bit presentation); Adam7
+    streams deinterlace pass by pass through the same unfilter kernel.
+    Sub-byte depths (1/2/4-bit) raise at the remaining documented seam."""
     if not is_png(payload):
         raise NotImplementedError("not a PNG payload")
     pos, idat, plte, ihdr = 8, [], None, None
@@ -201,16 +241,37 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace > 1:
         raise NotImplementedError(
-            f"only 8-bit non-interlaced PNG decodes in-container (depth "
+            f"only 8/16-bit depth-aligned PNG decodes in-container (depth "
             f"{depth}, interlace {interlace})"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None or (ctype == 3 and plte is None):
         raise NotImplementedError(f"PNG color type {ctype}")
+    bs = depth // 8  # bytes per sample; filters operate on raw bytes
+    bpp = channels * bs
     raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+
+    def to_samples(rows: "np.ndarray", ph: int, pw: int) -> "np.ndarray":
+        # 16-bit: big-endian high byte is the standard 8-bit rendering
+        b = rows.reshape(ph, pw, channels, bs)
+        return np.ascontiguousarray(b[..., 0])
+
+    if interlace == 0:
+        px = to_samples(_png_unfilter(raw, h, w, bpp), h, w)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[pos : pos + n], ph, pw, bpp)
+            pos += n
+            px[y0::dy, x0::dx] = to_samples(sub, ph, pw)
     if ctype == 2:
         return px
     if ctype == 6:
@@ -305,19 +366,21 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder: 24-bit BMP (struct + numpy) and 8-bit non-interlaced
-    PNG (stdlib zlib + numpy unfiltering) parse in-container; the remaining
-    image formats (JPEG and friends) need DCT/entropy libraries this
-    container lacks, so the seam raises and callers fall back to
-    fake_features."""
+    """Real decoder: 24-bit BMP (struct + numpy), 8/16-bit PNG interlaced
+    or not (stdlib zlib + numpy unfiltering), and baseline JPEG
+    (sources/jpeg.py — Huffman + numpy DCT) parse in-container; remaining
+    image formats (progressive JPEG, WebP, …) raise at the seam and
+    callers fall back to fake_features."""
     if is_bmp(payload):
         return decode_bmp(payload)
     if is_png(payload):
         return decode_png(payload)
+    if is_jpeg(payload):
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only 24-bit BMP and 8-bit PNG decode in this container (no "
-        "PIL/libjpeg); pipeline runs with fake_features (deterministic "
-        "md5-derived) for other formats"
+        "only 24-bit BMP, 8-bit PNG, and baseline JPEG decode in this "
+        "container (no PIL/libjpeg); pipeline runs with fake_features "
+        "(deterministic md5-derived) for other formats"
     )
 
 
@@ -373,10 +436,12 @@ def features_for(payload: bytes) -> "np.ndarray":
     100k-row task — mirrors how production media pipelines quarantine
     undecodable items rather than failing the job."""
     try:
-        if is_bmp(payload) or is_png(payload):
+        if is_bmp(payload) or is_png(payload) or is_jpeg(payload):
             return real_image_features(decode_image(payload))
         if is_wav(payload):
             return real_audio_features(*decode_wav(payload))
+        if is_avi(payload):
+            return real_video_features(decode_avi(payload))
     except Exception:
         pass  # undecodable: same fallback as unknown formats
     return fake_features(payload)
@@ -430,11 +495,14 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     """Synthesize a media table whose image/audio payloads are REAL encoded
-    formats the in-container codecs decode: deterministic gradients encoded
-    alternately as 24-bit BMP and 8-bit PNG (id-seeded geometry and channel
-    phases) and 16-bit PCM WAV sine bursts (id-seeded frequency). Video
-    payloads stay opaque stand-in bytes — video codecs are the remaining
-    environment-bound seam."""
+    formats the in-container codecs decode: deterministic gradients rotated
+    through 24-bit BMP, 8-bit PNG, and baseline JPEG (4:4:4 and 4:2:0
+    alternating; id-seeded geometry and channel phases) and 16-bit PCM WAV
+    sine bursts (id-seeded frequency). Video payloads alternate REAL
+    uncompressed AVIs (id-seeded gradient frames; sources/avi.py) with
+    opaque stand-in bytes — compressed video codecs are the remaining
+    environment-bound seam, and keeping opaque rows in the mix keeps the
+    quarantine path exercised."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
@@ -450,8 +518,14 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            enc = encode_png if (i // 3) % 2 else encode_bmp
-            rows.append((i, kind, bytearray(enc(arr)), w, h, 0))
+            fmt = (i // 3) % 3
+            if fmt == 2:
+                payload = encode_jpeg(
+                    arr, quality=95, subsample=bool((i // 9) % 2)
+                )
+            else:
+                payload = (encode_png if fmt else encode_bmp)(arr)
+            rows.append((i, kind, bytearray(payload), w, h, 0))
         elif kind == "audio":
             rate = 8000
             t = np.arange(400 + 40 * (i % 4))
@@ -463,8 +537,26 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             dur_ms = int(1000 * len(samples) / rate)
             rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
         else:
-            payload = hashlib.md5(f"video-{i}".encode()).digest() * 6
-            rows.append((i, kind, bytearray(payload), 64, 48, 2000))
+            if (i // 3) % 2:  # real uncompressed AVI
+                w, h, fps = 10 + i % 4, 8 + i % 3, 5 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    np.stack(
+                        [
+                            (xx * 2 + yy + t * 11 + i) % 256,
+                            (yy * 3 + t * 7) % 256,
+                            (xx + t * 13 + i * 5) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    for t in range(3 + i % 3)
+                ]
+                payload = encode_avi(frames, fps=fps)
+                dur_ms = int(1000 * len(frames) / fps)
+                rows.append((i, kind, bytearray(payload), w, h, dur_ms))
+            else:  # opaque stand-in: the quarantine path stays tested
+                payload = hashlib.md5(f"video-{i}".encode()).digest() * 6
+                rows.append((i, kind, bytearray(payload), 64, 48, 2000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -505,17 +597,22 @@ FRAMES_SCHEMA = StructType(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize for the in-container formats: BMP/PNG decode, resample
-    nearest-neighbor (pure numpy index arithmetic — deterministic, no
-    interpolation-library variance), and re-encode in the SOURCE format
-    (PNG in → PNG out). Other formats raise at the seam; resize_media
-    falls back to fake_resize for them."""
+    """Real resize for the in-container formats: BMP/PNG/JPEG decode,
+    resample nearest-neighbor (pure numpy index arithmetic — deterministic,
+    no interpolation-library variance), and re-encode in the SOURCE format
+    (PNG in → PNG out, JPEG → JPEG at quality 95 / 4:4:4 — lossy by
+    construction, like any real JPEG resize stage). Other formats raise at
+    the seam; resize_media falls back to fake_resize for them."""
     arr = decode_image(payload)  # raises NotImplementedError otherwise
     h, w = arr.shape[:2]
     yi = np.minimum((np.arange(height) * h) // height, h - 1)
     xi = np.minimum((np.arange(width) * w) // width, w - 1)
     out = np.ascontiguousarray(arr[yi][:, xi])
-    return encode_png(out) if is_png(payload) else encode_bmp(out)
+    if is_png(payload):
+        return encode_png(out)
+    if is_jpeg(payload):
+        return encode_jpeg(out, quality=95)
+    return encode_bmp(out)
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -537,9 +634,21 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         # deterministic stand-in for everything else — including payloads
         # whose magic lies or whose body is truncated (features_for's
         # quarantine contract: one corrupt row never kills the task)
-        if is_bmp(p) or is_png(p):
+        if is_bmp(p) or is_png(p) or is_jpeg(p):
             try:
                 return resize_image(p, width, height)
+            except Exception:
+                pass
+        elif is_avi(p):
+            try:  # uncompressed AVI: resample every frame, keep the fps
+                frames = decode_avi(p)
+                h, w = frames.shape[1:3]
+                yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                return encode_avi(
+                    [np.ascontiguousarray(f[yi][:, xi]) for f in frames],
+                    fps=avi_fps(p),
+                )
             except Exception:
                 pass
         return fake_resize(p, width, height)
@@ -562,10 +671,28 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """mapInPandas frame sampling: each video row fans out to ``n_frames``
     (media_id, frame_idx, frame_payload) rows — the 1→N batch shape of real
-    frame extraction (ffmpeg would fill frame_payload; the deterministic
-    stand-in derives it as md5(payload | idx)). Non-video rows are dropped,
-    and the fan-out happens inside the Arrow batch, so output partitioning
-    follows input partitioning with no shuffle."""
+    frame extraction. For uncompressed AVI payloads (sources/avi.py) the
+    frames are REAL: evenly-spaced decoded frames, each re-encoded as a BMP
+    so downstream stages can ``decode_image`` them. Other video bytes get
+    the deterministic md5(payload | idx) stand-in (compressed codecs are
+    the remaining seam), and undecodable AVIs quarantine to it too. Either
+    way non-video rows are dropped and the fan-out happens inside the Arrow
+    batch, so output partitioning follows input partitioning with no
+    shuffle."""
+
+    def _frames(p: bytes) -> list:
+        if is_avi(p):
+            try:
+                frames = decode_avi(p)
+                n = frames.shape[0]
+                idx = np.minimum((np.arange(n_frames) * n) // n_frames, n - 1)
+                return [encode_bmp(frames[i]) for i in idx]
+            except Exception:
+                pass  # corrupt AVI: quarantine to the stand-in
+        return [
+            hashlib.md5(p + f"|{i}".encode()).digest()
+            for i in range(n_frames)
+        ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -577,9 +704,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     "media_id": vids["media_id"].repeat(n_frames),
                     "frame_idx": list(range(n_frames)) * len(vids),
                     "frame_payload": [
-                        hashlib.md5(p + f"|{i}".encode()).digest()
-                        for p in vids["payload"]
-                        for i in range(n_frames)
+                        f for p in vids["payload"] for f in _frames(p)
                     ],
                 }
             )

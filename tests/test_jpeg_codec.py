@@ -1,0 +1,198 @@
+"""Baseline JPEG codec (sources/jpeg.py): Huffman + numpy DCT, no libjpeg.
+
+JPEG is lossy by construction, so unlike the BMP/PNG/WAV tests these pin
+ERROR BOUNDS rather than bit-exact round-trips — plus the structural
+invariants that ARE exact: stream markers, dimensions, restart-marker
+equivalence, quality-100 smooth-content reconstruction, and the decoder's
+seams (progressive SOF2, 12-bit precision, 16-bit quant tables).
+
+There is no independent JPEG decoder in this container (no PIL/imageio —
+that absence is why the codec exists), so cross-validation is structural:
+the encoder writes standard Annex-K tables as explicit DQT/DHT segments,
+and the decoder is driven ONLY by what it parses from the stream — a table
+mismatch or marker-layout bug breaks the round-trip rather than cancelling
+out.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mapreduce_machine_learning_spark.sources.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+from mapreduce_machine_learning_spark.sources.multimodal import (
+    decode_image,
+    fake_features,
+    features_for,
+    real_image_features,
+    resize_image,
+)
+
+
+def _gradient(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * (3 + seed) + yy) % 256,
+            (yy * (5 + seed)) % 256,
+            (xx + yy * 2 + seed) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec anchors: DC first, then (0,1), (1,0), (2,0), (1,1), (0,2)
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[-1] == 63
+
+
+def test_round_trip_error_bounded_444_and_420():
+    arr = _gradient(19, 26, seed=4)
+    for sub, bound in ((False, 12), (True, 16)):
+        back = decode_jpeg(encode_jpeg(arr, quality=90, subsample=sub))
+        assert back.shape == arr.shape
+        err = np.abs(back.astype(int) - arr.astype(int))
+        assert err.max() <= bound, (sub, err.max())
+        assert err.mean() <= 3.0, (sub, err.mean())
+
+
+def test_quality_monotonicity():
+    arr = _gradient(16, 24, seed=1)
+    errs = []
+    for q in (50, 75, 95):
+        back = decode_jpeg(encode_jpeg(arr, quality=q))
+        errs.append(np.abs(back.astype(int) - arr.astype(int)).mean())
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_quality_100_is_near_exact_on_smooth_content():
+    # all quant divisors are 1 at q=100: only DCT + color-transform
+    # rounding remains, and a uniform image survives both exactly
+    flat = np.full((10, 13, 3), 120, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 100)), flat)
+    grad = np.repeat(
+        np.tile(np.arange(24, dtype=np.uint8) * 10 % 250, (16, 1))[..., None],
+        3,
+        axis=2,
+    )
+    back = decode_jpeg(encode_jpeg(grad, 100))
+    assert np.abs(back.astype(int) - grad.astype(int)).max() <= 1
+
+
+def test_odd_dimensions_pad_and_crop_correctly():
+    # non-multiples of 8 (4:4:4) and of 16 (4:2:0) exercise edge padding
+    for h, w in ((1, 1), (7, 9), (17, 33), (8, 16)):
+        arr = _gradient(h, w, seed=h * w)
+        for sub in (False, True):
+            back = decode_jpeg(encode_jpeg(arr, 90, subsample=sub))
+            assert back.shape == (h, w, 3), (h, w, sub)
+
+
+def test_restart_markers_decode_identically():
+    arr = _gradient(33, 41, seed=7)
+    base = decode_jpeg(encode_jpeg(arr, 90, subsample=True))
+    for ri in (1, 2, 5):
+        with_rst = decode_jpeg(
+            encode_jpeg(arr, 90, subsample=True, restart_interval=ri)
+        )
+        assert np.array_equal(base, with_rst), ri
+    # and the stream genuinely contains RST markers + a DRI segment
+    p = encode_jpeg(arr, 90, subsample=True, restart_interval=1)
+    assert b"\xff\xdd" in p  # DRI
+    assert any(bytes([0xFF, 0xD0 + i]) in p for i in range(8))
+
+
+def test_grayscale_stream_decodes_to_replicated_rgb():
+    # hand-build a 1-component stream by rewriting SOF/SOS of an encoded
+    # gray image: encoder output for a gray RGB image has Cb=Cr=128, so
+    # dropping the chroma components must reproduce the luma plane
+    g = np.repeat(
+        (np.arange(8, dtype=np.uint8) * 30 % 240).reshape(1, 8), 8, axis=0
+    )
+    arr = np.repeat(g[..., None], 3, axis=2)
+    full = decode_jpeg(encode_jpeg(arr, 100))
+    # gray in == R=G=B out (within DCT rounding)
+    assert np.abs(full[..., 0].astype(int) - full[..., 1].astype(int)).max() <= 1
+    assert np.abs(full.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_seams_raise_not_implemented():
+    arr = _gradient(8, 8)
+    payload = bytearray(encode_jpeg(arr, 90))
+    sof_at = bytes(payload).find(b"\xff\xc0")
+    assert sof_at > 0
+    # progressive: flip SOF0 -> SOF2
+    prog = bytearray(payload)
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(prog))
+    # 12-bit precision
+    deep = bytearray(payload)
+    deep[sof_at + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+    # 16-bit quant table: flip Pq nibble of the first DQT
+    dqt_at = bytes(payload).find(b"\xff\xdb")
+    wide = bytearray(payload)
+    wide[dqt_at + 4] |= 0x10
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(bytes(wide))
+    # not a JPEG at all
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg(b"BM" + bytes(100))
+
+
+def test_corrupt_jpeg_quarantines_in_features_for():
+    # lying magic / truncated body must degrade to the md5 stand-in —
+    # the quarantine contract shared by all codecs (one corrupt row
+    # cannot kill a 100k-row task)
+    corrupt = b"\xff\xd8\xff\xe0" + b"\x07" * 64
+    assert list(features_for(corrupt)) == list(fake_features(corrupt))
+    truncated = encode_jpeg(_gradient(16, 16), 90)[:40]
+    if is_jpeg(truncated):
+        assert list(features_for(truncated)) == list(fake_features(truncated))
+
+
+def test_dispatch_and_real_features():
+    p = encode_jpeg(_gradient(12, 17, seed=2), 92)
+    assert is_jpeg(p)
+    arr = decode_image(p)  # routed through the JPEG decoder
+    assert arr.shape == (12, 17, 3)
+    assert list(features_for(p)) == list(real_image_features(arr))
+
+
+def test_resize_is_format_preserving_and_bounded():
+    src_payload = encode_jpeg(_gradient(16, 20, seed=3), 95)
+    out_payload = resize_image(src_payload, 8, 6)
+    assert is_jpeg(out_payload)  # JPEG in -> JPEG out
+    resized = decode_image(out_payload)
+    assert resized.shape == (6, 8, 3)
+    # vs exact nearest-neighbor of the DECODED source: only the
+    # re-encode loss remains, and it is bounded
+    src = decode_image(src_payload)
+    yi = np.minimum((np.arange(6) * 16) // 6, 15)
+    xi = np.minimum((np.arange(8) * 20) // 8, 19)
+    want = src[yi][:, xi]
+    assert np.abs(resized.astype(int) - want.astype(int)).max() <= 16
+
+
+def test_stream_structure_is_canonical_jfif():
+    p = encode_jpeg(_gradient(8, 8), 90)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert p[2:4] == b"\xff\xe0" and p[6:11] == b"JFIF\x00"
+    # two DQTs, four DHTs, one SOF0, one SOS
+    assert p.count(b"\xff\xdb") == 2
+    assert p.count(b"\xff\xc4") == 4
+    assert p.count(b"\xff\xc0") == 1
+    assert p.count(b"\xff\xda") == 1
+    # SOF0 carries the true dimensions
+    at = p.find(b"\xff\xc0")
+    _, h, w, n = struct.unpack_from(">BHHB", p, at + 4)
+    assert (h, w, n) == (8, 8, 3)

@@ -1,13 +1,13 @@
-"""REAL in-container media codecs: 24-bit BMP + 8-bit PNG + 16-bit PCM WAV.
+"""REAL in-container media codecs: BMP + PNG + baseline JPEG + PCM WAV.
 
 The multimodal pipeline's codec layer was a documented NotImplementedError
 seam ("no PIL/ffmpeg in this container"). Round 8 closed the struct-reachable
 part of that gap (BMP via struct/numpy, WAV via the stdlib ``wave`` module);
 round 9 adds 8-bit PNG — stdlib ``zlib`` inflate plus numpy unfiltering of
-all five RFC 2083 scanline filters, color types 0/2/3/4/6 — dispatched by
-magic bytes so unknown formats still flow through the deterministic
-stand-ins. JPEG (DCT/entropy libraries) and video codecs remain the
-environment-bound seam.
+all five RFC 2083 scanline filters, color types 0/2/3/4/6 — and baseline
+JPEG (sources/jpeg.py, covered by test_jpeg_codec.py), dispatched by magic
+bytes so unknown formats still flow through the deterministic stand-ins.
+Video codecs remain the environment-bound seam.
 
 These tests pin: exact encode/decode round-trips (including BMP row padding,
 top-down BMPs, and every PNG filter type and color type), the Spark
@@ -22,6 +22,11 @@ import zlib
 import numpy as np
 import pytest
 
+from mapreduce_machine_learning_spark.sources.avi import (
+    decode_avi,
+    is_avi,
+    real_video_features,
+)
 from mapreduce_machine_learning_spark.sources.multimodal import (
     _png_chunk,
     _PNG_MAGIC,
@@ -35,6 +40,7 @@ from mapreduce_machine_learning_spark.sources.multimodal import (
     extract_features,
     fake_features,
     features_for,
+    is_jpeg,
     is_png,
     real_audio_features,
     real_image_features,
@@ -172,20 +178,83 @@ def test_png_color_types_decode_to_rgb():
 def test_png_seams_raise_and_quarantine():
     a = _arr(3, 3, seed=9)
     good = bytearray(encode_png(a))
-    # 16-bit depth: IHDR body byte 8 (offset: magic 8 + len 4 + tag 4 + 8)
-    deep = bytearray(good)
-    deep[8 + 8 + 8] = 16
+    # sub-byte depth (4-bit): the remaining documented seam
+    # (IHDR body byte 8; offset: magic 8 + len 4 + tag 4 + 8)
+    shallow = bytearray(good)
+    shallow[8 + 8 + 8] = 4
     with pytest.raises(NotImplementedError):
-        decode_png(bytes(deep))
-    # Adam7 interlace: IHDR body byte 12
+        decode_png(bytes(shallow))
+    # invalid interlace method
     inter = bytearray(good)
-    inter[8 + 8 + 12] = 1
+    inter[8 + 8 + 12] = 2
     with pytest.raises(NotImplementedError):
         decode_png(bytes(inter))
     # truncated IDAT (valid magic, garbage body) quarantines via the
     # dispatcher — one corrupt row never kills the task
     trunc = bytes(good[:40])
     assert list(features_for(trunc)) == list(fake_features(trunc))
+
+
+def test_png_adam7_interlace_round_trips_exactly():
+    # every size class Adam7 cares about: single pixel (only pass 1),
+    # smaller than one 8x8 tile (several empty passes), exactly one
+    # tile, and a ragged multi-tile image
+    for h, w in ((1, 1), (3, 7), (8, 8), (13, 21)):
+        a = _arr(h, w, seed=h * 31 + w)
+        payload = encode_png(a, interlace=True)
+        # genuinely interlaced: IHDR interlace byte is 1...
+        assert payload[8 + 8 + 12] == 1
+        # ...the stream differs from the sequential encoding...
+        if h * w > 1:
+            assert payload != encode_png(a)
+        # ...and the deinterlacer reconstructs every pixel exactly
+        assert np.array_equal(decode_png(payload), a), (h, w)
+        assert np.array_equal(decode_image(payload), a)
+
+
+def test_png_16bit_decodes_to_high_byte():
+    h, w = 5, 9
+    rng = np.random.default_rng(16)
+
+    def build16(ctype, samples16):
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + samples16[y].astype(">u2").tobytes() for y in range(h)
+        )
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 16-bit RGB (color type 2): high byte is the 8-bit rendering
+    rgb16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    out = decode_png(build16(2, rgb16))
+    assert np.array_equal(out, (rgb16 >> 8).astype(np.uint8))
+    # 16-bit grayscale (color type 0): replicated across RGB
+    g16 = rng.integers(0, 65536, (h, w, 1), dtype=np.uint16)
+    out = decode_png(build16(0, g16))
+    assert np.array_equal(
+        out, np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)
+    )
+    # filters still invert at 16-bit (6-byte pixel deltas): Sub row
+    rgb = rng.integers(0, 65536, (1, w, 3), dtype=np.uint16)
+    row = rgb[0].astype(">u2").tobytes()
+    line = np.frombuffer(row, np.uint8).astype(np.int16)
+    filtered = line.copy()
+    filtered[6:] = (line[6:] - line[:-6]) & 0xFF  # forward Sub, bpp=6
+    ihdr = struct.pack(">IIBBBBB", w, 1, 16, 2, 0, 0, 0)
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(
+            b"IDAT",
+            zlib.compress(b"\x01" + filtered.astype(np.uint8).tobytes()),
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), (rgb >> 8).astype(np.uint8))
 
 
 def test_wav_round_trip_exact():
@@ -196,7 +265,8 @@ def test_wav_round_trip_exact():
 
 
 def test_unsupported_formats_raise_and_fall_back():
-    # JPEG magic: no DCT library in-container, the seam raises
+    # JPEG magic with a garbage body: the (real, round-9) JPEG decoder
+    # raises on the malformed stream and the dispatcher quarantines
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 100)
     # near-PNG magic (truncated signature) is NOT dispatched as PNG
@@ -217,7 +287,8 @@ def test_unsupported_formats_raise_and_fall_back():
     # one corrupt row cannot be allowed to kill a 100k-row task
     corrupt_bmp = b"BM" + b"\x07" * 60
     corrupt_wav = b"RIFF\x00\x00\x00\x00WAVE" + b"\x07" * 40
-    for c in (corrupt_bmp, corrupt_wav):
+    corrupt_jpg = b"\xff\xd8\xff\xe0" + b"\x07" * 60
+    for c in (corrupt_bmp, corrupt_wav, corrupt_jpg):
         assert list(features_for(c)) == list(fake_features(c))
 
 
@@ -226,23 +297,29 @@ def test_spark_features_match_local_decoders(spark):
     got = {r.media_id: r for r in extract_features(media).collect()}
     src = {r.media_id: r for r in media.collect()}
     assert len(got) == 48
-    n_png = n_bmp = 0
+    fmts = set()
     for i, row in src.items():
         payload = bytes(row.payload)
         if row.kind == "image":
-            # synth alternates BMP and PNG images; dispatch decodes both
-            n_png, n_bmp = n_png + is_png(payload), n_bmp + (not is_png(payload))
+            # synth rotates BMP / PNG / JPEG images; dispatch decodes all
+            fmts.add(
+                "png" if is_png(payload)
+                else "jpeg" if is_jpeg(payload)
+                else "bmp"
+            )
             want = real_image_features(decode_image(payload))
         elif row.kind == "audio":
             want = real_audio_features(*decode_wav(payload))
-        else:  # video: still the documented stand-in
+        elif is_avi(payload):  # video: real for uncompressed AVI...
+            want = real_video_features(decode_avi(payload))
+        else:  # ...and still the documented stand-in for opaque bytes
             want = fake_features(payload)
         assert got[i].features == pytest.approx(list(want)), (i, row.kind)
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
-    # and BOTH real image formats were actually exercised
-    assert n_png > 0 and n_bmp > 0
+    # and ALL THREE real image formats were actually exercised
+    assert fmts == {"bmp", "png", "jpeg"}
 
 
 def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
@@ -252,15 +329,24 @@ def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
         payload = bytes(row.payload)
         if row.kind == "image":
             out_payload = bytes(out[row.media_id].payload)
-            # format-preserving re-encode: PNG in -> PNG out, BMP -> BMP
+            # format-preserving re-encode: PNG in -> PNG out, JPEG ->
+            # JPEG, BMP -> BMP
             assert is_png(out_payload) == is_png(payload)
+            assert is_jpeg(out_payload) == is_jpeg(payload)
             resized = decode_image(out_payload)
             assert resized.shape == (6, 8, 3)
             src = decode_image(payload)
             h, w = src.shape[:2]
             yi = np.minimum((np.arange(6) * h) // 6, h - 1)
             xi = np.minimum((np.arange(8) * w) // 8, w - 1)
-            assert np.array_equal(resized, src[yi][:, xi])
+            want = src[yi][:, xi]
+            if is_jpeg(payload):
+                # lossless NN resample + LOSSY re-encode: bit-exactness
+                # is impossible by construction, the bound is tight
+                err = np.abs(resized.astype(int) - want.astype(int))
+                assert err.max() <= 16, err.max()
+            else:
+                assert np.array_equal(resized, want)
         elif row.kind == "audio":
             assert bytes(out[row.media_id].payload) == payload  # untouched
     # and the seam contract: resize_image refuses unknown formats outright

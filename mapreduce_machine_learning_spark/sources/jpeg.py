@@ -173,6 +173,38 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
     return {v: (c, ln) for (ln, c), v in _build_decode_table(bits, vals).items()}
 
 
+_LUT_CACHE: dict = {}
+
+
+def _build_decode_lut(bits: list[int], vals: list[int]) -> tuple:
+    """(value_list, length_list), each 2^16 entries indexed by the next 16
+    bits of the stream: canonical-code decode as ONE table lookup instead
+    of a bit-by-bit dict walk (the round-9 probe's JPEG bottleneck). Every
+    16-bit word whose prefix is a valid code maps to that code's value and
+    length; words starting with no valid code keep length 0 → the decoder
+    raises. Cached per (bits, vals) — the standard tables build once per
+    process, not once per image."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val = np.zeros(65536, np.int16)
+    ln = np.zeros(65536, np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            val[base : base + span] = vals[k]
+            ln[base : base + span] = length
+            k += 1
+            code += 1
+        code <<= 1
+    lut = (val.tolist(), ln.tolist())  # list indexing beats numpy scalars
+    _LUT_CACHE[key] = lut
+    return lut
+
+
 # ---------------------------------------------------------------------------
 # Bit-level IO over the entropy-coded segment
 # ---------------------------------------------------------------------------
@@ -209,50 +241,86 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first bit reader with 0xFF00 unstuffing; RSTn resynchronization."""
+    """MSB-first reader over pre-unstuffed entropy segments.
+
+    Round-9 probe finding (`tools/media_probe.py`): a bit-at-a-time reader
+    with inline 0xFF00 handling decoded ~137 images/s 1-core — ~30× slower
+    than the other codecs — because every Huffman symbol paid ~10 Python
+    calls. This reader splits the scan ONCE into unstuffed byte segments
+    (one per restart interval; `bytes.replace` does the 0xFF00→0xFF in C),
+    then serves multi-bit reads from an int accumulator, so the decode
+    loop costs one `receive`/`peek16` call per symbol instead of one call
+    per bit. Reads past a segment's end pad with 1-bits (the encoder's own
+    byte padding), so a final partial byte decodes without a bounds branch
+    per bit; a symbol that CONSUMES padding past the last real bit is a
+    truncated stream and raises at the existing seam."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+        # split entropy data at RST markers; find the terminating marker
+        segs, start, k = [], pos, pos
+        while True:
+            j = data.find(b"\xff", k)
+            if j < 0 or j + 1 >= len(data):
+                segs.append(data[start:])  # truncated: no EOI — pad reads
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                k = j + 2  # stuffed data byte, not a marker
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append(data[start:j])
+                start = k = j + 2  # consume the RSTn marker
+            else:
+                segs.append(data[start:j])  # EOI / next real marker
+                break
+        self.segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+        self._seg_i = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        if i >= len(self.segs):
+            raise NotImplementedError("missing RST marker at restart interval")
+        self._cur = self.segs[i]
+        self._pos = 0
         self._acc = 0
         self._n = 0
+        self._padded = 0
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise NotImplementedError("truncated JPEG entropy data")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 1
-                else:  # a real marker inside the scan: stream is malformed
-                    raise NotImplementedError(
-                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
-                    )
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+    def _fill(self, need: int) -> None:
+        while self._n < need:
+            if self._pos < len(self._cur):
+                self._acc = (self._acc << 8) | self._cur[self._pos]
+                self._pos += 1
+            else:
+                self._acc = (self._acc << 8) | 0xFF  # 1-pad past the end
+                self._padded += 8
+            self._n += 8
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        self._fill(n)
+        self._n -= n
+        if self._n < self._padded:  # consumed bits that never existed
+            raise NotImplementedError("truncated JPEG entropy data")
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self._n -= n
+        if self._n < self._padded:
+            raise NotImplementedError("truncated JPEG entropy data")
+        self._acc &= (1 << self._n) - 1
+
     def sync_restart(self) -> None:
-        """Byte-align and consume the next RSTn marker (DRI intervals)."""
-        self._n = 0
-        if (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 2
-        else:
-            raise NotImplementedError("missing RST marker at restart interval")
+        """Advance to the next restart segment (the split consumed the
+        RSTn markers up front)."""
+        self._seg_i += 1
+        self._load(self._seg_i)
 
 
 def _extend(v: int, t: int) -> int:
@@ -260,13 +328,13 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise NotImplementedError("invalid JPEG Huffman code")
+def _huff_decode(reader: _BitReader, lut: tuple) -> int:
+    w = reader.peek16()
+    length = lut[1][w]
+    if length == 0:
+        raise NotImplementedError("invalid JPEG Huffman code")
+    reader.skip(length)
+    return lut[0][w]
 
 
 # ---------------------------------------------------------------------------
@@ -274,28 +342,85 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
 # ---------------------------------------------------------------------------
 
 
+_ZZ_LIST = ZIGZAG.tolist()
+
+
 def _decode_block(
-    reader: _BitReader, dc_tab: dict, ac_tab: dict, qt: "np.ndarray"
+    reader: _BitReader, dc_tab: tuple, ac_tab: tuple, qt: "np.ndarray"
 ) -> "np.ndarray":
-    """One 8×8 block: Huffman → dequantized natural-order coefficients."""
-    coef = np.zeros(64, np.float64)
-    t = _huff_decode(reader, dc_tab)
-    coef[0] = _extend(reader.receive(t), t)  # DC diff; caller adds predictor
-    k = 1
-    while k < 64:
-        rs = _huff_decode(reader, ac_tab)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise NotImplementedError("JPEG AC run past block end")
-        coef[ZIGZAG[k]] = _extend(reader.receive(s), s)
+    """One 8×8 block: Huffman → dequantized natural-order coefficients.
+
+    The reader's accumulator state is hoisted into LOCAL ints for the
+    whole block — the probe showed per-symbol method dispatch
+    (peek/skip/receive as separate calls) costing as much as the decode
+    itself, and a noise block carries ~55 symbols. Same bit semantics as
+    the _BitReader methods (16-bit LUT lookahead, 1-bit padding past the
+    segment end, truncation check against consumed padding)."""
+    dcv, dcl = dc_tab
+    acv, acl = ac_tab
+    cur = reader._cur
+    L = len(cur)
+    pos, acc, n, padded = reader._pos, reader._acc, reader._n, reader._padded
+    coef = [0] * 64
+    zz = _ZZ_LIST
+    k = 0  # 0 while decoding DC, then the AC zigzag index
+    while True:
+        while n < 16:
+            if pos < L:
+                acc = (acc << 8) | cur[pos]
+                pos += 1
+            else:
+                acc = (acc << 8) | 0xFF
+                padded += 8
+            n += 8
+        w = (acc >> (n - 16)) & 0xFFFF
+        if k == 0:  # DC: LUT value is the magnitude category
+            ln = dcl[w]
+            if ln == 0:
+                raise NotImplementedError("invalid JPEG Huffman code")
+            s = dcv[w]
+            n -= ln
+            run = 0
+        else:  # AC: LUT value is (run << 4) | size
+            ln = acl[w]
+            if ln == 0:
+                raise NotImplementedError("invalid JPEG Huffman code")
+            rs = acv[w]
+            n -= ln
+            s = rs & 0x0F
+            run = rs >> 4
+            if s == 0:
+                if run == 15:  # ZRL: sixteen zeros
+                    acc &= (1 << n) - 1
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise NotImplementedError("JPEG AC run past block end")
+        if s:
+            while n < s:
+                if pos < L:
+                    acc = (acc << 8) | cur[pos]
+                    pos += 1
+                else:
+                    acc = (acc << 8) | 0xFF
+                    padded += 8
+                n += 8
+            n -= s
+            v = (acc >> n) & ((1 << s) - 1)
+            if v < (1 << (s - 1)):
+                v += 1 - (1 << s)
+            coef[zz[k]] = v
+        acc &= (1 << n) - 1
         k += 1
-    return coef * qt  # dequantize (DC still a diff — caller fixes)
+        if k > 63:
+            break
+    acc &= (1 << n) - 1
+    if n < padded:
+        raise NotImplementedError("truncated JPEG entropy data")
+    reader._pos, reader._acc, reader._n, reader._padded = pos, acc, n, padded
+    return np.array(coef, np.float64) * qt  # DC still a diff — caller fixes
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
@@ -365,7 +490,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                huff[(tc, th)] = _build_decode_table(bits, vals)
+                huff[(tc, th)] = _build_decode_lut(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
@@ -400,6 +525,10 @@ def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri):
     preds = {c["cid"]: 0.0 for c in scan}
     reader = _BitReader(data, pos)
     n_mcu = 0
+    # entropy-decode every block first, then ONE broadcast matmul does all
+    # the IDCTs (the per-block 8×8 matmul pair was ~20% of decode time)
+    slots: list = []  # (plane, y0, x0) per block, in decode order
+    coefs: list = []
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and n_mcu and n_mcu % dri == 0:
@@ -415,11 +544,14 @@ def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri):
                         coef = _decode_block(reader, dc_tab, ac_tab, qt)
                         coef[0] += preds[c["cid"]]
                         preds[c["cid"]] = coef[0]
-                        px = _D.T @ coef.reshape(8, 8) @ _D + 128.0
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
+                        slots.append((plane, y0, x0))
+                        coefs.append(coef)
             n_mcu += 1
+    px_all = _D.T @ np.stack(coefs).reshape(-1, 8, 8) @ _D + 128.0
+    for (plane, y0, x0), px in zip(slots, px_all):
+        plane[y0 : y0 + 8, x0 : x0 + 8] = px
     up = {}
     for c in scan:
         p = planes[c["cid"]]
@@ -458,9 +590,17 @@ def _encode_block(
     dc_tab: dict,
     ac_tab: dict,
 ) -> int:
-    """FDCT + quantize + Huffman one 8×8 block; returns the new DC value."""
+    """FDCT + quantize + Huffman one 8×8 block; returns the new DC value.
+
+    AC coefficients clamp to ±1023, the largest baseline Huffman category
+    (10 bits). Unreachable for uint8 input — the worst case is the
+    (4,4)-basis-matched sign pattern at quality 100 (divisors 1), which
+    lands at 127·4 + 128·4 = ±1020 — but the ceiling is a format
+    invariant, not an input property, so it is enforced rather than
+    assumed (a float-pixel caller or a future rounding tweak must degrade
+    by 1 LSB, not KeyError on an unencodable category)."""
     f = _D @ (block - 128.0) @ _D.T
-    q = np.round(f.reshape(64) / qt).astype(np.int64)
+    q = np.clip(np.round(f.reshape(64) / qt), -1023, 1023).astype(np.int64)
     dc = int(q[0])
     diff = dc - int(pred)
     t = int(diff != 0 and abs(diff).bit_length())
@@ -504,14 +644,17 @@ def _pad_to(plane: "np.ndarray", mult_y: int, mult_x: int) -> "np.ndarray":
 def encode_jpeg(
     arr: "np.ndarray",
     quality: int = 90,
-    subsample: bool = False,
+    subsample=False,
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF bytes from a uint8 (h, w, 3) RGB array.
 
     ``subsample=False`` → 4:4:4; ``True`` → 4:2:0 (chroma block-mean
     2×2 downsample, the common camera layout — exercises the decoder's
-    multi-block MCU path). ``restart_interval=N`` writes a DRI segment
+    multi-block MCU path); an explicit ``(h, v)`` pair gives the other
+    layouts — ``(2, 1)`` is 4:2:2, ``(1, 2)`` its transpose — so every
+    sampling geometry the decoder claims is encoder-reachable and
+    round-trip-tested. ``restart_interval=N`` writes a DRI segment
     and an RSTn marker every N MCUs (resetting the DC predictors), the
     layout real encoders use for error resilience — and the only way to
     exercise the decoder's restart path without an external encoder.
@@ -526,16 +669,27 @@ def encode_jpeg(
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
     cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
-    sub = 2 if subsample else 1
+    if subsample is True:
+        sh = sv = 2  # 4:2:0
+    elif subsample:
+        sh, sv = subsample  # explicit (h, v) pair, e.g. (2, 1) = 4:2:2
+    else:
+        sh = sv = 1  # 4:4:4
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsample factors must be 1 or 2")
     qt_l = _quality_scale(_QT_LUMA, quality).astype(np.float64)
     qt_c = _quality_scale(_QT_CHROMA, quality).astype(np.float64)
 
-    y = _pad_to(y, 8 * sub, 8 * sub)
-    cb = _pad_to(cb, 8 * sub, 8 * sub)
-    cr = _pad_to(cr, 8 * sub, 8 * sub)
-    if sub == 2:  # 2×2 block-mean chroma downsample
-        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
-        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+    y = _pad_to(y, 8 * sv, 8 * sh)
+    cb = _pad_to(cb, 8 * sv, 8 * sh)
+    cr = _pad_to(cr, 8 * sv, 8 * sh)
+    if sh > 1 or sv > 1:  # block-mean chroma downsample
+        cb = cb.reshape(
+            cb.shape[0] // sv, sv, cb.shape[1] // sh, sh
+        ).mean((1, 3))
+        cr = cr.reshape(
+            cr.shape[0] // sv, sv, cr.shape[1] // sh, sh
+        ).mean((1, 3))
 
     enc_dc_l = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
     enc_ac_l = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -543,8 +697,8 @@ def encode_jpeg(
     enc_ac_c = _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
     writer = _BitWriter()
-    mcus_y = y.shape[0] // (8 * sub)
-    mcus_x = y.shape[1] // (8 * sub)
+    mcus_y = y.shape[0] // (8 * sv)
+    mcus_x = y.shape[1] // (8 * sh)
     pred = {"y": 0, "cb": 0, "cr": 0}
     n_mcu = 0
     for my in range(mcus_y):
@@ -553,9 +707,9 @@ def encode_jpeg(
                 writer.marker(0xD0 + (n_mcu // restart_interval - 1) % 8)
                 pred = {"y": 0, "cb": 0, "cr": 0}
             n_mcu += 1
-            for by in range(sub):
-                for bx in range(sub):
-                    y0, x0 = (my * sub + by) * 8, (mx * sub + bx) * 8
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
                     pred["y"] = _encode_block(
                         writer, y[y0 : y0 + 8, x0 : x0 + 8], qt_l,
                         pred["y"], enc_dc_l, enc_ac_l,
@@ -582,7 +736,7 @@ def encode_jpeg(
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, (sub << 4) | sub, 0])  # Y
+        + bytes([1, (sh << 4) | sv, 0])  # Y
         + bytes([2, 0x11, 1])  # Cb
         + bytes([3, 0x11, 1]),  # Cr
     )

@@ -63,6 +63,19 @@ def test_round_trip_error_bounded_444_and_420():
         assert err.mean() <= 3.0, (sub, err.mean())
 
 
+def test_422_and_transpose_round_trip_error_bounded():
+    # (2,1) = 4:2:2 and (1,2) = its transpose: asymmetric MCUs (2x1 /
+    # 1x2 luma blocks per MCU) — the sampling geometries between 4:4:4
+    # and 4:2:0, claimed by the decoder and reachable via the encoder's
+    # explicit (h, v) pair
+    arr = _gradient(21, 19, seed=6)
+    for pair in ((2, 1), (1, 2)):
+        back = decode_jpeg(encode_jpeg(arr, quality=90, subsample=pair))
+        assert back.shape == arr.shape, pair
+        err = np.abs(back.astype(int) - arr.astype(int))
+        assert err.max() <= 16 and err.mean() <= 3.0, (pair, err.max())
+
+
 def test_quality_monotonicity():
     arr = _gradient(16, 24, seed=1)
     errs = []
@@ -84,6 +97,20 @@ def test_quality_100_is_near_exact_on_smooth_content():
     )
     back = decode_jpeg(encode_jpeg(grad, 100))
     assert np.abs(back.astype(int) - grad.astype(int)).max() <= 1
+
+
+def test_worst_case_ac_magnitude_stays_inside_huffman_categories():
+    # quality 100 -> quant divisors all 1. The AC-maximizing uint8 input
+    # is the sign pattern of the (4,4) DCT basis (NOT the plain
+    # checkerboard, whose energy lands at (7,7) ~ +-837): it drives one
+    # coefficient to 127*4 + 128*4 = +-1020, just under the 10-bit
+    # baseline Huffman ceiling of +-1023. Encoding must take the s=10
+    # category, not crash — and the round-trip must stay near-exact.
+    s = np.sign(np.cos((2 * np.arange(8) + 1) * np.pi / 4)).astype(int)
+    tile = np.where(np.outer(s, s) > 0, 255, 0).astype(np.uint8)
+    arr = np.repeat(np.tile(tile, (2, 2))[..., None], 3, axis=2)
+    back = decode_jpeg(encode_jpeg(arr, quality=100))
+    assert np.abs(back.astype(int) - arr.astype(int)).max() <= 2
 
 
 def test_odd_dimensions_pad_and_crop_correctly():

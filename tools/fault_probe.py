@@ -68,11 +68,29 @@ os.chdir(REPO)
 # killing both guarantees the in-flight Arrow task (and its Python worker)
 # dies with its executor — the stage must be resubmitted onto respawned
 # executors with the UDF re-shipped.
+# media_extract_features (round 9) is a PSEUDO-query over the codec-real
+# synthetic media table: a mapInPandas stage whose Python workers decode
+# BMP/PNG/JPEG/WAV/AVI payloads — killing every executor mid-stage proves
+# the new codec path recovers like any other Arrow stage (workers die with
+# their executors, the stage resubmits onto respawned ones, features are
+# per-payload-deterministic so the recomputed rows must match exactly).
 DEFAULT_SCENARIOS = (
     "q_llm_neardup_pairs:1.5,"
     "q_join_multi:auto:.scaling/x16:16,"
-    "q_llm_sim_threshold:1.0:.scaling/x16:1:all"
+    "q_llm_sim_threshold:1.0:.scaling/x16:1:all,"
+    "media_extract_features:0.6::1:all"
 )
+
+
+def _media_extract_features(spark, sf_dir):
+    """Pseudo-query for the media fault scenario: 6k codec-real payloads
+    (ignores sf_dir — the table is synthesized, like the tests')."""
+    from mapreduce_machine_learning_spark.sources.multimodal import (
+        extract_features,
+        synth_media_real,
+    )
+
+    return extract_features(synth_media_real(spark, 6000).repartition(16))
 
 
 def executor_pids(app_id: str) -> list[int]:
@@ -236,7 +254,8 @@ def main() -> None:
     from mapreduce_machine_learning_spark import runtime
     from mapreduce_machine_learning_spark.registry import all_queries
 
-    qs = all_queries()
+    qs = dict(all_queries())
+    qs["media_extract_features"] = _media_extract_features
     scenarios = []
     for spec in args.scenarios.split(","):
         parts = spec.strip().split(":")
@@ -244,7 +263,7 @@ def main() -> None:
         if name not in qs:
             ap.error(f"unknown query {name!r}")
         kill_after = parts[1] if len(parts) > 1 and parts[1] else "auto"
-        sf_dir = parts[2] if len(parts) > 2 else args.sf_dir
+        sf_dir = parts[2] if len(parts) > 2 and parts[2] else args.sf_dir
         min_tasks = int(parts[3]) if len(parts) > 3 and parts[3] else 1
         kill_all = len(parts) > 4 and parts[4] == "all"
         scenarios.append((name, kill_after, sf_dir, min_tasks, kill_all))

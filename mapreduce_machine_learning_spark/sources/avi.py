@@ -1,18 +1,22 @@
-"""Uncompressed AVI (RIFF + 24-bit DIB frames) codec — stdlib + numpy.
+"""AVI video codec (RIFF container): uncompressed DIB and MJPEG frames.
 
-Round 9 closes the struct-reachable part of the VIDEO seam in
-``sources/multimodal.py``: an AVI container holding uncompressed 24-bit
-device-independent-bitmap frames ('DIB ' fourcc, '00db' chunks) is pure
-RIFF structure — no entropy coding at all — so it parses with ``struct``
-and numpy exactly like the BMP codec (each frame body IS a BMP pixel
-array: bottom-up BGR rows padded to 4 bytes).
+Round 9 closes the reachable part of the VIDEO seam in
+``sources/multimodal.py`` twice over:
 
-That makes the multimodal pipeline's frame-sampling stage REAL for this
-format: ``sample_frames`` decodes actual frames and re-encodes each as a
-BMP payload downstream stages can ``decode_image``. Compressed video
-(MJPEG beyond baseline, H.264, VP9, …) still needs libraries this
-container lacks and raises at the documented seam; callers quarantine to
-the deterministic stand-ins.
+- **uncompressed 24-bit DIB** ('DIB ' fourcc, BI_RGB, '00db' chunks) is
+  pure RIFF structure — no entropy coding — so it parses with ``struct``
+  and numpy exactly like the BMP codec (each frame body IS a BMP pixel
+  array: bottom-up BGR rows padded to 4 bytes), bit-exact round-trips;
+- **MJPEG** ('MJPG' fourcc, '00dc' chunks) is one baseline JPEG per
+  frame, and this repo carries its own baseline JPEG codec
+  (``sources/jpeg.py``) — so the container's COMPRESSED layout decodes
+  in-container too (lossy like any JPEG, error-bounded in tests).
+
+That makes the multimodal pipeline's frame-sampling stage REAL for both
+layouts: ``sample_frames`` decodes actual frames and re-encodes each as a
+BMP payload downstream stages can ``decode_image``. Inter-frame codecs
+(H.264, VP9, …) still need libraries this container lacks and raise at
+the documented seam; callers quarantine to the deterministic stand-ins.
 
 Scale note: same as the other codecs — the per-frame Python loop is fine
 for test-table media; a 100 TB video pipeline decodes in a native library
@@ -24,6 +28,13 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from mapreduce_machine_learning_spark.sources.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def is_avi(payload: bytes) -> bool:
@@ -63,10 +74,18 @@ def _decode_dib(body: bytes, w: int, h: int) -> "np.ndarray":
     return out
 
 
-def encode_avi(frames: list, fps: int = 10) -> bytes:
+def encode_avi(
+    frames: list, fps: int = 10, codec: str = "dib", quality: int = 90
+) -> bytes:
     """Minimal RIFF-AVI from uint8 (h, w, 3) RGB frames: one 'vids'
-    stream, 'DIB ' codec, one '00db' chunk per frame. All frames must
-    share a geometry. Readable by any standard AVI demuxer."""
+    stream, one frame chunk per frame. ``codec="dib"`` writes
+    uncompressed BI_RGB '00db' chunks (bit-exact); ``codec="mjpg"``
+    writes one baseline JPEG per '00dc' chunk at the given quality
+    (4:2:0, tables included per frame as MJPEG players expect — lossy
+    like any JPEG). All frames must share a geometry. Readable by any
+    standard AVI demuxer."""
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
     h, w, c = frames[0].shape
@@ -74,7 +93,13 @@ def encode_avi(frames: list, fps: int = 10) -> bytes:
         f.shape != (h, w, 3) or f.dtype != np.uint8 for f in frames
     ):
         raise ValueError("encode_avi expects uniform uint8 (h, w, 3) frames")
-    frame_size = (w * 3 + _dib_row_pad(w)) * h
+    mjpg = codec == "mjpg"
+    bodies = (
+        [encode_jpeg(f, quality=quality, subsample=True) for f in frames]
+        if mjpg
+        else [_encode_dib(f) for f in frames]
+    )
+    frame_size = max(len(b) for b in bodies)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return tag + struct.pack("<I", len(body)) + body + (
@@ -101,7 +126,7 @@ def encode_avi(frames: list, fps: int = 10) -> bytes:
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
         b"vids",
-        b"DIB ",
+        b"MJPG" if mjpg else b"DIB ",
         0,  # flags
         0,  # priority
         0,  # language
@@ -112,38 +137,42 @@ def encode_avi(frames: list, fps: int = 10) -> bytes:
         len(frames),  # length in frames
         frame_size,  # suggested buffer size
         0xFFFFFFFF,  # quality (default)
-        frame_size,  # sample size
+        0 if mjpg else frame_size,  # sample size (0 = variable, MJPEG)
         0, 0, int(w), int(h),  # rcFrame
     )
-    strf = struct.pack(  # BITMAPINFOHEADER, 24-bit BI_RGB
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    strf = struct.pack(  # BITMAPINFOHEADER; biCompression = fourcc | BI_RGB
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24,
+        _MJPG_FOURCC if mjpg else 0,
+        frame_size, 0, 0, 0, 0,
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(
-        b"movi",
-        b"".join(chunk(b"00db", _encode_dib(f)) for f in frames),
-    )
+    tag = b"00dc" if mjpg else b"00db"
+    movi = lst(b"movi", b"".join(chunk(tag, b) for b in bodies))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_avi(payload: bytes) -> "np.ndarray":
-    """uint8 (n_frames, h, w, 3) RGB from an uncompressed 24-bit DIB AVI.
+    """uint8 (n_frames, h, w, 3) RGB from a 24-bit DIB or MJPEG AVI.
 
     Walks the RIFF chunk tree for the video stream's BITMAPINFOHEADER
-    (geometry + bit depth) and the 'movi' list's '00db'/'00dc' frame
-    chunks. Compressed streams (non-'DIB '/BI_RGB) raise at the seam."""
+    (geometry + bit depth + compression fourcc) and the 'movi' list's
+    '00db'/'00dc' frame chunks: BI_RGB bodies decode as raw DIB rows,
+    'MJPG' bodies through the in-container baseline JPEG decoder. Other
+    compressions (inter-frame codecs) raise at the seam."""
     if not is_avi(payload):
         raise NotImplementedError("not an AVI payload")
     w = h = None
+    mjpg = False
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h
+        nonlocal w, h, mjpg
         end = min(end, len(payload))  # declared sizes can lie; clamp
         while pos + 8 <= end:
             tag = payload[pos : pos + 4]
@@ -155,24 +184,48 @@ def decode_avi(payload: bytes) -> "np.ndarray":
                 (
                     _, bw, bh, _, bpp, comp
                 ) = struct.unpack_from("<IiiHHI", payload, body_at)
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    mjpg = True
+                elif bpp != 24 or comp != 0:
                     raise NotImplementedError(
-                        f"only 24-bit uncompressed (BI_RGB) AVI decodes "
-                        f"in-container (got {bpp}-bit, compression {comp})"
+                        f"only 24-bit uncompressed (BI_RGB) or MJPEG AVI "
+                        f"decodes in-container (got {bpp}-bit, "
+                        f"compression {comp})"
                     )
                 w, h = bw, abs(bh)
             elif tag[2:4] in (b"db", b"dc"):
                 if w is None:
                     raise NotImplementedError("AVI frame before strf header")
+                body = payload[body_at : body_at + size]
                 frames.append(
-                    _decode_dib(payload[body_at : body_at + size], w, h)
+                    decode_jpeg(body) if mjpg else _decode_dib(body, w, h)
                 )
             pos = body_at + size + (size % 2)  # chunks are word-aligned
 
     walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
     if not frames:
-        raise NotImplementedError("AVI stream has no DIB frames")
+        raise NotImplementedError("AVI stream has no frames")
     return np.stack(frames)
+
+
+def avi_codec(payload: bytes) -> str:
+    """'mjpg' or 'dib' from the stream header — for re-encode stages
+    (resize) that must preserve the source layout."""
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    stack = [(pos, end)]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            if tag == b"LIST":
+                stack.append((pos + 12, pos + 8 + size))
+            elif tag == b"strf" and size >= 20:
+                (comp,) = struct.unpack_from("<I", payload, pos + 8 + 16)
+                return "mjpg" if comp == _MJPG_FOURCC else "dib"
+            pos += 8 + size + (size % 2)
+    return "dib"
 
 
 def avi_fps(payload: bytes, default: int = 10) -> int:

@@ -5,18 +5,21 @@ The Spark-side machinery here is real and tested — schema, partitioning, UDF
 signature, batch shapes. The codec layer (rounds 8–9) is real for every
 format pure stdlib + numpy can carry: **24-bit uncompressed BMP** images
 (``decode_bmp``/``encode_bmp``, struct-parsed — real pixels, real
-nearest-neighbor resize), **8/16-bit PNG** images, Adam7-interlaced or not
-(``decode_png``/``encode_png`` — stdlib ``zlib`` inflate + numpy
-unfiltering of all five RFC 2083 scanline filters; color types 0/2/3/4/6),
+nearest-neighbor resize), **PNG at every legal depth** (1/2/4/8/16-bit),
+Adam7-interlaced or not (``decode_png``/``encode_png`` — stdlib ``zlib``
+inflate + numpy unfiltering of all five RFC 2083 scanline filters; color
+types 0/2/3/4/6),
 **baseline JPEG** (``sources/jpeg.py`` — Huffman entropy coding + 8×8 DCT
 as numpy matrix products; SOF0, 4:4:4/4:2:2/4:2:0, restart markers), and
 **16-bit PCM WAV** audio (``decode_wav``/``encode_wav`` via the stdlib
-``wave`` module — real samples, RMS/ZCR features), and **uncompressed AVI**
-video (``sources/avi.py`` — RIFF chunk walk, 24-bit DIB frames; real frame
-sampling and per-frame resize). Payloads are dispatched by magic bytes
-(``BM`` / ``\\x89PNG`` / ``\\xff\\xd8\\xff`` / ``RIFF..WAVE`` /
-``RIFF..AVI``); anything else — progressive JPEG, MP3, and all COMPRESSED
-video codecs — still needs external libraries this container lacks, raises
+``wave`` module — real samples, RMS/ZCR features), and **AVI video in both
+its common layouts** (``sources/avi.py`` — RIFF chunk walk; uncompressed
+24-bit DIB frames bit-exact, MJPEG frames through the in-container JPEG
+codec; real frame sampling and codec-preserving per-frame resize).
+Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
+``\\xff\\xd8\\xff`` / ``RIFF..WAVE`` / ``RIFF..AVI``); anything else —
+progressive JPEG, MP3, and INTER-FRAME video codecs (H.264, VP9) — still
+needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
 stay runnable end to end. Swapping in a full decoder still changes one
@@ -42,6 +45,7 @@ import numpy as np
 import pandas as pd
 
 from mapreduce_machine_learning_spark.sources.avi import (
+    avi_codec,
     avi_fps,
     decode_avi,
     encode_avi,
@@ -215,13 +219,15 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> "np.ndarray":
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
-    """uint8 (h, w, 3) RGB from an 8- or 16-bit PNG, interlaced or not —
-    stdlib ``zlib`` inflate + numpy unfiltering, no image library. Color
-    types: 0 (gray, replicated to RGB), 2 (RGB), 3 (palette via PLTE), 4
-    (gray+alpha, alpha dropped), 6 (RGBA, alpha dropped). 16-bit samples
-    render to their high byte (the standard 8-bit presentation); Adam7
-    streams deinterlace pass by pass through the same unfilter kernel.
-    Sub-byte depths (1/2/4-bit) raise at the remaining documented seam."""
+    """uint8 (h, w, 3) RGB from ANY legal PNG depth (1/2/4/8/16-bit),
+    interlaced or not — stdlib ``zlib`` inflate + numpy unfiltering, no
+    image library. Color types: 0 (gray, replicated to RGB), 2 (RGB), 3
+    (palette via PLTE), 4 (gray+alpha, alpha dropped), 6 (RGBA, alpha
+    dropped). 16-bit samples render to their high byte (the standard
+    8-bit presentation); sub-byte grays scale exactly (255/(2^d − 1) is
+    integral); Adam7 streams deinterlace pass by pass through the same
+    unfilter kernel. The only refusals left are ILLEGAL combinations
+    (sub-byte truecolor, unknown interlace/filter methods)."""
     if not is_png(payload):
         raise NotImplementedError("not a PNG payload")
     pos, idat, plte, ihdr = 8, [], None, None
@@ -241,25 +247,46 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace > 1:
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 or interlace > 1:
         raise NotImplementedError(
-            f"only 8/16-bit depth-aligned PNG decodes in-container (depth "
-            f"{depth}, interlace {interlace})"
+            f"PNG depth {depth} / interlace {interlace} not decodable"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None or (ctype == 3 and plte is None):
         raise NotImplementedError(f"PNG color type {ctype}")
-    bs = depth // 8  # bytes per sample; filters operate on raw bytes
-    bpp = channels * bs
+    if depth < 8 and ctype not in (0, 3):
+        raise NotImplementedError(
+            f"sub-byte depth {depth} is only legal for gray/palette PNG"
+        )
+    bs = max(1, depth // 8)  # bytes per sample (filters act on raw bytes)
+    bpp = channels * bs if depth >= 8 else 1  # filter delta distance
     raw = zlib.decompress(b"".join(idat))
 
+    def stride(pw: int) -> int:  # packed scanline bytes for pw pixels
+        return (pw * channels * depth + 7) // 8
+
     def to_samples(rows: "np.ndarray", ph: int, pw: int) -> "np.ndarray":
-        # 16-bit: big-endian high byte is the standard 8-bit rendering
-        b = rows.reshape(ph, pw, channels, bs)
-        return np.ascontiguousarray(b[..., 0])
+        if depth == 16:  # big-endian high byte = 8-bit rendering
+            b = rows.reshape(ph, pw, channels, 2)
+            return np.ascontiguousarray(b[..., 0])
+        if depth == 8:
+            return rows.reshape(ph, pw, channels)
+        # sub-byte gray/palette: unpack MSB-first bit groups per pixel
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        if ctype == 0:  # gray: exact 8-bit scaling (255/(2^d - 1) is int)
+            vals = vals * (255 // ((1 << depth) - 1))
+        return vals.astype(np.uint8)[..., None]
+
+    def unfilter(buf: bytes, ph: int, pw: int) -> "np.ndarray":
+        # _png_unfilter's scanline is w_arg * bpp bytes with filter delta
+        # bpp; stride(pw) is bpp-divisible for byte-aligned depths and
+        # bpp=1 for sub-byte, so w_arg = stride // bpp covers both
+        return _png_unfilter(buf, ph, stride(pw) // bpp, bpp).reshape(ph, -1)
 
     if interlace == 0:
-        px = to_samples(_png_unfilter(raw, h, w, bpp), h, w)
+        px = to_samples(unfilter(raw, h, w), h, w)
     else:  # Adam7: seven independently-filtered sub-images
         px = np.zeros((h, w, channels), np.uint8)
         pos = 0
@@ -268,10 +295,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            n = ph * (1 + pw * bpp)
-            sub = _png_unfilter(raw[pos : pos + n], ph, pw, bpp)
+            n = ph * (1 + stride(pw))
+            px[y0::dy, x0::dx] = to_samples(
+                unfilter(raw[pos : pos + n], ph, pw), ph, pw
+            )
             pos += n
-            px[y0::dy, x0::dx] = to_samples(sub, ph, pw)
     if ctype == 2:
         return px
     if ctype == 6:
@@ -498,11 +526,11 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     formats the in-container codecs decode: deterministic gradients rotated
     through 24-bit BMP, 8-bit PNG, and baseline JPEG (4:4:4 and 4:2:0
     alternating; id-seeded geometry and channel phases) and 16-bit PCM WAV
-    sine bursts (id-seeded frequency). Video payloads alternate REAL
-    uncompressed AVIs (id-seeded gradient frames; sources/avi.py) with
-    opaque stand-in bytes — compressed video codecs are the remaining
-    environment-bound seam, and keeping opaque rows in the mix keeps the
-    quarantine path exercised."""
+    sine bursts (id-seeded frequency). Video payloads rotate REAL
+    uncompressed-DIB AVIs, REAL MJPEG AVIs (id-seeded gradient frames;
+    sources/avi.py), and opaque stand-in bytes — inter-frame video codecs
+    are the remaining environment-bound seam, and keeping opaque rows in
+    the mix keeps the quarantine path exercised."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
@@ -537,7 +565,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             dur_ms = int(1000 * len(samples) / rate)
             rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
         else:
-            if (i // 3) % 2:  # real uncompressed AVI
+            variant = (i // 3) % 3
+            if variant:  # real AVI: uncompressed DIB (1) or MJPEG (2)
                 w, h, fps = 10 + i % 4, 8 + i % 3, 5 + i % 5
                 yy, xx = np.mgrid[0:h, 0:w]
                 frames = [
@@ -551,7 +580,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                     ).astype(np.uint8)
                     for t in range(3 + i % 3)
                 ]
-                payload = encode_avi(frames, fps=fps)
+                codec = "mjpg" if variant == 2 else "dib"
+                payload = encode_avi(frames, fps=fps, codec=codec)
                 dur_ms = int(1000 * len(frames) / fps)
                 rows.append((i, kind, bytearray(payload), w, h, dur_ms))
             else:  # opaque stand-in: the quarantine path stays tested
@@ -640,7 +670,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             except Exception:
                 pass
         elif is_avi(p):
-            try:  # uncompressed AVI: resample every frame, keep the fps
+            try:  # AVI: resample every frame; keep the fps AND the codec
                 frames = decode_avi(p)
                 h, w = frames.shape[1:3]
                 yi = np.minimum((np.arange(height) * h) // height, h - 1)
@@ -648,6 +678,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 return encode_avi(
                     [np.ascontiguousarray(f[yi][:, xi]) for f in frames],
                     fps=avi_fps(p),
+                    codec=avi_codec(p),
                 )
             except Exception:
                 pass

@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from mapreduce_machine_learning_spark.sources.avi import (
+    avi_codec,
     avi_fps,
     decode_avi,
     encode_avi,
@@ -60,6 +61,50 @@ def test_fps_survives_the_stream_header():
         assert avi_fps(encode_avi(frames, fps=fps)) == fps
 
 
+def _gradient_frames(n, h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [
+        np.stack(
+            [
+                (xx * 3 + yy + t * 9 + seed) % 256,
+                (yy * 5 + t * 3) % 256,
+                (xx + t * 7 + seed) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        for t in range(n)
+    ]
+
+
+def test_mjpeg_round_trip_error_bounded():
+    # MJPEG = one baseline JPEG per '00dc' chunk, decoded by the
+    # in-container JPEG codec — lossy, so the bound is per-pixel error,
+    # with structure (codec fourcc, fps, frame count, dims) exact
+    frames = _gradient_frames(4, 12, 16, seed=2)
+    p = encode_avi(frames, fps=8, codec="mjpg", quality=92)
+    assert is_avi(p) and avi_codec(p) == "mjpg" and avi_fps(p) == 8
+    back = decode_avi(p)
+    assert back.shape == (4, 12, 16, 3)
+    err = np.abs(back.astype(int) - np.stack(frames).astype(int))
+    assert err.max() <= 24 and err.mean() <= 4.0
+    # at real frame sizes compression wins (at 12x16 the per-frame
+    # DQT/DHT tables dominate, so measure on 48x64)
+    big = _gradient_frames(4, 48, 64, seed=2)
+    assert len(encode_avi(big, fps=8, codec="mjpg")) < len(
+        encode_avi(big, fps=8)
+    )
+    # features run off the real decoded frames
+    assert list(features_for(p)) == list(real_video_features(back))
+
+
+def test_unknown_video_fourcc_raises_at_the_seam():
+    p = bytearray(encode_avi(_frames(2, 5, 5)))
+    strf_at = bytes(p).find(b"strf")
+    struct.pack_into("<4s", p, strf_at + 8 + 16, b"H264")
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        decode_avi(bytes(p))
+
+
 def test_features_are_real_and_content_sensitive():
     a = decode_avi(encode_avi(_frames(4, 8, 8, seed=1)))
     b = decode_avi(encode_avi(_frames(4, 8, 8, seed=2)))
@@ -88,7 +133,7 @@ def test_seams_raise_and_quarantine():
     # no frames at all
     empty = encode_avi(_frames(1, 4, 4))
     head = empty[: empty.find(b"00db")]
-    with pytest.raises(NotImplementedError, match="no DIB frames"):
+    with pytest.raises(NotImplementedError, match="no frames"):
         decode_avi(head + b"\x00" * 4)
     # not an AVI
     with pytest.raises(NotImplementedError, match="not an AVI"):
@@ -130,8 +175,9 @@ def test_spark_sample_frames_are_real_decoded_frames(spark):
 
 
 def test_spark_resize_resamples_every_avi_frame(spark):
-    media = synth_media_real(spark, n=24)
+    media = synth_media_real(spark, n=36)
     out = {r.media_id: bytes(r.payload) for r in resize_media(media, 6, 4).collect()}
+    codecs_seen = set()
     for row in media.collect():
         p = bytes(row.payload)
         if row.kind != "video" or not is_avi(p):
@@ -143,8 +189,16 @@ def test_spark_resize_resamples_every_avi_frame(spark):
         yi = np.minimum((np.arange(4) * h) // 4, h - 1)
         xi = np.minimum((np.arange(6) * w) // 6, w - 1)
         want = np.stack([f[yi][:, xi] for f in frames])
-        assert np.array_equal(resized, want), row.media_id
+        codec = avi_codec(p)
+        codecs_seen.add(codec)
+        if codec == "mjpg":  # lossy re-encode: bounded, not bit-exact
+            err = np.abs(resized.astype(int) - want.astype(int))
+            assert err.max() <= 32, (row.media_id, err.max())
+        else:
+            assert np.array_equal(resized, want), row.media_id
         assert avi_fps(out[row.media_id]) == avi_fps(p)  # timing kept
+        assert avi_codec(out[row.media_id]) == codec  # layout kept
+    assert codecs_seen == {"dib", "mjpg"}  # both real layouts exercised
 
 
 def test_spark_features_route_avi_through_real_decoder(spark):

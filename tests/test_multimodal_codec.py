@@ -178,8 +178,10 @@ def test_png_color_types_decode_to_rgb():
 def test_png_seams_raise_and_quarantine():
     a = _arr(3, 3, seed=9)
     good = bytearray(encode_png(a))
-    # sub-byte depth (4-bit): the remaining documented seam
-    # (IHDR body byte 8; offset: magic 8 + len 4 + tag 4 + 8)
+    # sub-byte TRUECOLOR is illegal in the format (sub-byte depths are
+    # gray/palette only) — flipping an RGB payload's depth byte to 4
+    # must refuse, not misparse (IHDR body byte 8; offset: magic 8 +
+    # len 4 + tag 4 + 8)
     shallow = bytearray(good)
     shallow[8 + 8 + 8] = 4
     with pytest.raises(NotImplementedError):
@@ -210,6 +212,70 @@ def test_png_adam7_interlace_round_trips_exactly():
         # ...and the deinterlacer reconstructs every pixel exactly
         assert np.array_equal(decode_png(payload), a), (h, w)
         assert np.array_equal(decode_image(payload), a)
+
+
+def _pack_subbyte_rows(vals, depth, filt=0):
+    """MSB-first bit-packed scanlines (one filter byte each) for a
+    (h, w) sample array of sub-byte values."""
+    h, w = vals.shape
+    raw = b""
+    for y in range(h):
+        bits = np.zeros(w * depth, np.uint8)
+        for x in range(w):
+            for b in range(depth):
+                bits[x * depth + b] = (vals[y, x] >> (depth - 1 - b)) & 1
+        raw += bytes([filt]) + np.packbits(bits).tobytes()
+    return raw
+
+
+def test_png_subbyte_depths_decode_exactly():
+    h, w = 5, 11  # w*depth not a multiple of 8: exercises row bit-padding
+    rng = np.random.default_rng(5)
+
+    def build(depth, ctype, raw, plte=None, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += _png_chunk(b"PLTE", plte.tobytes())
+        return (
+            chunks
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 1/2/4-bit grayscale: exact integral scaling to 8-bit
+    for depth in (1, 2, 4):
+        vals = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+        out = decode_png(build(depth, 0, _pack_subbyte_rows(vals, depth)))
+        want = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        assert np.array_equal(out, np.repeat(want[..., None], 3, axis=2)), depth
+    # 4-bit palette: direct PLTE lookup, no scaling
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint16).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    out = decode_png(build(4, 3, _pack_subbyte_rows(idx, 4), plte=plte))
+    assert np.array_equal(out, plte[idx])
+
+
+def test_png_subbyte_adam7_interlace_decodes_exactly():
+    from mapreduce_machine_learning_spark.sources.multimodal import _ADAM7
+
+    h, w = 13, 9
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 2, (h, w)).astype(np.uint8)
+    raw = b"".join(
+        _pack_subbyte_rows(vals[y0::dy, x0::dx], 1)
+        for x0, y0, dx, dy in _ADAM7
+        if vals[y0::dy, x0::dx].size
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert np.array_equal(out, np.repeat((vals * 255)[..., None], 3, axis=2))
 
 
 def test_png_16bit_decodes_to_high_byte():

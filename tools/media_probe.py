@@ -57,7 +57,8 @@ def _codec_payloads() -> dict:
         "png_48x64": encode_png(img),
         "jpeg_48x64_q90_420": encode_jpeg(img, 90, subsample=True),
         "wav_8000x16bit": encode_wav(wav, 8000),
-        "avi_6f_24x32": encode_avi(frames, fps=10),
+        "avi_dib_6f_24x32": encode_avi(frames, fps=10),
+        "avi_mjpg_6f_24x32": encode_avi(frames, fps=10, codec="mjpg"),
     }
 
 

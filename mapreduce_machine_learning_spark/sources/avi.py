@@ -193,6 +193,12 @@ def decode_avi(payload: bytes) -> "np.ndarray":
                         f"compression {comp})"
                     )
                 w, h = bw, abs(bh)
+                if w * h == 0 or w * h > 1 << 26:
+                    # corrupt headers can demand multi-GB frame buffers
+                    # before any frame data validates — refuse (quarantine)
+                    raise NotImplementedError(
+                        f"AVI frame geometry {w}x{h} out of range"
+                    )
             elif tag[2:4] in (b"db", b"dc"):
                 if w is None:
                     raise NotImplementedError("AVI frame before strf header")

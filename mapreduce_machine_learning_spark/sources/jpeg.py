@@ -454,6 +454,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if h_img * w_img == 0 or h_img * w_img > 1 << 26:
+                # corrupt SOF dims can demand a 34 GB plane allocation
+                # before any entropy data validates — refuse (quarantine)
+                raise NotImplementedError(
+                    f"JPEG dimensions {w_img}x{h_img} out of range"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
             for i in range(ncomp):

@@ -12,14 +12,16 @@ types 0/2/3/4/6),
 **baseline JPEG** (``sources/jpeg.py`` — Huffman entropy coding + 8×8 DCT
 as numpy matrix products; SOF0, 4:4:4/4:2:2/4:2:0, restart markers), and
 **16-bit PCM WAV** audio (``decode_wav``/``encode_wav`` via the stdlib
-``wave`` module — real samples, RMS/ZCR features), and **AVI video in both
+``wave`` module — real samples, RMS/ZCR features), **GIF 87a/89a**
+(``sources/gif.py`` — pure-Python LZW, interlace, transparency, disposal;
+still GIFs as images, animated GIFs as video), and **AVI video in both
 its common layouts** (``sources/avi.py`` — RIFF chunk walk; uncompressed
 24-bit DIB frames bit-exact, MJPEG frames through the in-container JPEG
 codec; real frame sampling and codec-preserving per-frame resize).
 Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
-``\\xff\\xd8\\xff`` / ``RIFF..WAVE`` / ``RIFF..AVI``); anything else —
-progressive JPEG, MP3, and INTER-FRAME video codecs (H.264, VP9) — still
-needs external libraries this container lacks, raises
+``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI``); anything
+else — progressive JPEG, MP3, and INTER-FRAME video codecs (H.264, VP9) —
+still needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
 stay runnable end to end. Swapping in a full decoder still changes one
@@ -52,6 +54,12 @@ from mapreduce_machine_learning_spark.sources.avi import (
     is_avi,
     real_video_features,
 )
+from mapreduce_machine_learning_spark.sources.gif import (
+    decode_gif,
+    encode_gif,
+    encode_gif_rgb,
+    is_gif,
+)
 from mapreduce_machine_learning_spark.sources.jpeg import (
     decode_jpeg,
     encode_jpeg,
@@ -82,6 +90,16 @@ MEDIA_SCHEMA = StructType(
 )
 
 FEATURE_DIM = 8
+
+#: deterministic 16-color palette for the synthetic GIF rows
+_GIF_TEST_PALETTE = np.stack(
+    [
+        (np.arange(16) * 17).astype(np.uint8),
+        (np.arange(16) * 13 % 256).astype(np.uint8),
+        (255 - np.arange(16) * 11 % 256).astype(np.uint8),
+    ],
+    axis=1,
+)
 
 FEATURES_SCHEMA = StructType(
     [
@@ -247,6 +265,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
+    if w * h == 0 or w * h > 1 << 26:
+        # corrupt IHDR dims can demand multi-GB canvases before any
+        # pixel data validates — refuse (callers quarantine)
+        raise NotImplementedError(f"PNG dimensions {w}x{h} out of range")
     if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 or interlace > 1:
         raise NotImplementedError(
             f"PNG depth {depth} / interlace {interlace} not decodable"
@@ -348,6 +370,8 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
         )
     top_down = h_signed < 0
     h = abs(h_signed)
+    if w * h <= 0 or w * h > 1 << 26:
+        raise NotImplementedError(f"BMP dimensions {w}x{h} out of range")
     row = w * 3
     pad = (4 - row % 4) % 4
     out = np.empty((h, w, 3), np.uint8)
@@ -405,9 +429,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_png(payload)
     if is_jpeg(payload):
         return decode_jpeg(payload)
+    if is_gif(payload):
+        return decode_gif(payload)[0]  # still image = first frame
     raise NotImplementedError(
-        "only 24-bit BMP, 8-bit PNG, and baseline JPEG decode in this "
-        "container (no PIL/libjpeg); pipeline runs with fake_features "
+        "only BMP, PNG, baseline JPEG, and GIF decode in this container "
+        "(no PIL/libjpeg); pipeline runs with fake_features "
         "(deterministic md5-derived) for other formats"
     )
 
@@ -466,6 +492,11 @@ def features_for(payload: bytes) -> "np.ndarray":
     try:
         if is_bmp(payload) or is_png(payload) or is_jpeg(payload):
             return real_image_features(decode_image(payload))
+        if is_gif(payload):  # still GIF = image, animated GIF = video
+            frames = decode_gif(payload)
+            if frames.shape[0] == 1:
+                return real_image_features(frames[0])
+            return real_video_features(frames)
         if is_wav(payload):
             return real_audio_features(*decode_wav(payload))
         if is_avi(payload):
@@ -526,11 +557,11 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     formats the in-container codecs decode: deterministic gradients rotated
     through 24-bit BMP, 8-bit PNG, and baseline JPEG (4:4:4 and 4:2:0
     alternating; id-seeded geometry and channel phases) and 16-bit PCM WAV
-    sine bursts (id-seeded frequency). Video payloads rotate REAL
-    uncompressed-DIB AVIs, REAL MJPEG AVIs (id-seeded gradient frames;
-    sources/avi.py), and opaque stand-in bytes — inter-frame video codecs
-    are the remaining environment-bound seam, and keeping opaque rows in
-    the mix keeps the quarantine path exercised."""
+    sine bursts (id-seeded frequency). Image rows rotate BMP / PNG /
+    JPEG / still GIF; video rows rotate opaque stand-in bytes, DIB AVI,
+    MJPEG AVI, and animated GIF — inter-frame video codecs are the
+    remaining environment-bound seam, and keeping opaque rows in the mix
+    keeps the quarantine path exercised."""
     rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
@@ -546,8 +577,13 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = (i // 3) % 3
-            if fmt == 2:
+            fmt = (i // 3) % 4
+            if fmt == 3:  # still GIF: quantize the gradient to 16 colors
+                payload = encode_gif(
+                    [(arr[..., 0] % 16).astype(np.uint8)],
+                    _GIF_TEST_PALETTE,
+                )
+            elif fmt == 2:
                 payload = encode_jpeg(
                     arr, quality=95, subsample=bool((i // 9) % 2)
                 )
@@ -565,8 +601,18 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             dur_ms = int(1000 * len(samples) / rate)
             rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
         else:
-            variant = (i // 3) % 3
-            if variant:  # real AVI: uncompressed DIB (1) or MJPEG (2)
+            variant = (i // 3) % 4
+            if variant == 3:  # real animated GIF
+                w, h = 10 + i % 4, 8 + i % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                gif_frames = [
+                    ((xx + yy * 2 + t * 3 + i) % 16).astype(np.uint8)
+                    for t in range(2 + i % 3)
+                ]
+                payload = encode_gif(gif_frames, _GIF_TEST_PALETTE)
+                dur_ms = 100 * len(gif_frames)  # default 10 cs delay
+                rows.append((i, kind, bytearray(payload), w, h, dur_ms))
+            elif variant:  # real AVI: uncompressed DIB (1) or MJPEG (2)
                 w, h, fps = 10 + i % 4, 8 + i % 3, 5 + i % 5
                 yy, xx = np.mgrid[0:h, 0:w]
                 frames = [
@@ -642,6 +688,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return encode_png(out)
     if is_jpeg(payload):
         return encode_jpeg(out, quality=95)
+    if is_gif(payload):  # NN never invents a color: exact re-encode
+        return encode_gif_rgb([out])
     return encode_bmp(out)
 
 
@@ -667,6 +715,17 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         if is_bmp(p) or is_png(p) or is_jpeg(p):
             try:
                 return resize_image(p, width, height)
+            except Exception:
+                pass
+        elif is_gif(p):
+            try:  # resample every frame; animation and palette survive
+                frames = decode_gif(p)
+                h, w = frames.shape[1:3]
+                yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                return encode_gif_rgb(
+                    [np.ascontiguousarray(f[yi][:, xi]) for f in frames]
+                )
             except Exception:
                 pass
         elif is_avi(p):
@@ -712,14 +771,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     shuffle."""
 
     def _frames(p: bytes) -> list:
-        if is_avi(p):
+        if is_avi(p) or is_gif(p):
             try:
-                frames = decode_avi(p)
+                frames = decode_avi(p) if is_avi(p) else decode_gif(p)
                 n = frames.shape[0]
                 idx = np.minimum((np.arange(n_frames) * n) // n_frames, n - 1)
                 return [encode_bmp(frames[i]) for i in idx]
             except Exception:
-                pass  # corrupt AVI: quarantine to the stand-in
+                pass  # corrupt container: quarantine to the stand-in
         return [
             hashlib.md5(p + f"|{i}".encode()).digest()
             for i in range(n_frames)

@@ -18,6 +18,10 @@ from mapreduce_machine_learning_spark.sources.avi import (
     decode_avi,
     encode_avi,
 )
+from mapreduce_machine_learning_spark.sources.gif import (
+    decode_gif,
+    encode_gif,
+)
 from mapreduce_machine_learning_spark.sources.jpeg import (
     decode_jpeg,
     encode_jpeg,
@@ -109,6 +113,24 @@ def test_avi_round_trip_exact(hw, n_frames, seed):
     assert np.array_equal(back, np.stack(frames))
 
 
+@given(
+    hw=dims,
+    n_frames=st.integers(min_value=1, max_value=4),
+    n_colors=st.sampled_from([2, 4, 16, 256]),
+    seed=st.integers(0, 2**31),
+)
+@SETTINGS
+def test_gif_round_trip_exact(hw, n_frames, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    frames = [
+        rng.integers(0, n_colors, hw).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    back = decode_gif(encode_gif(frames, pal))
+    assert np.array_equal(back, pal[np.stack(frames)])
+
+
 @given(payload=st.binary(min_size=0, max_size=200))
 @SETTINGS
 def test_features_for_is_total_on_arbitrary_bytes(payload):
@@ -122,7 +144,7 @@ def test_features_for_is_total_on_arbitrary_bytes(payload):
 @given(payload=st.binary(min_size=0, max_size=64))
 @SETTINGS
 def test_features_for_magic_prefixed_garbage(payload):
-    for magic in (b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+    for magic in (b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
                   b"RIFF\x20\x00\x00\x00WAVE", b"RIFF\x20\x00\x00\x00AVI "):
         feats = features_for(magic + payload)
         assert feats.shape == (FEATURE_DIM,)

@@ -27,6 +27,7 @@ from mapreduce_machine_learning_spark.sources.avi import (
     is_avi,
     real_video_features,
 )
+from mapreduce_machine_learning_spark.sources.gif import decode_gif, is_gif
 from mapreduce_machine_learning_spark.sources.multimodal import (
     _png_chunk,
     _PNG_MAGIC,
@@ -367,25 +368,28 @@ def test_spark_features_match_local_decoders(spark):
     for i, row in src.items():
         payload = bytes(row.payload)
         if row.kind == "image":
-            # synth rotates BMP / PNG / JPEG images; dispatch decodes all
+            # synth rotates BMP / PNG / JPEG / GIF images; all decode
             fmts.add(
                 "png" if is_png(payload)
                 else "jpeg" if is_jpeg(payload)
+                else "gif" if is_gif(payload)
                 else "bmp"
             )
             want = real_image_features(decode_image(payload))
         elif row.kind == "audio":
             want = real_audio_features(*decode_wav(payload))
-        elif is_avi(payload):  # video: real for uncompressed AVI...
+        elif is_avi(payload):  # video: real for DIB/MJPEG AVI...
             want = real_video_features(decode_avi(payload))
+        elif is_gif(payload):  # ...and for animated GIF...
+            want = real_video_features(decode_gif(payload))
         else:  # ...and still the documented stand-in for opaque bytes
             want = fake_features(payload)
         assert got[i].features == pytest.approx(list(want)), (i, row.kind)
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
-    # and ALL THREE real image formats were actually exercised
-    assert fmts == {"bmp", "png", "jpeg"}
+    # and ALL FOUR real image formats were actually exercised
+    assert fmts == {"bmp", "png", "jpeg", "gif"}
 
 
 def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
@@ -396,9 +400,10 @@ def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
         if row.kind == "image":
             out_payload = bytes(out[row.media_id].payload)
             # format-preserving re-encode: PNG in -> PNG out, JPEG ->
-            # JPEG, BMP -> BMP
+            # JPEG, GIF -> GIF, BMP -> BMP
             assert is_png(out_payload) == is_png(payload)
             assert is_jpeg(out_payload) == is_jpeg(payload)
+            assert is_gif(out_payload) == is_gif(payload)
             resized = decode_image(out_payload)
             assert resized.shape == (6, 8, 3)
             src = decode_image(payload)

@@ -114,7 +114,7 @@ def encode_avi(
         1_000_000 // fps,  # microseconds per frame
         frame_size * fps,  # max bytes per second
         0,  # padding granularity
-        0x10,  # flags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off
+        0x10,  # flags: AVIF_HASINDEX (an idx1 chunk is written below)
         len(frames),  # total frames
         0,  # initial frames
         1,  # streams
@@ -153,60 +153,122 @@ def encode_avi(
     )
     tag = b"00dc" if mjpg else b"00db"
     movi = lst(b"movi", b"".join(chunk(tag, b) for b in bodies))
-    riff_body = b"AVI " + hdrl + movi
+    # idx1 backs the AVIF_HASINDEX flag above: one AVIIF_KEYFRAME entry
+    # per frame chunk, offsets relative to the 'movi' fourcc (the common
+    # convention), so seek-dependent demuxers find the index they expect.
+    entries, off = [], 4
+    for b in bodies:
+        entries.append(struct.pack("<4sIII", tag, 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = chunk(b"idx1", b"".join(entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi(payload: bytes) -> "np.ndarray":
-    """uint8 (n_frames, h, w, 3) RGB from a 24-bit DIB or MJPEG AVI.
+def _video_stream_info(payload: bytes) -> dict:
+    """Header facts for the FIRST 'vids' stream in the RIFF tree.
 
-    Walks the RIFF chunk tree for the video stream's BITMAPINFOHEADER
-    (geometry + bit depth + compression fourcc) and the 'movi' list's
-    '00db'/'00dc' frame chunks: BI_RGB bodies decode as raw DIB rows,
-    'MJPG' bodies through the in-container baseline JPEG decoder. Other
-    compressions (inter-frame codecs) raise at the seam."""
-    if not is_avi(payload):
-        raise NotImplementedError("not an AVI payload")
-    w = h = None
-    mjpg = False
-    frames: list[np.ndarray] = []
+    Tracks each strl LIST's strh fccType while walking (streams are
+    numbered by strl order, per the AVI spec), so non-video streams are
+    SKIPPED rather than misparsed: a plain PCM audio track's strf is a
+    WAVEFORMATEX, and reading it as a BITMAPINFOHEADER used to fail the
+    whole decode — and leak the audio sample rate as the "fps" (ADVICE
+    r9, medium). Returns {stream_no, fps, w, h, bpp, comp}; any field
+    still None means the corresponding header was absent/truncated."""
+    info = {
+        "stream_no": None, "fps": None,
+        "w": None, "h": None, "bpp": None, "comp": None,
+    }
+    state = {"next_no": 0, "cur_no": 0, "cur_type": None}
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, mjpg
         end = min(end, len(payload))  # declared sizes can lie; clamp
         while pos + 8 <= end:
             tag = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
             body_at = pos + 8
             if tag == b"LIST":
+                if payload[body_at : body_at + 4] == b"strl":
+                    state["cur_no"] = state["next_no"]
+                    state["next_no"] += 1
+                    state["cur_type"] = None
                 walk(body_at + 4, body_at + size)  # skip the list kind
-            elif tag == b"strf":
+            elif tag == b"strh" and body_at + 28 <= len(payload):
+                state["cur_type"] = payload[body_at : body_at + 4]
+                if (
+                    state["cur_type"] == b"vids"
+                    and info["stream_no"] is None
+                ):
+                    info["stream_no"] = state["cur_no"]
+                    scale, rate = struct.unpack_from(
+                        "<II", payload, body_at + 20
+                    )
+                    if scale and rate:
+                        info["fps"] = max(1, rate // scale)
+            elif (
+                tag == b"strf"
+                and state["cur_type"] == b"vids"
+                and info["comp"] is None
+                and body_at + 24 <= len(payload)
+            ):
                 (
                     _, bw, bh, _, bpp, comp
                 ) = struct.unpack_from("<IiiHHI", payload, body_at)
-                if comp == _MJPG_FOURCC:
-                    mjpg = True
-                elif bpp != 24 or comp != 0:
-                    raise NotImplementedError(
-                        f"only 24-bit uncompressed (BI_RGB) or MJPEG AVI "
-                        f"decodes in-container (got {bpp}-bit, "
-                        f"compression {comp})"
-                    )
-                w, h = bw, abs(bh)
-                if w * h == 0 or w * h > 1 << 26:
-                    # corrupt headers can demand multi-GB frame buffers
-                    # before any frame data validates — refuse (quarantine)
-                    raise NotImplementedError(
-                        f"AVI frame geometry {w}x{h} out of range"
-                    )
-            elif tag[2:4] in (b"db", b"dc"):
-                if w is None:
-                    raise NotImplementedError("AVI frame before strf header")
+                info["w"], info["h"] = bw, abs(bh)
+                info["bpp"], info["comp"] = bpp, comp
+            pos = body_at + size + (size % 2)  # chunks are word-aligned
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    return info
+
+
+def decode_avi(payload: bytes) -> "np.ndarray":
+    """uint8 (n_frames, h, w, 3) RGB from a 24-bit DIB or MJPEG AVI.
+
+    Resolves the first 'vids' stream's BITMAPINFOHEADER (geometry + bit
+    depth + compression fourcc) via the fccType-aware walker, then
+    decodes only THAT stream's frame chunks ('NNdb'/'NNdc' where NN is
+    the stream number) — audio ('NNwb') and any other streams' chunks
+    are skipped, so mixed AV files decode instead of failing. BI_RGB
+    bodies decode as raw DIB rows, 'MJPG' bodies through the
+    in-container baseline JPEG decoder. Other compressions (inter-frame
+    codecs) raise at the seam."""
+    if not is_avi(payload):
+        raise NotImplementedError("not an AVI payload")
+    info = _video_stream_info(payload)
+    if info["comp"] is None:
+        raise NotImplementedError("AVI has no video stream header")
+    mjpg = info["comp"] == _MJPG_FOURCC
+    if not mjpg and (info["bpp"] != 24 or info["comp"] != 0):
+        raise NotImplementedError(
+            f"only 24-bit uncompressed (BI_RGB) or MJPEG AVI decodes "
+            f"in-container (got {info['bpp']}-bit, "
+            f"compression {info['comp']})"
+        )
+    w, h = info["w"], info["h"]
+    if w * h == 0 or w * h > 1 << 26:
+        # corrupt headers can demand multi-GB frame buffers before any
+        # frame data validates — refuse (quarantine)
+        raise NotImplementedError(
+            f"AVI frame geometry {w}x{h} out of range"
+        )
+    prefix = b"%02d" % info["stream_no"]
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        end = min(end, len(payload))
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_at = pos + 8
+            if tag == b"LIST":
+                walk(body_at + 4, body_at + size)
+            elif tag[:2] == prefix and tag[2:4] in (b"db", b"dc"):
                 body = payload[body_at : body_at + size]
                 frames.append(
                     decode_jpeg(body) if mjpg else _decode_dib(body, w, h)
                 )
-            pos = body_at + size + (size % 2)  # chunks are word-aligned
+            pos = body_at + size + (size % 2)
 
     walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
     if not frames:
@@ -215,46 +277,21 @@ def decode_avi(payload: bytes) -> "np.ndarray":
 
 
 def avi_codec(payload: bytes) -> str:
-    """'mjpg' or 'dib' from the stream header — for re-encode stages
-    (resize) that must preserve the source layout."""
-    pos = 12
-    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
-    stack = [(pos, end)]
-    while stack:
-        pos, end = stack.pop()
-        while pos + 8 <= end:
-            tag = payload[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            if tag == b"LIST":
-                stack.append((pos + 12, pos + 8 + size))
-            elif tag == b"strf" and size >= 20:
-                (comp,) = struct.unpack_from("<I", payload, pos + 8 + 16)
-                return "mjpg" if comp == _MJPG_FOURCC else "dib"
-            pos += 8 + size + (size % 2)
-    return "dib"
+    """'mjpg' or 'dib' from the VIDEO stream's strf — for re-encode
+    stages (resize) that must preserve the source layout. fccType-aware
+    (an audio strf no longer shadows the video one)."""
+    comp = _video_stream_info(payload)["comp"]
+    return "mjpg" if comp == _MJPG_FOURCC else "dib"
 
 
 def avi_fps(payload: bytes, default: int = 10) -> int:
-    """Frame rate from the video stream header (rate/scale), for
-    re-encode stages that must preserve timing. Falls back to ``default``
-    on malformed headers — callers that got far enough to re-encode
-    should not die on a missing strh."""
-    pos = 12
-    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
-    stack = [(pos, end)]
-    while stack:
-        pos, end = stack.pop()
-        while pos + 8 <= end:
-            tag = payload[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            if tag == b"LIST":
-                stack.append((pos + 12, pos + 8 + size))
-            elif tag == b"strh" and size >= 28:
-                scale, rate = struct.unpack_from("<II", payload, pos + 8 + 20)
-                if scale and rate:
-                    return max(1, rate // scale)
-            pos += 8 + size + (size % 2)
-    return default
+    """Frame rate from the VIDEO stream's strh (rate/scale), for
+    re-encode stages that must preserve timing. fccType-aware: an audio
+    strh's sample rate no longer masquerades as fps (ADVICE r9). Falls
+    back to ``default`` on malformed headers — callers that got far
+    enough to re-encode should not die on a missing strh."""
+    fps = _video_stream_info(payload)["fps"]
+    return fps if fps else default
 
 
 def real_video_features(frames: "np.ndarray") -> "np.ndarray":

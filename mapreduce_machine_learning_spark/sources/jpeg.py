@@ -263,12 +263,18 @@ class _BitReader:
             if j < 0 or j + 1 >= len(data):
                 segs.append(data[start:])  # truncated: no EOI — pad reads
                 break
-            nxt = data[j + 1]
+            m = j + 1  # fill 0xFF bytes may precede the marker byte
+            while m < len(data) and data[m] == 0xFF:
+                m += 1  # (B.1.1.2) — classify the byte AFTER the run
+            if m >= len(data):
+                segs.append(data[start:j])  # truncated inside a fill run
+                break
+            nxt = data[m]
             if nxt == 0x00:
-                k = j + 2  # stuffed data byte, not a marker
+                k = m + 1  # stuffed data byte, not a marker
             elif 0xD0 <= nxt <= 0xD7:
                 segs.append(data[start:j])
-                start = k = j + 2  # consume the RSTn marker
+                start = k = m + 1  # consume fill run + RSTn marker
             else:
                 segs.append(data[start:j])  # EOI / next real marker
                 break
@@ -447,6 +453,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before any SOS
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM and RSTn are standalone markers (B.1.1.3): no length
+            # segment follows, so reading one would desynchronize the
+            # walk on legal-but-unusual streams (ADVICE r9)
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen

@@ -761,11 +761,13 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """mapInPandas frame sampling: each video row fans out to ``n_frames``
     (media_id, frame_idx, frame_payload) rows — the 1→N batch shape of real
-    frame extraction. For uncompressed AVI payloads (sources/avi.py) the
+    frame extraction. For AVI payloads in BOTH in-container layouts (DIB
+    and MJPEG, sources/avi.py) and for animated GIFs (sources/gif.py) the
     frames are REAL: evenly-spaced decoded frames, each re-encoded as a BMP
     so downstream stages can ``decode_image`` them. Other video bytes get
-    the deterministic md5(payload | idx) stand-in (compressed codecs are
-    the remaining seam), and undecodable AVIs quarantine to it too. Either
+    the deterministic md5(payload | idx) stand-in (inter-frame codecs like
+    H.264/VP9 are the remaining seam), and undecodable containers
+    quarantine to it too. Either
     way non-video rows are dropped and the fan-out happens inside the Arrow
     batch, so output partitioning follows input partitioning with no
     shuffle."""

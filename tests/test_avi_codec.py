@@ -213,3 +213,123 @@ def test_spark_features_route_avi_through_real_decoder(spark):
             assert got[i] == pytest.approx(list(want)), i
             checked += 1
     assert checked > 0
+
+
+# ---- ADVICE r9 regressions: mixed audio/video files, real idx1 ----
+
+from mapreduce_machine_learning_spark.sources.avi import _encode_dib
+
+
+def _chunk(tag, body):
+    return tag + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def _lst(kind, body):
+    return _chunk(b"LIST", kind + body)
+
+
+def _mixed_av_avi(frames, fps=12, audio_first=False, audio_rate=8000):
+    """RIFF-AVI with a 24-bit DIB 'vids' stream AND a 16-bit PCM 'auds'
+    stream, in either strl order — the ADVICE r9 repro: the audio strf is
+    a WAVEFORMATEX, and a walker that parses every strf as a
+    BITMAPINFOHEADER fails the whole decode (and leaks the audio sample
+    rate as the "fps")."""
+    h, w, _ = frames[0].shape
+    bodies = [_encode_dib(f) for f in frames]
+    frame_size = max(len(b) for b in bodies)
+    vid_no, aud_no = (1, 0) if audio_first else (0, 1)
+    vid_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, len(frames), frame_size, 0xFFFFFFFF, frame_size,
+        0, 0, int(w), int(h),
+    )
+    vid_strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0,
+    )
+    aud_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, audio_rate, 0, audio_rate, audio_rate * 2, 0xFFFFFFFF, 2,
+        0, 0, 0, 0,
+    )
+    aud_strf = struct.pack(  # WAVEFORMATEX: PCM mono 16-bit
+        "<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16,
+    )
+    vid_strl = _lst(b"strl", _chunk(b"strh", vid_strh) + _chunk(b"strf", vid_strf))
+    aud_strl = _lst(b"strl", _chunk(b"strh", aud_strh) + _chunk(b"strf", aud_strf))
+    strls = aud_strl + vid_strl if audio_first else vid_strl + aud_strl
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, frame_size * fps, 0, 0,
+        len(frames), 0, 2, frame_size, w, h, 0, 0, 0, 0,
+    )
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + strls)
+    vtag = b"%02ddb" % vid_no
+    atag = b"%02dwb" % aud_no
+    movi_body = b""
+    for b in bodies:  # interleave: audio chunk then video frame
+        movi_body += _chunk(atag, b"\x01\x02" * 50) + _chunk(vtag, b)
+    riff_body = b"AVI " + hdrl + _lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_mixed_av_file_decodes_video_and_reads_video_fps():
+    frames = _frames(3, 6, 7, seed=3)
+    for audio_first in (False, True):
+        p = _mixed_av_avi(frames, fps=12, audio_first=audio_first)
+        assert is_avi(p)
+        back = decode_avi(p)  # used to raise NotImplementedError
+        assert np.array_equal(back, np.stack(frames)), audio_first
+        assert avi_fps(p) == 12, audio_first  # NOT the 8000 Hz audio rate
+        assert avi_codec(p) == "dib", audio_first
+
+
+def test_audio_only_avi_quarantines_cleanly():
+    # a file whose ONLY stream is audio: one auds strl, audio chunks only
+    aud_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 8000, 0, 8000, 16000, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+    )
+    aud_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 100000, 16000, 0, 0, 0, 0, 1, 0, 0, 0,
+        0, 0, 0, 0,
+    )
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + _lst(
+        b"strl", _chunk(b"strh", aud_strh) + _chunk(b"strf", aud_strf)))
+    movi = _lst(b"movi", _chunk(b"00wb", b"\x01\x02" * 50))
+    body = b"AVI " + hdrl + movi
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_avi(p)  # no video stream: quarantine, not a misparse
+
+
+def test_encoder_writes_a_real_idx1_backing_the_hasindex_flag():
+    frames = _frames(4, 5, 5, seed=9)
+    for codec in ("dib", "mjpg"):
+        p = encode_avi(frames, codec=codec)
+        pos, end = 12, 8 + struct.unpack_from("<I", p, 4)[0]
+        movi_at = idx = avih = None
+        while pos + 8 <= end:
+            tag = p[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", p, pos + 4)
+            if tag == b"LIST" and p[pos + 8 : pos + 12] == b"movi":
+                movi_at = pos + 8  # position of the 'movi' fourcc
+            elif tag == b"idx1":
+                idx = p[pos + 8 : pos + 8 + size]
+            elif tag == b"LIST" and p[pos + 8 : pos + 12] == b"hdrl":
+                avih = p[pos + 20 : pos + 20 + 56]  # avih body
+            pos += 8 + size + (size % 2)
+        assert movi_at is not None and idx is not None
+        (flags,) = struct.unpack_from("<I", avih, 12)
+        assert flags & 0x10  # AVIF_HASINDEX — and the index exists
+        assert len(idx) == 16 * len(frames)
+        want_tag = b"00dc" if codec == "mjpg" else b"00db"
+        for i in range(len(frames)):
+            tag, fl, off, size = struct.unpack_from("<4sIII", idx, 16 * i)
+            assert tag == want_tag and fl == 0x10
+            # offsets are relative to the 'movi' fourcc (the common
+            # convention) and must land on the frame chunk they index
+            assert p[movi_at + off : movi_at + off + 4] == want_tag
+            (csz,) = struct.unpack_from("<I", p, movi_at + off + 4)
+            assert csz == size

@@ -223,3 +223,49 @@ def test_stream_structure_is_canonical_jfif():
     at = p.find(b"\xff\xc0")
     _, h, w, n = struct.unpack_from(">BHHB", p, at + 4)
     assert (h, w, n) == (8, 8, 3)
+
+
+# ---- ADVICE r9 regressions: standalone markers, fill bytes before RST ----
+
+
+def _entropy_start(p):
+    """Offset of the first entropy-coded byte (just past the SOS segment)."""
+    pos = 2
+    while p[pos : pos + 2] != b"\xff\xda":
+        (seglen,) = struct.unpack_from(">H", p, pos + 2)
+        pos += 2 + seglen
+    (seglen,) = struct.unpack_from(">H", p, pos + 2)
+    return pos + 2 + seglen
+
+
+def test_standalone_markers_in_header_are_skipped():
+    # TEM (0xFF01) and stray RSTn are standalone (B.1.1.3): no length
+    # segment follows. A walker that reads one desynchronizes (ADVICE r9).
+    arr = _gradient(17, 23, seed=4)
+    clean = encode_jpeg(arr, 85)
+    for standalone in (b"\xff\x01", b"\xff\xd3", b"\xff\x01\xff\xd0"):
+        weird = clean[:2] + standalone + clean[2:]
+        assert np.array_equal(decode_jpeg(weird), decode_jpeg(clean)), (
+            standalone
+        )
+
+
+def test_fill_bytes_before_restart_markers_decode_identically():
+    # B.1.1.2: any number of 0xFF fill bytes may precede a marker. The
+    # segment splitter used to read a fill run before an RSTn as the scan
+    # terminator and fail the tail of the image (ADVICE r9).
+    arr = _gradient(33, 41, seed=11)
+    clean = encode_jpeg(arr, 90, subsample=True, restart_interval=2)
+    ent = _entropy_start(clean)
+    head, scan = clean[:ent], clean[ent:]
+    for n_fill in (1, 3):
+        padded = scan
+        for i in range(8):  # pad EVERY RSTn occurrence in the scan
+            padded = padded.replace(
+                bytes([0xFF, 0xD0 + i]),
+                b"\xff" * n_fill + bytes([0xFF, 0xD0 + i]),
+            )
+        assert padded != scan  # the stream really contains RST markers
+        assert np.array_equal(
+            decode_jpeg(head + padded), decode_jpeg(clean)
+        ), n_fill

@@ -34,32 +34,40 @@ HEADLINE = [
     "q_llm_dedup_exact",  # dedup_exact
 ]
 
-# LLM-pipeline baseline, sf0.1, seconds — RE-BASED round 5 to the round-4
-# STEADY samples (BENCH_r04.json `llm_steady`), the fastest honest
-# measurement to date, so the self-regression gate tracks the engine's
-# actual current floor instead of a two-round-stale one. Policy (BASELINE.md
-# "LLM-pipeline baseline"): the gate compares steady-to-steady — bench's
-# llm_steady sample against 2x these values plus a 0.25 s absolute jitter
-# floor (sub-second queries would otherwise gate at ~0.35 s, within
-# machine-load noise). Do NOT revert to the r2/r3 columns; they are kept in
-# BASELINE.md for history.
+# LLM-pipeline baseline, sf0.1, seconds — RE-BASED round 10 on the
+# sustained-fast-host trigger (BASELINE.md rebase policy: three consecutive
+# below-band fresh-JVM probes, r9-end 3.185 / r10-start 3.693 / r10-confirm
+# 3.158 s). The round-4 steady values that held from round 5 were taken in
+# a host state never observed again (hint 1.0 vs the 1.37-1.71 of every
+# fast-state run since), so gates tied to them kept flagging host drift as
+# regression (r6-r9 adjudications: code-equivalent every time). These
+# values are the per-query BEST honest steady measurement across the four
+# fast-state runs on record (r9 driver run hint 1.369, the two committed
+# r9-end runs hint 1.417/1.711, and the fresh r10 run hint 1.422) — the
+# strictest honest floor reproducible in the host's current fast regime.
+# Policy (BASELINE.md "LLM-pipeline baseline"): the gate compares
+# steady-to-steady — bench's llm_steady sample against 2x these values
+# plus a 0.25 s absolute jitter floor (sub-second queries would otherwise
+# gate within machine-load noise). The r4-steady column stays in
+# BASELINE.md for history; do NOT revert to it.
 LLM_BASELINE_SF01 = {
-    "q_llm_minhash": 0.776,
-    "q_llm_neardup_pairs": 3.924,
-    "q_ml_knn": 0.179,
-    "q_llm_ann_knn": 0.400,
-    "q_llm_ann_ivf_knn": 0.737,
-    "q_llm_dedup_incremental": 2.728,
+    "q_llm_minhash": 0.906,  # r4: 0.776
+    "q_llm_neardup_pairs": 3.399,  # r4: 3.924 (gate TIGHTENS)
+    "q_ml_knn": 0.226,  # r4: 0.179
+    "q_llm_ann_knn": 0.494,  # r4: 0.400
+    "q_llm_ann_ivf_knn": 0.968,  # r4: 0.737
+    "q_llm_dedup_incremental": 2.137,  # r4: 2.728 (gate TIGHTENS)
 }
 LLM_GATE_JITTER_S = 0.25
 
 # BENCH_r04's headline steady total (the fastest honest full-session
 # measurement on record) — the reference for the host-drift hint below.
 # This box drifts 1.5-1.9x between sessions on identical code (BASELINE.md
-# machine-variance notes, rounds 5-6), and the LLM gate targets are r4
-# steady samples, so a same-run headline ratio >> 1 says a flagged LLM
-# "regression" is likely the host, not a plan (the r6 note records the
-# min gate falsely tripping at ratio ~1.7 on byte-identical code).
+# machine-variance notes, rounds 5-6), so a same-run headline ratio >> 1
+# says a flagged LLM "regression" is likely the host, not a plan (the r6
+# note records the min gate falsely tripping at ratio ~1.7 on
+# byte-identical code). The hint stays r4-anchored after the round-10
+# gate re-base so cross-round hint values remain comparable.
 HEADLINE_STEADY_R4_TOTAL_S = 1.6655  # BENCH_r04.json steady_total
 
 

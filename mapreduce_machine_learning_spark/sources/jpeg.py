@@ -7,16 +7,21 @@ coding bit by bit, 8×8 type-II DCT as a numpy matrix product, Annex-K
 quantization/Huffman tables for the encoder, and full DHT/DQT parsing for
 the decoder (so streams with non-standard tables decode too).
 
-Supported on DECODE: baseline DCT (SOF0), 8-bit precision, grayscale or
-3-component YCbCr, any sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0,
-and the transposed variants), restart markers (DRI/RSTn), multi-table
-DQT/DHT segments, APPn/COM skip. Progressive (SOF2), extended/arithmetic
-SOFs, 12-bit precision, and 16-bit quant tables raise
-``NotImplementedError`` at the documented seam — same contract as the
-PNG/BMP codecs (callers quarantine to the deterministic stand-ins).
+Supported on DECODE: baseline DCT (SOF0) AND progressive DCT (SOF2 —
+spectral selection, successive approximation with DC/AC refinement
+scans, EOB runs, DHT/DQT/DRI between scans; round 10), 8-bit precision,
+grayscale or 3-component YCbCr, any sampling factors in {1, 2} (4:4:4,
+4:2:2, 4:2:0, and the transposed variants), restart markers (DRI/RSTn),
+multi-table DQT/DHT segments, APPn/COM skip. Extended/arithmetic SOFs,
+12-bit precision, and 16-bit quant tables raise ``NotImplementedError``
+at the documented seam — same contract as the PNG/BMP codecs (callers
+quarantine to the deterministic stand-ins).
 
-Supported on ENCODE: 8-bit RGB → YCbCr baseline JFIF at a given IJG-style
-quality, 4:4:4 or 4:2:0 chroma subsampling, standard Annex-K tables.
+Supported on ENCODE: 8-bit RGB → YCbCr JFIF at a given IJG-style
+quality, 4:4:4 or 4:2:0 chroma subsampling — baseline (``encode_jpeg``,
+standard Annex-K tables) or progressive (``encode_jpeg_progressive``,
+ten-scan script; carries the identical quantized coefficients, so the
+two encodings DECODE bit-identically).
 
 Scale note (mirrors the PNG codec's): the per-bit Python loops are fine
 for the metadata-sized media of the test tables; a 100 TB image pipeline
@@ -429,12 +434,38 @@ def _decode_block(
     return np.array(coef, np.float64) * qt  # DC still a diff — caller fixes
 
 
+def _scan_end(data: bytes, pos: int) -> int:
+    """Offset of the marker terminating the entropy-coded scan at ``pos``
+    (the 0xFF byte), skipping stuffed bytes, RSTn markers, and fill runs —
+    the same classification the _BitReader splitter uses, so a progressive
+    decoder can resume the header walk exactly where the scan data ends."""
+    k = pos
+    while True:
+        j = data.find(b"\xff", k)
+        if j < 0 or j + 1 >= len(data):
+            return len(data)
+        m = j + 1
+        while m < len(data) and data[m] == 0xFF:
+            m += 1
+        if m >= len(data):
+            return len(data)
+        nxt = data[m]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            k = m + 1
+            continue
+        return m - 1  # the 0xFF that opens the terminating marker
+
+
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """uint8 (h, w, 3) RGB from a baseline (SOF0) 8-bit JPEG.
+    """uint8 (h, w, 3) RGB from a baseline (SOF0) or progressive (SOF2)
+    8-bit JPEG.
 
     Grayscale streams replicate luma across RGB (same contract as
-    decode_png color type 0). Progressive/extended/arithmetic SOFs,
-    12-bit precision, and 16-bit DQT tables raise at the documented seam.
+    decode_png color type 0). Progressive streams decode all scans —
+    spectral selection, successive approximation (DC and AC refinement,
+    EOB runs), DHT/DQT/DRI between scans, restart markers inside any
+    scan — then reconstruct once. Extended/arithmetic SOFs, 12-bit
+    precision, and 16-bit DQT tables raise at the documented seam.
     """
     if not is_jpeg(payload):
         raise NotImplementedError("not a JPEG payload")
@@ -445,6 +476,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     comps: list[dict] = []
     h_img = w_img = 0
     dri = 0
+    progressive = False
+    coefstore: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag ints
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("desynchronized JPEG marker stream")
@@ -462,7 +495,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker == 0xC0:  # SOF0 baseline
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -482,11 +516,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                         f"JPEG sampling factors {hs}x{vs}"
                     )
                 comps.append({"cid": cid, "h": hs, "v": vs, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline SOF0 decodes in-container (got SOF "
-                f"0xFF{marker:02X})"
+                f"only baseline SOF0 and progressive SOF2 decode "
+                f"in-container (got SOF 0xFF{marker:02X})"
             )
         elif marker == 0xDB:  # DQT (possibly several tables)
             i = 0
@@ -520,10 +554,32 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comp = next(c for c in comps if c["cid"] == cs)
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
                 scan.append(comp)
-            return _decode_scan(
-                data, pos, scan, qtables, huff, h_img, w_img, dri
+            if not progressive:
+                return _decode_scan(
+                    data, pos, scan, qtables, huff, h_img, w_img, dri
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if not coefstore:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-w_img // (8 * hmax))
+                mcus_y = -(-h_img // (8 * vmax))
+                for c in comps:
+                    # int32: |coef| <= 1023 << Al fits with room, and it
+                    # halves the footprint at the 2^26-px dimension cap
+                    coefstore[c["cid"]] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32
+                    )
+            _decode_scan_progressive(
+                data, pos, scan, comps, huff, dri, coefstore,
+                h_img, w_img, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            pos = _scan_end(data, pos)
         # APPn / COM / anything else: skip
+    if progressive and coefstore:
+        return _reconstruct_progressive(
+            comps, coefstore, qtables, h_img, w_img
+        )
     raise NotImplementedError("JPEG stream has no SOS scan")
 
 
@@ -580,6 +636,275 @@ def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri):
         g = np.clip(up[scan[0]["cid"]] + 0.5, 0, 255).astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=2)
     y, cb, cr = (up[c["cid"]] for c in scan)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.stack([r, g, b], axis=2) + 0.5, 0, 255
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G.2)
+# ---------------------------------------------------------------------------
+#
+# A progressive stream carries the SAME quantized coefficients as a baseline
+# one, split across scans two ways: spectral selection (each AC scan covers
+# a zigzag band Ss..Se of ONE component; DC scans may interleave components)
+# and successive approximation (a first pass delivers coefficients shifted
+# right by Al, refinement passes deliver one lower-order bit each). Scans
+# accumulate into per-component integer coefficient arrays (zigzag order);
+# reconstruction — dequantize, IDCT, upsample, color-convert — happens once,
+# after the last scan, and is bit-identical to the baseline path given the
+# same coefficients (pinned by tests/test_jpeg_codec.py).
+
+
+def _comp_blocks(c: dict, comps: list, h_img: int, w_img: int) -> tuple:
+    """(block rows, block cols) of a component's OWN grid — the raster a
+    non-interleaved scan covers (T.81 A.2.2: ceil of the scaled dims)."""
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-w_img * c["h"] // hmax)
+    ch = -(-h_img * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan_progressive(
+    data, pos, scan, comps, huff, dri, coefstore, h_img, w_img,
+    ss, se, ah, al,
+):
+    if not comps or h_img == 0:
+        raise NotImplementedError("JPEG SOS before SOF")
+    reader = _BitReader(data, pos)
+    if ss == 0:  # DC scan (Se must be 0; interleaving allowed)
+        if se != 0:
+            raise NotImplementedError(
+                "progressive scan mixes DC and AC bands"
+            )
+        if ah == 0 and any((0, c["td"]) not in huff for c in scan):
+            raise NotImplementedError("progressive DC scan without DHT")
+        if ah == 0:
+            _prog_dc_first(reader, scan, comps, coefstore, huff,
+                           h_img, w_img, dri, al)
+        else:
+            _prog_dc_refine(reader, scan, comps, coefstore,
+                            h_img, w_img, dri, al)
+        return
+    if len(scan) != 1:
+        raise NotImplementedError("interleaved progressive AC scan")
+    c = scan[0]
+    bh, bw = _comp_blocks(c, comps, h_img, w_img)
+    arr = coefstore[c["cid"]]
+    ac_tab = huff.get((1, c["ta"]))
+    if ac_tab is None:
+        raise NotImplementedError("progressive AC scan without DHT")
+    if ah == 0:
+        _prog_ac_first(reader, arr, bh, bw, ss, se, al, ac_tab, dri)
+    else:
+        _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri)
+
+
+def _prog_dc_first(reader, scan, comps, coefstore, huff, h_img, w_img,
+                   dri, al):
+    preds = {c["cid"]: 0 for c in scan}
+    if len(scan) == 1:  # non-interleaved: the component's own raster
+        c = scan[0]
+        bh, bw = _comp_blocks(c, comps, h_img, w_img)
+        dc_tab = huff[(0, c["td"])]
+        arr = coefstore[c["cid"]]
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and n and n % dri == 0:
+                    reader.sync_restart()
+                    preds[c["cid"]] = 0
+                n += 1
+                t = _huff_decode(reader, dc_tab)
+                preds[c["cid"]] += _extend(reader.receive(t), t)
+                arr[by, bx, 0] = preds[c["cid"]] << al
+        return
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.sync_restart()
+                preds = {c["cid"]: 0 for c in scan}
+            n_mcu += 1
+            for c in scan:
+                dc_tab = huff[(0, c["td"])]
+                arr = coefstore[c["cid"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = _huff_decode(reader, dc_tab)
+                        preds[c["cid"]] += _extend(reader.receive(t), t)
+                        arr[
+                            my * c["v"] + by, mx * c["h"] + bx, 0
+                        ] = preds[c["cid"]] << al
+    # (successive DC bits arrive via _prog_dc_refine)
+
+
+def _prog_dc_refine(reader, scan, comps, coefstore, h_img, w_img, dri, al):
+    """One raw bit per block: OR bit ``al`` into the DC coefficient
+    (two's-complement semantics — works for negative values too)."""
+    bit = 1 << al
+    if len(scan) == 1:
+        c = scan[0]
+        bh, bw = _comp_blocks(c, comps, h_img, w_img)
+        arr = coefstore[c["cid"]]
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and n and n % dri == 0:
+                    reader.sync_restart()
+                n += 1
+                if reader.receive(1):
+                    arr[by, bx, 0] |= bit
+        return
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                reader.sync_restart()
+            n_mcu += 1
+            for c in scan:
+                arr = coefstore[c["cid"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        if reader.receive(1):
+                            arr[my * c["v"] + by, mx * c["h"] + bx, 0] |= bit
+
+
+def _prog_ac_first(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
+    """First AC pass of a band: baseline-style (run, size) symbols plus
+    EOBn codes — (r<<4) with r>0 reads r extension bits and skips
+    2^r - 1 + ext FOLLOWING blocks whose band is entirely zero."""
+    eobrun = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and n and n % dri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            n += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = arr[by, bx]
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise NotImplementedError("JPEG AC run past band end")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
+    """AC refinement (G.2, correction-bit flow): every already-nonzero
+    coefficient traversed reads one correction bit; symbols with s=1
+    plant a newly-nonzero ±2^al after a run of zero-HISTORY positions;
+    EOB runs still read correction bits for nonzero coefficients in the
+    remaining band of every block they cover."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and n and n % dri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            n += 1
+            blk = arr[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # r == 15: a run of 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise NotImplementedError(
+                                "invalid JPEG AC refinement code"
+                            )
+                        val = p1 if reader.receive(1) else m1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if reader.receive(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.receive(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(comps, coefstore, qtables, h_img, w_img):
+    """Coefficients → pixels, once, after the last scan — the same
+    dequant + batched-IDCT + upsample + color-convert math as the
+    baseline path, so a full progressive stream decodes bit-identically
+    to its baseline twin."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    up = {}
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise NotImplementedError("JPEG component without quant table")
+        arr = coefstore[c["cid"]]
+        by, bx = arr.shape[:2]
+        zz = arr.reshape(-1, 64).astype(np.float64)
+        nat = np.empty_like(zz)
+        nat[:, ZIGZAG] = zz  # zigzag storage -> natural order
+        nat *= qtables[c["tq"]]
+        px = _D.T @ nat.reshape(-1, 8, 8) @ _D + 128.0
+        plane = (
+            px.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        up[c["cid"]] = plane[:h_img, :w_img]
+    if len(comps) == 1:
+        g = np.clip(up[comps[0]["cid"]] + 0.5, 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = (up[c["cid"]] for c in comps)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -659,6 +984,58 @@ def _pad_to(plane: "np.ndarray", mult_y: int, mult_x: int) -> "np.ndarray":
     return plane
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dqt_seg(tq: int, nat: "np.ndarray") -> bytes:
+    return _seg(0xDB, bytes([tq]) + nat[ZIGZAG].astype(np.uint8).tobytes())
+
+
+def _dht_seg(tc: int, th: int, bits: list, vals: list) -> bytes:
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _prepare_planes(arr: "np.ndarray", quality: int, subsample):
+    """Shared encoder prologue: RGB→YCbCr, padding, chroma downsample,
+    quality-scaled quant tables. Returns (y, cb, cr, sh, sv, qt_l, qt_c);
+    planes are float64, padded to full MCUs, chroma already subsampled."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 (h, w, 3) RGB")
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = (
+        -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+        + 0.5 * rgb[..., 2] + 128.0
+    )
+    cr = (
+        0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+        - 0.081312 * rgb[..., 2] + 128.0
+    )
+    if subsample is True:
+        sh = sv = 2  # 4:2:0
+    elif subsample:
+        sh, sv = subsample  # explicit (h, v) pair, e.g. (2, 1) = 4:2:2
+    else:
+        sh = sv = 1  # 4:4:4
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsample factors must be 1 or 2")
+    qt_l = _quality_scale(_QT_LUMA, quality).astype(np.float64)
+    qt_c = _quality_scale(_QT_CHROMA, quality).astype(np.float64)
+    y = _pad_to(y, 8 * sv, 8 * sh)
+    cb = _pad_to(cb, 8 * sv, 8 * sh)
+    cr = _pad_to(cr, 8 * sv, 8 * sh)
+    if sh > 1 or sv > 1:  # block-mean chroma downsample
+        cb = cb.reshape(
+            cb.shape[0] // sv, sv, cb.shape[1] // sh, sh
+        ).mean((1, 3))
+        cr = cr.reshape(
+            cr.shape[0] // sv, sv, cr.shape[1] // sh, sh
+        ).mean((1, 3))
+    return y, cb, cr, sh, sv, qt_l, qt_c
+
+
 def encode_jpeg(
     arr: "np.ndarray",
     quality: int = 90,
@@ -680,34 +1057,8 @@ def encode_jpeg(
     written explicitly as DQT/DHT so any baseline decoder can read the
     stream.
     """
-    h, w, c = arr.shape
-    if c != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects uint8 (h, w, 3) RGB")
-    rgb = arr.astype(np.float64)
-    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
-    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
-    if subsample is True:
-        sh = sv = 2  # 4:2:0
-    elif subsample:
-        sh, sv = subsample  # explicit (h, v) pair, e.g. (2, 1) = 4:2:2
-    else:
-        sh = sv = 1  # 4:4:4
-    if sh not in (1, 2) or sv not in (1, 2):
-        raise ValueError("subsample factors must be 1 or 2")
-    qt_l = _quality_scale(_QT_LUMA, quality).astype(np.float64)
-    qt_c = _quality_scale(_QT_CHROMA, quality).astype(np.float64)
-
-    y = _pad_to(y, 8 * sv, 8 * sh)
-    cb = _pad_to(cb, 8 * sv, 8 * sh)
-    cr = _pad_to(cr, 8 * sv, 8 * sh)
-    if sh > 1 or sv > 1:  # block-mean chroma downsample
-        cb = cb.reshape(
-            cb.shape[0] // sv, sv, cb.shape[1] // sh, sh
-        ).mean((1, 3))
-        cr = cr.reshape(
-            cr.shape[0] // sv, sv, cr.shape[1] // sh, sh
-        ).mean((1, 3))
+    h, w, _c = arr.shape
+    y, cb, cr, sh, sv, qt_l, qt_c = _prepare_planes(arr, quality, subsample)
 
     enc_dc_l = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
     enc_ac_l = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -740,42 +1091,336 @@ def encode_jpeg(
                 )
     writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    def dqt(tq: int, nat: "np.ndarray") -> bytes:
-        zz = nat[ZIGZAG].astype(np.uint8).tobytes()
-        return seg(0xDB, bytes([tq]) + zz)
-
-    def dht(tc: int, th: int, bits: list, vals: list) -> bytes:
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    sof = seg(
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, (sh << 4) | sv, 0])  # Y
         + bytes([2, 0x11, 1])  # Cb
         + bytes([3, 0x11, 1]),  # Cr
     )
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     dri = (
-        seg(0xDD, struct.pack(">H", restart_interval))
+        _seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
     return (
         b"\xff\xd8"
         + app0
-        + dqt(0, qt_l)
-        + dqt(1, qt_c)
+        + _dqt_seg(0, qt_l)
+        + _dqt_seg(1, qt_c)
         + dri
         + sof
-        + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-        + dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-        + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        + dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        + _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + _dht_seg(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        + _dht_seg(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + _dht_seg(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
         + sos
         + bytes(writer.buf)
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G.1)
+# ---------------------------------------------------------------------------
+#
+# Carries EXACTLY the quantized coefficients the baseline encoder would —
+# split across a ten-scan script that exercises every progressive decoder
+# path: an interleaved DC-first scan with a point transform, per-component
+# spectral-selection AC bands (luma split 1-5 / 6-63), successive
+# approximation with real refinement scans (DC raw bits, AC correction-bit
+# flow), genuine EOB runs, ZRL inside refinement, DHT between scans, and
+# optional restart markers in every scan kind. AC scans use one uniform
+# 256-symbol Huffman table (255 codes at 8 bits + one at 9; canonical, no
+# all-ones code) — compression is not the point here, but EOBn symbols
+# (r<<4, r>0) are NOT in the Annex-K baseline tables, and without them an
+# encoder can never produce the EOB-run and correction-bit-tail paths a
+# real progressive decoder must handle. tests/test_jpeg_codec.py pins
+# decode(progressive) == decode(baseline) bit-for-bit at equal quality.
+
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(256))
+
+
+def _quantize_plane(plane: "np.ndarray", qt: "np.ndarray") -> "np.ndarray":
+    """(by, bx, 64) int64 quantized coefficients in ZIGZAG order — the
+    same FDCT/quantize/clip math as _encode_block, batched."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    f = _D @ (blocks - 128.0) @ _D.T
+    q = np.clip(np.round(f.reshape(-1, 64) / qt), -1023, 1023).astype(
+        np.int64
+    )
+    return q[:, ZIGZAG].reshape(by, bx, 64)
+
+
+def _emit_mag(writer: _BitWriter, v: int, s: int) -> None:
+    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+
+
+def _emit_dc_first_scan(writer, comps, qz, mcus_y, mcus_x, al, enc_dc, dri):
+    preds = {c["cid"]: 0 for c in comps}
+    n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n and n % dri == 0:
+                writer.marker(0xD0 + (n // dri - 1) % 8)
+                preds = {c["cid"]: 0 for c in comps}
+            n += 1
+            for c in comps:
+                tab = enc_dc[c["td"]]
+                arr = qz[c["cid"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = (
+                            int(arr[my * c["v"] + by, mx * c["h"] + bx, 0])
+                            >> al  # arithmetic shift: the DC point transform
+                        )
+                        diff = dc - preds[c["cid"]]
+                        preds[c["cid"]] = dc
+                        t = abs(diff).bit_length() if diff else 0
+                        code, ln = tab[t]
+                        writer.write(code, ln)
+                        if t:
+                            _emit_mag(writer, diff, t)
+
+
+def _emit_dc_refine_scan(writer, comps, qz, mcus_y, mcus_x, al, dri):
+    n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n and n % dri == 0:
+                writer.marker(0xD0 + (n // dri - 1) % 8)
+            n += 1
+            for c in comps:
+                arr = qz[c["cid"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(arr[my * c["v"] + by, mx * c["h"] + bx, 0])
+                        writer.write((dc >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(writer, arr, bh, bw, ss, se, al, enc_ac, dri):
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and n and n % dri == 0:
+                flush()
+                writer.marker(0xD0 + (n // dri - 1) % 8)
+            n += 1
+            blk = arr[by, bx]
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                # AC point transform shifts the MAGNITUDE (G.1.1.2.2)
+                vals.append(-((-v) >> al) if v < 0 else v >> al)
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = enc_ac[(run << 4) | s]
+                writer.write(code, ln)
+                _emit_mag(writer, v, s)
+                run = 0
+            if nz[-1] + 1 < len(vals):
+                eobrun += 1  # trailing zeros open (or extend) an EOB run
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _emit_ac_refine_scan(writer, arr, bh, bw, ss, se, al, enc_ac, dri):
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed after the next EOBn
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and n and n % dri == 0:
+                flush()
+                writer.marker(0xD0 + (n // dri - 1) % 8)
+            n += 1
+            blk = arr[by, bx]
+            ab = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob_rel = 0  # 1 + last NEWLY-nonzero position, 0 if none
+            for i, a in enumerate(ab):
+                if a == 1:
+                    eob_rel = i + 1
+            run = 0
+            corr: list[int] = []  # this block's buffered correction bits
+            for i, a in enumerate(ab):
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and i < eob_rel:
+                    flush()
+                    code, ln = enc_ac[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                    for b in corr:
+                        writer.write(b, 1)
+                    corr = []
+                if a > 1:  # history coefficient: buffer its next bit
+                    corr.append(a & 1)
+                    continue
+                # a == 1: newly nonzero (always before eob_rel)
+                flush()
+                code, ln = enc_ac[(run << 4) | 1]
+                writer.write(code, ln)
+                run = 0
+                writer.write(0 if int(blk[ss + i]) < 0 else 1, 1)
+                for b in corr:
+                    writer.write(b, 1)
+                corr = []
+            if run > 0 or corr:
+                eobrun += 1
+                pending.extend(corr)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    arr: "np.ndarray",
+    quality: int = 90,
+    subsample=False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JFIF bytes from a uint8 (h, w, 3) RGB array.
+
+    Same colorimetry, quantization, and subsampling options as
+    ``encode_jpeg`` — the stream carries identical coefficients, split
+    across the ten-scan script documented above, so ``decode_jpeg`` of
+    the two encodings is bit-identical. ``restart_interval=N`` writes a
+    DRI segment and RSTn markers every N MCUs in EVERY scan (where an
+    MCU of a non-interleaved scan is one block), resetting DC
+    predictors and EOB runs as the spec requires.
+    """
+    h, w, _c = arr.shape
+    y, cb, cr, sh, sv, qt_l, qt_c = _prepare_planes(arr, quality, subsample)
+    qz = {
+        1: _quantize_plane(y, qt_l),
+        2: _quantize_plane(cb, qt_c),
+        3: _quantize_plane(cr, qt_c),
+    }
+    comps = [
+        {"cid": 1, "h": sh, "v": sv, "td": 0},
+        {"cid": 2, "h": 1, "v": 1, "td": 1},
+        {"cid": 3, "h": 1, "v": 1, "td": 1},
+    ]
+    enc_dc = {
+        0: _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        1: _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    }
+    enc_ac = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+    mcus_y = y.shape[0] // (8 * sv)
+    mcus_x = y.shape[1] // (8 * sh)
+    grids = {c["cid"]: _comp_blocks(c, comps, h, w) for c in comps}
+    dri = restart_interval
+
+    def sos_seg(scan_comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for c in scan_comps:
+            body += bytes([c["cid"], (c["td"] << 4) | 0])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def scan(scan_comps, ss, se, ah, al) -> bytes:
+        wr = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first_scan(
+                    wr, scan_comps, qz, mcus_y, mcus_x, al, enc_dc, dri
+                )
+            else:
+                _emit_dc_refine_scan(
+                    wr, scan_comps, qz, mcus_y, mcus_x, al, dri
+                )
+        else:
+            c = scan_comps[0]
+            bh, bw = grids[c["cid"]]
+            if ah == 0:
+                _emit_ac_first_scan(
+                    wr, qz[c["cid"]], bh, bw, ss, se, al, enc_ac, dri
+                )
+            else:
+                _emit_ac_refine_scan(
+                    wr, qz[c["cid"]], bh, bw, ss, se, al, enc_ac, dri
+                )
+        wr.flush()
+        return sos_seg(scan_comps, ss, se, ah, al) + bytes(wr.buf)
+
+    yc, cbc, crc = comps
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sh << 4) | sv, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt_seg(0, qt_l)
+        + _dqt_seg(1, qt_c)
+        + (_seg(0xDD, struct.pack(">H", dri)) if dri else b"")
+        + sof
+        + _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + _dht_seg(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + scan(comps, 0, 0, 0, 1)  # DC first, Al=1, interleaved
+        # the AC table arrives BETWEEN scans — decoders must accept
+        # DHT/DQT/DRI segments mid-stream (B.2.4)
+        + _dht_seg(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+        + scan([yc], 1, 5, 0, 2)  # Y low band first, Al=2
+        + scan([cbc], 1, 63, 0, 1)  # Cb full band first, Al=1
+        + scan([crc], 1, 63, 0, 1)  # Cr full band first, Al=1
+        + scan([yc], 6, 63, 0, 2)  # Y high band first, Al=2
+        + scan([yc], 1, 63, 2, 1)  # Y AC refine 2 -> 1
+        + scan(comps, 0, 0, 1, 0)  # DC refine, interleaved
+        + scan([cbc], 1, 63, 1, 0)  # Cb AC refine -> full precision
+        + scan([crc], 1, 63, 1, 0)  # Cr AC refine -> full precision
+        + scan([yc], 1, 63, 1, 0)  # Y AC refine -> full precision
         + b"\xff\xd9"
     )

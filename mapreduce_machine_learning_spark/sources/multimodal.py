@@ -9,8 +9,10 @@ nearest-neighbor resize), **PNG at every legal depth** (1/2/4/8/16-bit),
 Adam7-interlaced or not (``decode_png``/``encode_png`` — stdlib ``zlib``
 inflate + numpy unfiltering of all five RFC 2083 scanline filters; color
 types 0/2/3/4/6),
-**baseline JPEG** (``sources/jpeg.py`` — Huffman entropy coding + 8×8 DCT
-as numpy matrix products; SOF0, 4:4:4/4:2:2/4:2:0, restart markers), and
+**JPEG, baseline AND progressive** (``sources/jpeg.py`` — Huffman entropy
+coding + 8×8 DCT as numpy matrix products; SOF0 and SOF2 with spectral
+selection, successive approximation, and EOB runs; 4:4:4/4:2:2/4:2:0,
+restart markers), and
 **16-bit PCM WAV** audio (``decode_wav``/``encode_wav`` via the stdlib
 ``wave`` module — real samples, RMS/ZCR features), **GIF 87a/89a**
 (``sources/gif.py`` — pure-Python LZW, interlace, transparency, disposal;
@@ -20,7 +22,7 @@ its common layouts** (``sources/avi.py`` — RIFF chunk walk; uncompressed
 codec; real frame sampling and codec-preserving per-frame resize).
 Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
 ``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI``); anything
-else — progressive JPEG, MP3, and INTER-FRAME video codecs (H.264, VP9) —
+else — MP3 audio and INTER-FRAME video codecs (H.264, VP9) —
 still needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
@@ -63,6 +65,7 @@ from mapreduce_machine_learning_spark.sources.gif import (
 from mapreduce_machine_learning_spark.sources.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     is_jpeg,
 )
 from pyspark.sql import DataFrame, SparkSession
@@ -419,10 +422,10 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decoder: 24-bit BMP (struct + numpy), 8/16-bit PNG interlaced
-    or not (stdlib zlib + numpy unfiltering), and baseline JPEG
-    (sources/jpeg.py — Huffman + numpy DCT) parse in-container; remaining
-    image formats (progressive JPEG, WebP, …) raise at the seam and
-    callers fall back to fake_features."""
+    or not (stdlib zlib + numpy unfiltering), and JPEG — baseline or
+    progressive (sources/jpeg.py — Huffman + numpy DCT) — parse
+    in-container; remaining image formats (WebP, JPEG 2000, …) raise at
+    the seam and callers fall back to fake_features."""
     if is_bmp(payload):
         return decode_bmp(payload)
     if is_png(payload):
@@ -432,7 +435,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if is_gif(payload):
         return decode_gif(payload)[0]  # still image = first frame
     raise NotImplementedError(
-        "only BMP, PNG, baseline JPEG, and GIF decode in this container "
+        "only BMP, PNG, JPEG (baseline/progressive), and GIF decode in "
+        "this container "
         "(no PIL/libjpeg); pipeline runs with fake_features "
         "(deterministic md5-derived) for other formats"
     )
@@ -555,10 +559,11 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
 def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     """Synthesize a media table whose image/audio payloads are REAL encoded
     formats the in-container codecs decode: deterministic gradients rotated
-    through 24-bit BMP, 8-bit PNG, and baseline JPEG (4:4:4 and 4:2:0
-    alternating; id-seeded geometry and channel phases) and 16-bit PCM WAV
-    sine bursts (id-seeded frequency). Image rows rotate BMP / PNG /
-    JPEG / still GIF; video rows rotate opaque stand-in bytes, DIB AVI,
+    through 24-bit BMP, 8-bit PNG, and JPEG (baseline and progressive;
+    4:4:4 and 4:2:0 alternating; id-seeded geometry and channel phases)
+    and 16-bit PCM WAV sine bursts (id-seeded frequency). Image rows
+    rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG;
+    video rows rotate opaque stand-in bytes, DIB AVI,
     MJPEG AVI, and animated GIF — inter-frame video codecs are the
     remaining environment-bound seam, and keeping opaque rows in the mix
     keeps the quarantine path exercised."""
@@ -577,14 +582,15 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = (i // 3) % 4
+            fmt = (i // 3) % 5
             if fmt == 3:  # still GIF: quantize the gradient to 16 colors
                 payload = encode_gif(
                     [(arr[..., 0] % 16).astype(np.uint8)],
                     _GIF_TEST_PALETTE,
                 )
-            elif fmt == 2:
-                payload = encode_jpeg(
+            elif fmt in (2, 4):  # baseline / progressive JPEG
+                enc = encode_jpeg if fmt == 2 else encode_jpeg_progressive
+                payload = enc(
                     arr, quality=95, subsample=bool((i // 9) % 2)
                 )
             else:

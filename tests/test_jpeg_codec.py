@@ -3,8 +3,9 @@
 JPEG is lossy by construction, so unlike the BMP/PNG/WAV tests these pin
 ERROR BOUNDS rather than bit-exact round-trips — plus the structural
 invariants that ARE exact: stream markers, dimensions, restart-marker
-equivalence, quality-100 smooth-content reconstruction, and the decoder's
-seams (progressive SOF2, 12-bit precision, 16-bit quant tables).
+equivalence, quality-100 smooth-content reconstruction, progressive
+(SOF2) streams decoding bit-identically to their baseline twins, and the
+decoder's seams (extended SOF1, 12-bit precision, 16-bit quant tables).
 
 There is no independent JPEG decoder in this container (no PIL/imageio —
 that absence is why the codec exists), so cross-validation is structural:
@@ -155,11 +156,18 @@ def test_seams_raise_not_implemented():
     payload = bytearray(encode_jpeg(arr, 90))
     sof_at = bytes(payload).find(b"\xff\xc0")
     assert sof_at > 0
-    # progressive: flip SOF0 -> SOF2
+    # SOF2 itself decodes since round 10, but flipping a BASELINE stream's
+    # marker makes the scan header illegal for a progressive frame (an
+    # interleaved scan must be DC-only) — still a clean quarantine
     prog = bytearray(payload)
     prog[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(NotImplementedError, match="DC and AC"):
         decode_jpeg(bytes(prog))
+    # extended sequential (SOF1) remains a real seam
+    ext = bytearray(payload)
+    ext[sof_at + 1] = 0xC1
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(ext))
     # 12-bit precision
     deep = bytearray(payload)
     deep[sof_at + 4] = 12
@@ -269,3 +277,84 @@ def test_fill_bytes_before_restart_markers_decode_identically():
         assert np.array_equal(
             decode_jpeg(head + padded), decode_jpeg(clean)
         ), n_fill
+
+
+# ---- round 10: progressive (SOF2) decode + encode ----
+
+from mapreduce_machine_learning_spark.sources.jpeg import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def test_progressive_decodes_bit_identically_to_baseline():
+    # same quantized coefficients, different scan layout -> same pixels,
+    # across every subsampling geometry and a quality sweep
+    arr = _gradient(33, 41, seed=2)
+    for sub in (False, True, (2, 1), (1, 2)):
+        for q in (50, 90, 100):
+            base = decode_jpeg(encode_jpeg(arr, q, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(arr, q, subsample=sub)
+            )
+            assert np.array_equal(base, prog), (sub, q)
+
+
+def test_progressive_noise_and_odd_dims_exact():
+    # noise maximizes symbol variety (ZRL, long refinement runs); odd
+    # dims exercise partial-MCU grids in both scan orders
+    rng = np.random.default_rng(5)
+    for h, w in ((8, 8), (9, 57), (17, 23), (64, 48)):
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in (False, True):
+            base = decode_jpeg(encode_jpeg(arr, 85, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(arr, 85, subsample=sub)
+            )
+            assert np.array_equal(base, prog), (h, w, sub)
+
+
+def test_progressive_smooth_content_exercises_eob_runs():
+    # a flat image quantizes to all-zero AC bands -> the encoder emits
+    # real EOBn symbols (r > 0) and the decoder must skip whole blocks
+    arr = np.full((64, 64, 3), 100, np.uint8)
+    p = encode_jpeg_progressive(arr, 50)
+    assert np.array_equal(decode_jpeg(p), decode_jpeg(encode_jpeg(arr, 50)))
+    # and it genuinely used runs: far fewer bytes than one-EOB-per-block
+    assert len(p) < 1500
+
+
+def test_progressive_restart_markers_decode_identically():
+    arr = _gradient(33, 41, seed=9)
+    base = decode_jpeg(encode_jpeg(arr, 90, subsample=True))
+    for ri in (1, 2, 5):
+        p = encode_jpeg_progressive(
+            arr, 90, subsample=True, restart_interval=ri
+        )
+        assert any(bytes([0xFF, 0xD0 + i]) in p for i in range(8)), ri
+        assert np.array_equal(decode_jpeg(p), base), ri
+
+
+def test_progressive_stream_structure():
+    p = encode_jpeg_progressive(_gradient(16, 16), 90)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p  # SOF2, no SOF0
+    # ten SOS scans, and a DHT that arrives AFTER the first scan
+    n_sos = p.count(b"\xff\xda")
+    assert n_sos == 10
+    first_sos = p.find(b"\xff\xda")
+    assert p.find(b"\xff\xc4", first_sos) > 0  # mid-stream DHT (B.2.4)
+
+
+def test_progressive_truncated_stream_quarantines():
+    p = encode_jpeg_progressive(_gradient(24, 24), 90)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(p[: len(p) // 3])
+    # corrupt entropy data inside a scan quarantines too
+    broken = bytearray(p)
+    at = p.find(b"\xff\xda") + 200
+    for i in range(at, min(at + 30, len(broken) - 2)):
+        broken[i] ^= 0x5A
+    try:
+        decode_jpeg(bytes(broken))  # may decode to junk pixels...
+    except NotImplementedError:
+        pass  # ...or raise at the seam — either way, no crash

@@ -40,7 +40,10 @@ from tools.shuffle_audit import last_execution_id  # noqa: E402
 def _codec_payloads() -> dict:
     from mapreduce_machine_learning_spark.sources.avi import encode_avi
     from mapreduce_machine_learning_spark.sources.gif import encode_gif
-    from mapreduce_machine_learning_spark.sources.jpeg import encode_jpeg
+    from mapreduce_machine_learning_spark.sources.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from mapreduce_machine_learning_spark.sources.multimodal import (
         encode_bmp,
         encode_png,
@@ -61,6 +64,9 @@ def _codec_payloads() -> dict:
         "bmp_48x64": encode_bmp(img),
         "png_48x64": encode_png(img),
         "jpeg_48x64_q90_420": encode_jpeg(img, 90, subsample=True),
+        "jpeg_prog_48x64_q90_420": encode_jpeg_progressive(
+            img, 90, subsample=True
+        ),
         "gif_anim_6f_24x32": encode_gif(gif_frames, gif_pal),
         "wav_8000x16bit": encode_wav(wav, 8000),
         "avi_dib_6f_24x32": encode_avi(frames, fps=10),

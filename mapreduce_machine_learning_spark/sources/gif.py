@@ -13,9 +13,10 @@ external library: it writes each frame as literal palette indices with
 periodic CLEAR codes before the code width would grow — the classic
 "uncompressed GIF" layout, larger than real LZW but a fully valid stream
 any decoder reads. Index-level round-trips are therefore BIT-EXACT
-(palette lookup is exact; there is no quantization step in this codec —
-callers must already have ≤256-color frames, which the synthetic media
-tables do by construction).
+(palette lookup is exact). RGB inputs with ≤256 distinct colors re-encode
+exactly too; wider inputs quantize ONLY on explicit opt-in
+(``encode_gif_rgb(..., quantize=True)``, count-weighted median cut in
+``quantize_colors`` — round 10) so the lossy step is never silent.
 
 Scale note (same as the other codecs): the per-code Python loop is fine
 for test-table media; a 100 TB pipeline decodes in a native library at
@@ -165,17 +166,81 @@ def encode_gif(
     return bytes(out)
 
 
-def encode_gif_rgb(frames_rgb: list, delay_cs: int = 10) -> bytes:
+def quantize_colors(frames_rgb: list, n_colors: int = 256) -> tuple:
+    """Median-cut color quantization (Heckbert 1982): returns
+    ``(palette, index_frames)`` with at most ``n_colors`` palette entries
+    (padded to a power of two for the GIF header).
+
+    The classic algorithm over the UNIQUE colors, pixel-count weighted:
+    start with one box holding every distinct color; repeatedly split the
+    box with the widest channel spread (ties: most pixels) at its
+    count-weighted median along that channel; each box becomes one
+    palette entry (the count-weighted mean of its colors) and every
+    pixel maps to its color's box. Deterministic — same frames, same
+    palette and indexes — so re-encodes are reproducible."""
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames_rgb])
+    colors, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    colors_i = colors.astype(np.int64)
+    boxes = [np.arange(len(colors))]
+    while len(boxes) < n_colors:
+        best, best_key = None, None
+        for bi, idx in enumerate(boxes):
+            if len(idx) < 2:
+                continue
+            c = colors_i[idx]
+            key = ((c.max(0) - c.min(0)).max(), int(counts[idx].sum()))
+            if best is None or key > best_key:
+                best, best_key = bi, key
+        if best is None:  # every box is a single color already
+            break
+        idx = boxes.pop(best)
+        c = colors_i[idx]
+        ch = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, ch], kind="stable")
+        w = counts[idx][order]
+        half = int(np.searchsorted(np.cumsum(w), w.sum() / 2.0)) + 1
+        half = min(max(half, 1), len(idx) - 1)
+        boxes.append(idx[order[:half]])
+        boxes.append(idx[order[half:]])
+    n_pal = max(2, 1 << (len(boxes) - 1).bit_length())
+    palette = np.zeros((n_pal, 3), np.uint8)
+    color_to_pal = np.empty(len(colors), np.int64)
+    for pi, idx in enumerate(boxes):
+        w = counts[idx].astype(np.float64)
+        palette[pi] = np.clip(
+            np.round((colors_i[idx] * w[:, None]).sum(0) / w.sum()),
+            0, 255,
+        ).astype(np.uint8)
+        color_to_pal[idx] = pi
+    pal_flat = color_to_pal[inverse].astype(np.uint8)
+    frames_idx, at = [], 0
+    for f in frames_rgb:
+        m = f.shape[0] * f.shape[1]
+        frames_idx.append(pal_flat[at : at + m].reshape(f.shape[:2]))
+        at += m
+    return palette, frames_idx
+
+
+def encode_gif_rgb(
+    frames_rgb: list, delay_cs: int = 10, quantize: bool = False
+) -> bytes:
     """GIF from uint8 (h, w, 3) RGB frames with ≤256 distinct colors —
     the palette is recovered from the pixels, so resample stages
     (nearest-neighbor never invents a color) re-encode EXACTLY. More
-    than 256 colors would need quantization, which is a lossy design
-    decision this codec refuses to make silently."""
+    than 256 colors needs quantization — a LOSSY design decision this
+    codec only makes when the caller opts in with ``quantize=True``
+    (median-cut via ``quantize_colors``); the silent default stays a
+    refusal, and ≤256-color inputs stay exact either way."""
     if any(f.dtype != np.uint8 or f.ndim != 3 for f in frames_rgb):
         raise ValueError("encode_gif_rgb expects uint8 (h, w, 3) frames")
     flat = np.concatenate([f.reshape(-1, 3) for f in frames_rgb])
     colors = np.unique(flat, axis=0)
     if len(colors) > 256:
+        if quantize:
+            palette, frames_idx = quantize_colors(frames_rgb, 256)
+            return encode_gif(frames_idx, palette, delay_cs=delay_cs)
         raise NotImplementedError(
             f"{len(colors)} distinct colors: GIF needs quantization to 256"
         )

@@ -166,3 +166,70 @@ def test_resize_is_exact_and_format_preserving():
     xi = np.minimum((np.arange(8) * 16) // 8, 15)
     # NN resample never invents a color -> palette re-encode is EXACT
     assert np.array_equal(decode_image(out), src[yi][:, xi])
+
+
+# ---- round 10: >256-color quantization (opt-in median cut) ----
+
+from mapreduce_machine_learning_spark.sources.gif import (  # noqa: E402
+    encode_gif_rgb,
+    quantize_colors,
+)
+
+
+def test_quantize_opt_in_closes_the_256_color_seam():
+    yy, xx = np.mgrid[0:40, 0:60]
+    grad = np.stack(
+        [(xx * 4) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    assert len(np.unique(grad.reshape(-1, 3), axis=0)) > 256
+    # the DEFAULT still refuses — quantization stays an explicit choice
+    with pytest.raises(NotImplementedError, match="quantization"):
+        encode_gif_rgb([grad])
+    back = decode_gif(encode_gif_rgb([grad], quantize=True))[0]
+    assert back.shape == grad.shape
+    assert len(np.unique(back.reshape(-1, 3), axis=0)) <= 256
+    err = np.abs(back.astype(int) - grad.astype(int))
+    # smooth content quantizes tightly; a channel-swap or box-mapping bug
+    # blows far past this (hand-verified ~100+)
+    assert err.max() <= 24 and err.mean() <= 8.0, (err.max(), err.mean())
+
+
+def test_quantize_noise_bounded_and_deterministic():
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    p1 = encode_gif_rgb([noise], quantize=True)
+    p2 = encode_gif_rgb([noise], quantize=True)
+    assert p1 == p2  # same input -> byte-identical stream
+    back = decode_gif(p1)[0]
+    err = np.abs(back.astype(int) - noise.astype(int))
+    # 16.7M-color noise into 256 cells: generous but bug-detecting bound
+    assert err.max() <= 48 and err.mean() <= 16.0, (err.max(), err.mean())
+
+
+def test_quantize_flag_keeps_small_palettes_exact():
+    yy, xx = np.mgrid[0:24, 0:24]
+    small = (
+        np.stack([(xx * 4) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256],
+                 axis=2).astype(np.uint8) // 64 * 64
+    )
+    assert len(np.unique(small.reshape(-1, 3), axis=0)) <= 256
+    back = decode_gif(encode_gif_rgb([small], quantize=True))[0]
+    assert np.array_equal(back, small)  # lossless when lossless is possible
+
+
+def test_quantize_colors_shapes_and_weighting():
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+              for _ in range(3)]
+    palette, idx = quantize_colors(frames, 256)
+    assert palette.shape[0] in (256,) and palette.dtype == np.uint8
+    assert len(idx) == 3 and all(i.shape == (16, 16) for i in idx)
+    assert all(i.max() < palette.shape[0] for i in idx)
+    # a dominant color must survive quantization almost exactly: weight
+    # by count means a 90%-red image keeps red as a palette entry
+    dom = np.zeros((32, 32, 3), np.uint8)
+    dom[..., 0] = 200
+    dom[:4, :4] = rng.integers(0, 256, (4, 4, 3))
+    pal2, idx2 = quantize_colors([dom], 16)
+    main = pal2[idx2[0][16, 16]]
+    assert np.abs(main.astype(int) - [200, 0, 0]).max() <= 4

@@ -7,7 +7,9 @@ coding bit by bit, 8×8 type-II DCT as a numpy matrix product, Annex-K
 quantization/Huffman tables for the encoder, and full DHT/DQT parsing for
 the decoder (so streams with non-standard tables decode too).
 
-Supported on DECODE: baseline DCT (SOF0) AND progressive DCT (SOF2 —
+Supported on DECODE: baseline DCT (SOF0), 8-bit extended sequential
+(SOF1 — syntactically baseline at 8-bit precision), AND progressive DCT
+(SOF2 —
 spectral selection, successive approximation with DC/AC refinement
 scans, EOB runs, DHT/DQT/DRI between scans; round 10), 8-bit precision,
 grayscale or 3-component YCbCr, any sampling factors in {1, 2} (4:4:4,
@@ -495,7 +497,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        if marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+            # At 8-bit precision SOF1 is syntactically identical to SOF0
+            # (the extensions are 12-bit samples and more table slots), so
+            # it decodes on the baseline path; 12-bit still raises below.
             progressive = marker == 0xC2
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -516,10 +522,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                         f"JPEG sampling factors {hs}x{vs}"
                     )
                 comps.append({"cid": cid, "h": hs, "v": vs, "tq": tq})
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline SOF0 and progressive SOF2 decode "
+                f"only sequential SOF0/SOF1 and progressive SOF2 decode "
                 f"in-container (got SOF 0xFF{marker:02X})"
             )
         elif marker == 0xDB:  # DQT (possibly several tables)

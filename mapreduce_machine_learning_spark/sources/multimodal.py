@@ -388,33 +388,78 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return out
 
 
-def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
-    """16-bit PCM mono WAV from an int16 sample array — stdlib ``wave``."""
+def encode_wav(
+    samples: "np.ndarray", rate: int, sampwidth: int = 2
+) -> bytes:
+    """PCM mono WAV from an int16 sample array — stdlib ``wave``.
+
+    ``sampwidth`` selects the container depth: 2 (default, lossless for
+    int16 input), 1 (unsigned 8-bit: top byte, offset-binary per the WAV
+    spec), 3 (24-bit: int16 values in the top two bytes), or 4 (32-bit
+    likewise) — the depths real capture pipelines emit, so the decoder's
+    width-normalization path is encoder-reachable and round-trip-tested."""
+    s16 = samples.astype("<i2")
+    if sampwidth == 2:
+        raw = s16.tobytes()
+    elif sampwidth == 1:
+        raw = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 3:
+        # 24-bit LE = the low three bytes of (s16 << 8): top-aligned,
+        # zero low byte — what a 16->24-bit capture upconvert emits
+        le32 = (s16.astype("<i4") << 8).tobytes()
+        raw = b"".join(le32[i : i + 3] for i in range(0, len(le32), 4))
+    elif sampwidth == 4:
+        raw = (s16.astype("<i4") << 16).tobytes()
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
     buf = _io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
-        wf.setsampwidth(2)
+        wf.setsampwidth(sampwidth)
         wf.setframerate(rate)
-        wf.writeframes(samples.astype("<i2").tobytes())
+        wf.writeframes(raw)
     return buf.getvalue()
 
 
 def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
-    """(int16 samples, sample_rate) from a 16-bit PCM WAV — stdlib
-    ``wave``. Multi-channel audio is downmixed to channel 0 (deterministic,
-    keeps the feature contract mono)."""
+    """(int16 samples, sample_rate) from a PCM WAV — stdlib ``wave``.
+
+    8/16/24/32-bit integer PCM all decode (round 10): every width
+    normalizes to the int16 domain by taking the top 16 bits (8-bit is
+    offset-binary per the spec and is re-centered), so downstream
+    RMS/ZCR features are depth-invariant up to the dropped low bits.
+    Multi-channel audio is downmixed to channel 0 (deterministic, keeps
+    the feature contract mono). Float/compressed WAV raises at the seam
+    (the stdlib module itself rejects non-PCM format tags)."""
     if not is_wav(payload):
         raise NotImplementedError("not a WAV payload")
     with wave.open(_io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2:
+        width = wf.getsampwidth()
+        if width not in (1, 2, 3, 4):
             raise NotImplementedError(
-                "only 16-bit PCM WAV decodes in-container"
+                f"only 8/16/24/32-bit integer PCM WAV decodes "
+                f"in-container (got sample width {width})"
             )
         n = wf.getnframes()
         raw = wf.readframes(n)
         rate = wf.getframerate()
         ch = wf.getnchannels()
-    samples = np.frombuffer(raw, dtype="<i2")
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        u8 = np.frombuffer(raw, dtype=np.uint8)
+        samples = ((u8.astype(np.int16) - 128) << 8).astype(np.int16)
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+        # top two of the three little-endian bytes = the int16 value
+        samples = (
+            b[:, 1].astype(np.uint16) | (b[:, 2].astype(np.uint16) << 8)
+        ).view(np.int16)
+    else:  # width == 4
+        samples = (
+            np.frombuffer(raw, dtype="<i4") >> 16
+        ).astype(np.int16)
     if ch > 1:
         samples = samples[::ch]
     return samples, rate

@@ -163,11 +163,15 @@ def test_seams_raise_not_implemented():
     prog[sof_at + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="DC and AC"):
         decode_jpeg(bytes(prog))
-    # extended sequential (SOF1) remains a real seam
+    # 8-bit extended sequential (SOF1) is syntactically baseline, so the
+    # marker flip decodes IDENTICALLY (round 10); lossless SOF3 raises
     ext = bytearray(payload)
     ext[sof_at + 1] = 0xC1
+    assert np.array_equal(decode_jpeg(bytes(ext)), decode_jpeg(bytes(payload)))
+    lossless = bytearray(payload)
+    lossless[sof_at + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg(bytes(ext))
+        decode_jpeg(bytes(lossless))
     # 12-bit precision
     deep = bytearray(payload)
     deep[sof_at + 4] = 12

@@ -435,3 +435,29 @@ def test_features_partitioning_independent(spark):
         for r in extract_features(synth_media_real(spark, 30).repartition(5)).collect()
     }
     assert a == b
+
+
+# ---- round 10: 8/24/32-bit PCM WAV depths ----
+
+
+def test_wav_depths_normalize_to_int16_exactly():
+    rng = np.random.default_rng(2)
+    s = rng.integers(-32768, 32768, 700).astype(np.int16)
+    for width in (2, 3, 4):  # lossless containers for int16 content
+        back, rate = decode_wav(encode_wav(s, 16000, sampwidth=width))
+        assert rate == 16000 and back.dtype == np.int16
+        assert np.array_equal(back, s), width
+    # 8-bit keeps the top byte (offset-binary re-centered)
+    back8, _ = decode_wav(encode_wav(s, 16000, sampwidth=1))
+    want = ((s.astype(np.int32) >> 8) << 8).astype(np.int16)
+    assert np.array_equal(back8, want)
+
+
+def test_wav_depth_invariant_features():
+    # the SAME audio at 16 and 24 bit must produce identical features —
+    # depth is a container property, not a signal property
+    t = np.arange(2000)
+    s = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+    f16 = features_for(encode_wav(s, 8000, sampwidth=2))
+    f24 = features_for(encode_wav(s, 8000, sampwidth=3))
+    assert f16 == pytest.approx(f24)

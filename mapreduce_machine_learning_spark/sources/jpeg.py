@@ -7,23 +7,26 @@ coding bit by bit, 8×8 type-II DCT as a numpy matrix product, Annex-K
 quantization/Huffman tables for the encoder, and full DHT/DQT parsing for
 the decoder (so streams with non-standard tables decode too).
 
-Supported on DECODE: baseline DCT (SOF0), 8-bit extended sequential
-(SOF1 — syntactically baseline at 8-bit precision), AND progressive DCT
-(SOF2 —
-spectral selection, successive approximation with DC/AC refinement
-scans, EOB runs, DHT/DQT/DRI between scans; round 10), 8-bit precision,
-grayscale or 3-component YCbCr, any sampling factors in {1, 2} (4:4:4,
-4:2:2, 4:2:0, and the transposed variants), restart markers (DRI/RSTn),
-multi-table DQT/DHT segments, APPn/COM skip. Extended/arithmetic SOFs,
-12-bit precision, and 16-bit quant tables raise ``NotImplementedError``
-at the documented seam — same contract as the PNG/BMP codecs (callers
-quarantine to the deterministic stand-ins).
+Supported on DECODE (all round 10 unless noted): baseline DCT (SOF0,
+rounds 8-9), extended sequential (SOF1) at 8 OR 12 bits, progressive DCT
+(SOF2 — spectral selection, successive approximation with DC/AC
+refinement scans, EOB runs, DHT/DQT/DRI between scans) at 8 or 12 bits,
+16-bit DQT entries on 12-bit frames (2048 level shift; the uint8 output
+contract downscales by >>4), grayscale or 3-component YCbCr, any
+sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0, and the transposed
+variants), restart markers (DRI/RSTn), multi-table DQT/DHT segments,
+APPn/COM skip. Lossless/hierarchical/arithmetic SOFs, 12-bit baseline
+(illegal per T.81), and 16-bit DQT in an 8-bit frame raise
+``NotImplementedError`` at the documented seam — same contract as the
+PNG/BMP codecs (callers quarantine to the deterministic stand-ins).
 
 Supported on ENCODE: 8-bit RGB → YCbCr JFIF at a given IJG-style
 quality, 4:4:4 or 4:2:0 chroma subsampling — baseline (``encode_jpeg``,
-standard Annex-K tables) or progressive (``encode_jpeg_progressive``,
+standard Annex-K tables), progressive (``encode_jpeg_progressive``,
 ten-scan script; carries the identical quantized coefficients, so the
-two encodings DECODE bit-identically).
+two encodings DECODE bit-identically), or 12-bit extended sequential
+(``encode_jpeg_12bit``, x16-scaled samples AND tables — also decodes
+bit-identically to the baseline twin).
 
 Scale note (mirrors the PNG codec's): the per-bit Python loops are fine
 for the metadata-sized media of the test tables; a 100 TB image pipeline
@@ -479,6 +482,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     h_img = w_img = 0
     dri = 0
     progressive = False
+    prec_img = 8
+    qt16: set = set()  # table ids declared with 16-bit entries
     coefstore: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag ints
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -501,11 +506,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
             # At 8-bit precision SOF1 is syntactically identical to SOF0
             # (the extensions are 12-bit samples and more table slots), so
-            # it decodes on the baseline path; 12-bit still raises below.
+            # it decodes on the baseline path. 12-bit precision is legal
+            # for SOF1/SOF2 only (round 10): the decode math is the same
+            # with a 2048 level shift, and the uint8 output contract
+            # downscales by >>4 at reconstruction.
             progressive = marker == 0xC2
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if not (prec == 8 or (prec == 12 and marker != 0xC0)):
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            prec_img = prec
             if h_img * w_img == 0 or h_img * w_img > 1 << 26:
                 # corrupt SOF dims can demand a 34 GB plane allocation
                 # before any entropy data validates — refuse (quarantine)
@@ -532,15 +541,23 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant table")
-                vals = np.frombuffer(body, np.uint8, 64, i + 1).astype(
-                    np.float64
-                )
+                if pq == 0:
+                    vals = np.frombuffer(body, np.uint8, 64, i + 1)
+                elif pq == 1:  # 16-bit entries — legal for 12-bit frames
+                    if i + 129 > len(body):
+                        raise NotImplementedError(
+                            "16-bit JPEG quant table truncated"
+                        )
+                    vals = np.frombuffer(body, ">u2", 64, i + 1)
+                    qt16.add(tq)
+                else:
+                    raise NotImplementedError(
+                        f"JPEG quant table precision Pq={pq}"
+                    )
                 nat = np.empty(64, np.float64)
                 nat[ZIGZAG] = vals  # stream order is zigzag
                 qtables[tq] = nat
-                i += 65
+                i += 65 + 64 * pq
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
@@ -560,9 +577,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comp = next(c for c in comps if c["cid"] == cs)
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
                 scan.append(comp)
+            if prec_img == 8 and any(c["tq"] in qt16 for c in scan):
+                raise NotImplementedError(
+                    "16-bit JPEG quant table in an 8-bit frame"
+                )
             if not progressive:
                 return _decode_scan(
-                    data, pos, scan, qtables, huff, h_img, w_img, dri
+                    data, pos, scan, qtables, huff, h_img, w_img, dri,
+                    prec_img,
                 )
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             if not coefstore:
@@ -584,14 +606,17 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         # APPn / COM / anything else: skip
     if progressive and coefstore:
         return _reconstruct_progressive(
-            comps, coefstore, qtables, h_img, w_img
+            comps, coefstore, qtables, h_img, w_img, prec_img
         )
     raise NotImplementedError("JPEG stream has no SOS scan")
 
 
-def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri):
+def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri,
+                 prec=8):
     if not scan or h_img == 0 or w_img == 0:
         raise NotImplementedError("JPEG SOS before SOF0")
+    level = float(1 << (prec - 1))
+    down = float(1 << (prec - 8))  # 12-bit planes -> 8-bit output domain
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcus_x = -(-w_img // (8 * hmax))
@@ -629,12 +654,14 @@ def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri):
                         slots.append((plane, y0, x0))
                         coefs.append(coef)
             n_mcu += 1
-    px_all = _D.T @ np.stack(coefs).reshape(-1, 8, 8) @ _D + 128.0
+    px_all = _D.T @ np.stack(coefs).reshape(-1, 8, 8) @ _D + level
     for (plane, y0, x0), px in zip(slots, px_all):
         plane[y0 : y0 + 8, x0 : x0 + 8] = px
     up = {}
     for c in scan:
         p = planes[c["cid"]]
+        if down != 1.0:
+            p = p / down
         p = np.repeat(p, vmax // c["v"], axis=0)
         p = np.repeat(p, hmax // c["h"], axis=1)
         up[c["cid"]] = p[:h_img, :w_img]
@@ -881,13 +908,16 @@ def _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
                 eobrun -= 1
 
 
-def _reconstruct_progressive(comps, coefstore, qtables, h_img, w_img):
+def _reconstruct_progressive(comps, coefstore, qtables, h_img, w_img,
+                             prec=8):
     """Coefficients → pixels, once, after the last scan — the same
     dequant + batched-IDCT + upsample + color-convert math as the
     baseline path, so a full progressive stream decodes bit-identically
     to its baseline twin."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    level = float(1 << (prec - 1))
+    down = float(1 << (prec - 8))
     up = {}
     for c in comps:
         if c["tq"] not in qtables:
@@ -898,12 +928,14 @@ def _reconstruct_progressive(comps, coefstore, qtables, h_img, w_img):
         nat = np.empty_like(zz)
         nat[:, ZIGZAG] = zz  # zigzag storage -> natural order
         nat *= qtables[c["tq"]]
-        px = _D.T @ nat.reshape(-1, 8, 8) @ _D + 128.0
+        px = _D.T @ nat.reshape(-1, 8, 8) @ _D + level
         plane = (
             px.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(by * 8, bx * 8)
         )
+        if down != 1.0:
+            plane = plane / down
         plane = np.repeat(plane, vmax // c["v"], axis=0)
         plane = np.repeat(plane, hmax // c["h"], axis=1)
         up[c["cid"]] = plane[:h_img, :w_img]
@@ -938,6 +970,8 @@ def _encode_block(
     pred: float,
     dc_tab: dict,
     ac_tab: dict,
+    level: float = 128.0,
+    cmax: int = 1023,
 ) -> int:
     """FDCT + quantize + Huffman one 8×8 block; returns the new DC value.
 
@@ -948,8 +982,8 @@ def _encode_block(
     invariant, not an input property, so it is enforced rather than
     assumed (a float-pixel caller or a future rounding tweak must degrade
     by 1 LSB, not KeyError on an unencodable category)."""
-    f = _D @ (block - 128.0) @ _D.T
-    q = np.clip(np.round(f.reshape(64) / qt), -1023, 1023).astype(np.int64)
+    f = _D @ (block - level) @ _D.T
+    q = np.clip(np.round(f.reshape(64) / qt), -cmax, cmax).astype(np.int64)
     dc = int(q[0])
     diff = dc - int(pred)
     t = int(diff != 0 and abs(diff).bit_length())
@@ -1428,5 +1462,83 @@ def encode_jpeg_progressive(
         + scan([cbc], 1, 63, 1, 0)  # Cb AC refine -> full precision
         + scan([crc], 1, 63, 1, 0)  # Cr AC refine -> full precision
         + scan([yc], 1, 63, 1, 0)  # Y AC refine -> full precision
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential encoder (T.81 SOF1, 16-bit DQT)
+# ---------------------------------------------------------------------------
+#
+# Exists so the decoder's 12-bit and 16-bit-quant-table paths are
+# encoder-reachable without an external library (the same reason every
+# other codec here carries its writer). Input stays uint8 RGB: samples
+# scale to the 12-bit domain (<<4) and the Annex-K quant tables scale
+# with them (x16, which genuinely needs 16-bit DQT entries) — so the
+# quantized coefficients EQUAL the 8-bit baseline pipeline's, and the
+# decoded output must match the baseline decode to within 1 count (the
+# >>4 output rescale rounding). Huffman: 12-bit DC differences span
+# categories 0..15 and AC sizes 0..14, beyond the Annex-K tables, so the
+# scan uses the uniform tables (_DC_EXT for DC, _AC_PROG for AC).
+
+_DC_EXT_BITS = [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_EXT_VALS = list(range(16))
+
+
+def encode_jpeg_12bit(
+    arr: "np.ndarray", quality: int = 90, subsample=False
+) -> bytes:
+    """12-bit extended sequential (SOF1) JFIF bytes from uint8 RGB."""
+    h, w, _c = arr.shape
+    y, cb, cr, sh, sv, qt_l, qt_c = _prepare_planes(arr, quality, subsample)
+    y, cb, cr = y * 16.0, cb * 16.0, cr * 16.0  # 8-bit -> 12-bit domain
+    qt_l16, qt_c16 = qt_l * 16.0, qt_c * 16.0
+    enc_dc = _build_encode_table(_DC_EXT_BITS, _DC_EXT_VALS)
+    enc_ac = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+    writer = _BitWriter()
+    mcus_y = y.shape[0] // (8 * sv)
+    mcus_x = y.shape[1] // (8 * sh)
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    pred["y"] = _encode_block(
+                        writer, y[y0 : y0 + 8, x0 : x0 + 8], qt_l16,
+                        pred["y"], enc_dc, enc_ac,
+                        level=2048.0, cmax=16383,
+                    )
+            for name, plane in (("cb", cb), ("cr", cr)):
+                y0, x0 = my * 8, mx * 8
+                pred[name] = _encode_block(
+                    writer, plane[y0 : y0 + 8, x0 : x0 + 8], qt_c16,
+                    pred[name], enc_dc, enc_ac,
+                    level=2048.0, cmax=16383,
+                )
+    writer.flush()
+
+    def dqt16(tq: int, nat: "np.ndarray") -> bytes:
+        zz = nat[ZIGZAG].astype(">u2").tobytes()
+        return _seg(0xDB, bytes([0x10 | tq]) + zz)
+
+    sof = _seg(
+        0xC1,
+        struct.pack(">BHHB", 12, h, w, 3)
+        + bytes([1, (sh << 4) | sv, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt16(0, qt_l16)
+        + dqt16(1, qt_c16)
+        + sof
+        + _dht_seg(0, 0, _DC_EXT_BITS, _DC_EXT_VALS)
+        + _dht_seg(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+        + sos
+        + bytes(writer.buf)
         + b"\xff\xd9"
     )

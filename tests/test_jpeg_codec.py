@@ -362,3 +362,46 @@ def test_progressive_truncated_stream_quarantines():
         decode_jpeg(bytes(broken))  # may decode to junk pixels...
     except NotImplementedError:
         pass  # ...or raise at the seam — either way, no crash
+
+
+# ---- round 10: 12-bit precision + 16-bit quant tables (SOF1) ----
+
+from mapreduce_machine_learning_spark.sources.jpeg import (  # noqa: E402
+    encode_jpeg_12bit,
+)
+
+
+def test_12bit_stream_decodes_bit_identically_to_8bit_baseline():
+    # the 12-bit pipeline scales samples AND quant tables by 16, so the
+    # quantized coefficients equal the baseline's and the >>4 output
+    # rescale divides exactly: decode must be BIT-IDENTICAL
+    rng = np.random.default_rng(6)
+    for h, w in ((16, 16), (17, 23), (33, 41)):
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in (False, True):
+            for q in (50, 90):
+                base = decode_jpeg(encode_jpeg(arr, q, subsample=sub))
+                deep = decode_jpeg(encode_jpeg_12bit(arr, q, subsample=sub))
+                assert np.array_equal(base, deep), (h, w, sub, q)
+
+
+def test_12bit_stream_structure():
+    p = encode_jpeg_12bit(_gradient(16, 16), 90)
+    sof_at = p.find(b"\xff\xc1")
+    assert sof_at > 0 and p[sof_at + 4] == 12  # SOF1, precision 12
+    dqt_at = p.find(b"\xff\xdb")
+    assert p[dqt_at + 4] >> 4 == 1  # Pq=1: 16-bit entries
+    (seglen,) = struct.unpack_from(">H", p, dqt_at + 2)
+    assert seglen == 2 + 1 + 128  # one 16-bit table per segment
+    # and the tables genuinely need 16 bits (entries > 255 exist)
+    vals = np.frombuffer(p, ">u2", 64, dqt_at + 5)
+    assert vals.max() > 255
+
+
+def test_12bit_is_sof1_only():
+    # 12-bit under a BASELINE (SOF0) marker is illegal per T.81 and raises
+    p = bytearray(encode_jpeg_12bit(_gradient(8, 8), 90))
+    at = bytes(p).find(b"\xff\xc1")
+    p[at + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(p))

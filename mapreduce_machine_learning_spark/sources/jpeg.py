@@ -818,36 +818,99 @@ def _prog_dc_refine(reader, scan, comps, coefstore, h_img, w_img, dri, al):
 def _prog_ac_first(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
     """First AC pass of a band: baseline-style (run, size) symbols plus
     EOBn codes — (r<<4) with r>0 reads r extension bits and skips
-    2^r - 1 + ext FOLLOWING blocks whose band is entirely zero."""
+    2^r - 1 + ext FOLLOWING blocks whose band is entirely zero.
+
+    The reader's accumulator state is hoisted into LOCAL ints for the
+    whole scan, the same ~2.5x pattern _decode_block uses (round-9
+    probe): one Python call per symbol is still too many when a scan
+    visits every block of a plane. Bit semantics are identical to the
+    _BitReader methods; exactness is pinned by the progressive==baseline
+    parity suite."""
+    acv, acl = ac_tab
     eobrun = 0
-    n = 0
+    nblk = 0
+    cur = reader._cur
+    L = len(cur)
+    pos, acc, n, padded = (
+        reader._pos, reader._acc, reader._n, reader._padded
+    )
     for by in range(bh):
         for bx in range(bw):
-            if dri and n and n % dri == 0:
+            if dri and nblk and nblk % dri == 0:
+                reader._pos, reader._acc = pos, acc
+                reader._n, reader._padded = n, padded
                 reader.sync_restart()
+                cur = reader._cur
+                L = len(cur)
+                pos, acc, n, padded = (
+                    reader._pos, reader._acc, reader._n, reader._padded
+                )
                 eobrun = 0
-            n += 1
+            nblk += 1
             if eobrun:
                 eobrun -= 1
                 continue
             blk = arr[by, bx]
             k = ss
             while k <= se:
-                rs = _huff_decode(reader, ac_tab)
+                while n < 16:
+                    if pos < L:
+                        acc = (acc << 8) | cur[pos]
+                        pos += 1
+                    else:
+                        acc = (acc << 8) | 0xFF
+                        padded += 8
+                    n += 8
+                w = (acc >> (n - 16)) & 0xFFFF
+                ln = acl[w]
+                if ln == 0:
+                    raise NotImplementedError("invalid JPEG Huffman code")
+                rs = acv[w]
+                n -= ln
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:  # ZRL: sixteen zeros
+                        acc &= (1 << n) - 1
                         k += 16
                         continue
                     eobrun = (1 << r) - 1
                     if r:
-                        eobrun += reader.receive(r)
+                        while n < r:
+                            if pos < L:
+                                acc = (acc << 8) | cur[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                                padded += 8
+                            n += 8
+                        n -= r
+                        eobrun += (acc >> n) & ((1 << r) - 1)
+                    acc &= (1 << n) - 1
                     break
                 k += r
                 if k > se:
                     raise NotImplementedError("JPEG AC run past band end")
-                blk[k] = _extend(reader.receive(s), s) << al
+                while n < s:
+                    if pos < L:
+                        acc = (acc << 8) | cur[pos]
+                        pos += 1
+                    else:
+                        acc = (acc << 8) | 0xFF
+                        padded += 8
+                    n += 8
+                n -= s
+                v = (acc >> n) & ((1 << s) - 1)
+                if v < (1 << (s - 1)):
+                    v += 1 - (1 << s)
+                blk[k] = v << al
+                acc &= (1 << n) - 1
                 k += 1
+            acc &= (1 << n) - 1
+            if n < padded:
+                raise NotImplementedError("truncated JPEG entropy data")
+    reader._pos, reader._acc, reader._n, reader._padded = (
+        pos, acc, n, padded
+    )
 
 
 def _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
@@ -857,26 +920,70 @@ def _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
     EOB runs still read correction bits for nonzero coefficients in the
     remaining band of every block they cover."""
     p1, m1 = 1 << al, -(1 << al)
+    acv, acl = ac_tab
     eobrun = 0
-    n = 0
+    nblk = 0
+    cur = reader._cur
+    L = len(cur)
+    pos, acc, n, padded = (
+        reader._pos, reader._acc, reader._n, reader._padded
+    )
+    # state hoisted into locals for the whole scan, as in _prog_ac_first:
+    # refinement reads ONE BIT per traversed nonzero coefficient, the
+    # worst per-call-overhead shape of all the scan kinds
     for by in range(bh):
         for bx in range(bw):
-            if dri and n and n % dri == 0:
+            if dri and nblk and nblk % dri == 0:
+                reader._pos, reader._acc = pos, acc
+                reader._n, reader._padded = n, padded
                 reader.sync_restart()
+                cur = reader._cur
+                L = len(cur)
+                pos, acc, n, padded = (
+                    reader._pos, reader._acc, reader._n, reader._padded
+                )
                 eobrun = 0
-            n += 1
-            blk = arr[by, bx]
+            nblk += 1
+            # numpy scalar reads cost ~10x a list index and refinement
+            # touches EVERY band position of EVERY block: one tolist()
+            # per block (C-speed) + one write-back beats 63 scalar reads
+            blk = arr[by, bx].tolist()
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = _huff_decode(reader, ac_tab)
+                    while n < 16:
+                        if pos < L:
+                            acc = (acc << 8) | cur[pos]
+                            pos += 1
+                        else:
+                            acc = (acc << 8) | 0xFF
+                            padded += 8
+                        n += 8
+                    w = (acc >> (n - 16)) & 0xFFFF
+                    ln = acl[w]
+                    if ln == 0:
+                        raise NotImplementedError(
+                            "invalid JPEG Huffman code"
+                        )
+                    rs = acv[w]
+                    n -= ln
                     r, s = rs >> 4, rs & 0x0F
                     val = 0
                     if s == 0:
                         if r != 15:
                             eobrun = 1 << r
                             if r:
-                                eobrun += reader.receive(r)
+                                while n < r:
+                                    if pos < L:
+                                        acc = (acc << 8) | cur[pos]
+                                        pos += 1
+                                    else:
+                                        acc = (acc << 8) | 0xFF
+                                        padded += 8
+                                    n += 8
+                                n -= r
+                                eobrun += (acc >> n) & ((1 << r) - 1)
+                            acc &= (1 << n) - 1
                             break
                         # r == 15: a run of 16 zero-history positions
                     else:
@@ -884,11 +991,29 @@ def _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
                             raise NotImplementedError(
                                 "invalid JPEG AC refinement code"
                             )
-                        val = p1 if reader.receive(1) else m1
+                        if n < 1:
+                            if pos < L:
+                                acc = (acc << 8) | cur[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                                padded += 8
+                            n += 8
+                        n -= 1
+                        val = p1 if (acc >> n) & 1 else m1
                     while k <= se:
-                        v = int(blk[k])
+                        v = blk[k]
                         if v != 0:
-                            if reader.receive(1) and (v & p1) == 0:
+                            if n < 1:
+                                if pos < L:
+                                    acc = (acc << 8) | cur[pos]
+                                    pos += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                    padded += 8
+                                n += 8
+                            n -= 1
+                            if (acc >> n) & 1 and (v & p1) == 0:
                                 blk[k] = v + (p1 if v >= 0 else m1)
                         else:
                             if r == 0:
@@ -900,12 +1025,28 @@ def _prog_ac_refine(reader, arr, bh, bw, ss, se, al, ac_tab, dri):
                     k += 1
             if eobrun > 0:
                 while k <= se:
-                    v = int(blk[k])
+                    v = blk[k]
                     if v != 0:
-                        if reader.receive(1) and (v & p1) == 0:
+                        if n < 1:
+                            if pos < L:
+                                acc = (acc << 8) | cur[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                                padded += 8
+                            n += 8
+                        n -= 1
+                        if (acc >> n) & 1 and (v & p1) == 0:
                             blk[k] = v + (p1 if v >= 0 else m1)
                     k += 1
                 eobrun -= 1
+            arr[by, bx] = blk
+            acc &= (1 << n) - 1
+            if n < padded:
+                raise NotImplementedError("truncated JPEG entropy data")
+    reader._pos, reader._acc, reader._n, reader._padded = (
+        pos, acc, n, padded
+    )
 
 
 def _reconstruct_progressive(comps, coefstore, qtables, h_img, w_img,

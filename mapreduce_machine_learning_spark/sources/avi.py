@@ -193,7 +193,11 @@ def _video_stream_info(payload: bytes) -> dict:
                     state["next_no"] += 1
                     state["cur_type"] = None
                 walk(body_at + 4, body_at + size)  # skip the list kind
-            elif tag == b"strh" and body_at + 28 <= len(payload):
+            elif (
+                tag == b"strh"
+                and size >= 28  # truncated chunk: don't read past its
+                and body_at + 28 <= len(payload)  # declared extent
+            ):
                 state["cur_type"] = payload[body_at : body_at + 4]
                 if (
                     state["cur_type"] == b"vids"
@@ -209,6 +213,7 @@ def _video_stream_info(payload: bytes) -> dict:
                 tag == b"strf"
                 and state["cur_type"] == b"vids"
                 and info["comp"] is None
+                and size >= 24  # same truncation guard as strh above
                 and body_at + 24 <= len(payload)
             ):
                 (

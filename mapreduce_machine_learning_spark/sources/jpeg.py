@@ -462,15 +462,19 @@ def _scan_end(data: bytes, pos: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """uint8 (h, w, 3) RGB from a baseline (SOF0) or progressive (SOF2)
-    8-bit JPEG.
+    """uint8 (h, w, 3) RGB from a baseline (SOF0), extended-sequential
+    (SOF1), or progressive (SOF2) JPEG at 8- or 12-bit precision
+    (12-bit on SOF1/SOF2 only, as the spec allows; 16-bit DQT tables
+    accepted wherever 12-bit frames are).
 
     Grayscale streams replicate luma across RGB (same contract as
     decode_png color type 0). Progressive streams decode all scans —
     spectral selection, successive approximation (DC and AC refinement,
     EOB runs), DHT/DQT/DRI between scans, restart markers inside any
-    scan — then reconstruct once. Extended/arithmetic SOFs, 12-bit
-    precision, and 16-bit DQT tables raise at the documented seam.
+    scan — then reconstruct once. Still-unsupported cases raise at the
+    documented seam: lossless/hierarchical/arithmetic SOFs, 12-bit
+    baseline (SOF0, illegal per spec anyway), and 16-bit DQT tables
+    referenced by an 8-bit frame.
     """
     if not is_jpeg(payload):
         raise NotImplementedError("not a JPEG payload")

@@ -333,3 +333,66 @@ def test_encoder_writes_a_real_idx1_backing_the_hasindex_flag():
             assert p[movi_at + off : movi_at + off + 4] == want_tag
             (csz,) = struct.unpack_from("<I", p, movi_at + off + 4)
             assert csz == size
+
+
+def test_truncated_strh_chunk_is_skipped_not_overread():
+    # ADVICE r10 (low): a strh whose DECLARED size is < 28 must be
+    # skipped. The old guard only checked the payload buffer was long
+    # enough, so a truncated strh read fccType/scale/rate from the
+    # FOLLOWING chunk's bytes — here that would claim stream 0 is the
+    # video stream and decode would then look for frames under '00db'
+    # (there are none). With the size guard, the walker skips the
+    # truncated header and finds the REAL video stream at strl #1.
+    frames = _frames(2, 5, 6, seed=11)
+    bodies = [_encode_dib(f) for f in frames]
+    h, w, _ = frames[0].shape
+    frame_size = max(len(b) for b in bodies)
+    # strl #0: strh truncated to 4 bytes (just an fccType that SAYS
+    # vids) — the following strf bytes would be misread as scale/rate
+    bad_strl = _lst(b"strl", _chunk(b"strh", b"vids") + _chunk(
+        b"strf", struct.pack("<IiiHHI", 40, w, h, 1, 24, 0)))
+    vid_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 12, 0, len(frames), frame_size, 0xFFFFFFFF, frame_size,
+        0, 0, int(w), int(h),
+    )
+    vid_strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0,
+    )
+    vid_strl = _lst(
+        b"strl", _chunk(b"strh", vid_strh) + _chunk(b"strf", vid_strf))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 83333, frame_size * 12, 0, 0,
+        len(frames), 0, 2, frame_size, w, h, 0, 0, 0, 0,
+    )
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + bad_strl + vid_strl)
+    movi = _lst(
+        b"movi", b"".join(_chunk(b"01db", b) for b in bodies))
+    body = b"AVI " + hdrl + movi
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    back = decode_avi(p)  # real stream is #1; frames live under 01db
+    assert np.array_equal(back, np.stack(frames))
+    assert avi_fps(p) == 12  # from the VALID strh, not garbage bytes
+
+
+def test_truncated_strf_chunk_quarantines_instead_of_misparse():
+    # companion guard: a strf declaring size < 24 after a valid vids
+    # strh must be skipped — the old code read geometry/compression
+    # from bytes past the chunk's declared extent. With no other strf,
+    # comp stays None and decode quarantines cleanly.
+    vid_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 12, 0, 1, 90, 0xFFFFFFFF, 90, 0, 0, 5, 6,
+    )
+    strl = _lst(b"strl", _chunk(b"strh", vid_strh) + _chunk(
+        b"strf", struct.pack("<Ii", 40, 6)))  # 8 bytes: truncated
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 83333, 0, 0, 0, 1, 0, 1, 90, 6, 5,
+        0, 0, 0, 0,
+    )
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + strl)
+    movi = _lst(b"movi", _chunk(b"00db", b"\x00" * 90))
+    body = b"AVI " + hdrl + movi
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_avi(p)

@@ -19,10 +19,16 @@ restart markers), and
 still GIFs as images, animated GIFs as video), and **AVI video in both
 its common layouts** (``sources/avi.py`` — RIFF chunk walk; uncompressed
 24-bit DIB frames bit-exact, MJPEG frames through the in-container JPEG
-codec; real frame sampling and codec-preserving per-frame resize).
+codec; real frame sampling and codec-preserving per-frame resize), and
+**lossless WebP** (``sources/webp.py``, round 11 — the full VP8L
+surface: canonical prefix codes in both storage forms, meta prefix
+codes, the color cache, LZ77 with the 2D distance map, and all four
+transforms; bit-exact round trips).
 Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
-``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI``); anything
-else — MP3 audio and INTER-FRAME video codecs (H.264, VP9) —
+``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI`` /
+``RIFF..WEBP``); anything
+else — MP3 audio, LOSSY (VP8) WebP, and INTER-FRAME video codecs
+(H.264, VP9) —
 still needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
@@ -67,6 +73,11 @@ from mapreduce_machine_learning_spark.sources.jpeg import (
     encode_jpeg,
     encode_jpeg_progressive,
     is_jpeg,
+)
+from mapreduce_machine_learning_spark.sources.webp import (
+    decode_webp,
+    encode_webp,
+    is_webp,
 )
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -467,10 +478,11 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Real decoder: 24-bit BMP (struct + numpy), 8/16-bit PNG interlaced
-    or not (stdlib zlib + numpy unfiltering), and JPEG — baseline or
-    progressive (sources/jpeg.py — Huffman + numpy DCT) — parse
-    in-container; remaining image formats (WebP, JPEG 2000, …) raise at
-    the seam and callers fall back to fake_features."""
+    or not (stdlib zlib + numpy unfiltering), JPEG — baseline or
+    progressive (sources/jpeg.py — Huffman + numpy DCT) — and lossless
+    WebP (sources/webp.py — VP8L prefix codes + LZ77 + transforms) parse
+    in-container; remaining image formats (lossy WebP, JPEG 2000, …)
+    raise at the seam and callers fall back to fake_features."""
     if is_bmp(payload):
         return decode_bmp(payload)
     if is_png(payload):
@@ -479,9 +491,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_jpeg(payload)
     if is_gif(payload):
         return decode_gif(payload)[0]  # still image = first frame
+    if is_webp(payload):
+        return decode_webp(payload)
     raise NotImplementedError(
-        "only BMP, PNG, JPEG (baseline/progressive), and GIF decode in "
-        "this container "
+        "only BMP, PNG, JPEG (baseline/progressive), GIF, and lossless "
+        "WebP decode in this container "
         "(no PIL/libjpeg); pipeline runs with fake_features "
         "(deterministic md5-derived) for other formats"
     )
@@ -539,7 +553,12 @@ def features_for(payload: bytes) -> "np.ndarray":
     100k-row task — mirrors how production media pipelines quarantine
     undecodable items rather than failing the job."""
     try:
-        if is_bmp(payload) or is_png(payload) or is_jpeg(payload):
+        if (
+            is_bmp(payload)
+            or is_png(payload)
+            or is_jpeg(payload)
+            or is_webp(payload)
+        ):
             return real_image_features(decode_image(payload))
         if is_gif(payload):  # still GIF = image, animated GIF = video
             frames = decode_gif(payload)
@@ -607,8 +626,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     through 24-bit BMP, 8-bit PNG, and JPEG (baseline and progressive;
     4:4:4 and 4:2:0 alternating; id-seeded geometry and channel phases)
     and 16-bit PCM WAV sine bursts (id-seeded frequency). Image rows
-    rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG;
-    video rows rotate opaque stand-in bytes, DIB AVI,
+    rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
+    lossless WebP; video rows rotate opaque stand-in bytes, DIB AVI,
     MJPEG AVI, and animated GIF — inter-frame video codecs are the
     remaining environment-bound seam, and keeping opaque rows in the mix
     keeps the quarantine path exercised."""
@@ -627,7 +646,7 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = (i // 3) % 5
+            fmt = (i // 3) % 6
             if fmt == 3:  # still GIF: quantize the gradient to 16 colors
                 payload = encode_gif(
                     [(arr[..., 0] % 16).astype(np.uint8)],
@@ -638,6 +657,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 payload = enc(
                     arr, quality=95, subsample=bool((i // 9) % 2)
                 )
+            elif fmt == 5:  # lossless WebP (VP8L)
+                payload = encode_webp(arr)
             else:
                 payload = (encode_png if fmt else encode_bmp)(arr)
             rows.append((i, kind, bytearray(payload), w, h, 0))
@@ -741,6 +762,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return encode_jpeg(out, quality=95)
     if is_gif(payload):  # NN never invents a color: exact re-encode
         return encode_gif_rgb([out])
+    if is_webp(payload):  # lossless in, lossless out
+        return encode_webp(out)
     return encode_bmp(out)
 
 
@@ -763,7 +786,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         # deterministic stand-in for everything else — including payloads
         # whose magic lies or whose body is truncated (features_for's
         # quarantine contract: one corrupt row never kills the task)
-        if is_bmp(p) or is_png(p) or is_jpeg(p):
+        if is_bmp(p) or is_png(p) or is_jpeg(p) or is_webp(p):
             try:
                 return resize_image(p, width, height)
             except Exception:

@@ -43,6 +43,7 @@ from mapreduce_machine_learning_spark.sources.multimodal import (
     features_for,
     is_jpeg,
     is_png,
+    is_webp,
     real_audio_features,
     real_image_features,
     resize_image,
@@ -368,11 +369,12 @@ def test_spark_features_match_local_decoders(spark):
     for i, row in src.items():
         payload = bytes(row.payload)
         if row.kind == "image":
-            # synth rotates BMP / PNG / JPEG / GIF images; all decode
+            # synth rotates BMP / PNG / JPEG / GIF / WebP images
             fmts.add(
                 "png" if is_png(payload)
                 else "jpeg" if is_jpeg(payload)
                 else "gif" if is_gif(payload)
+                else "webp" if is_webp(payload)
                 else "bmp"
             )
             want = real_image_features(decode_image(payload))
@@ -388,8 +390,8 @@ def test_spark_features_match_local_decoders(spark):
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
-    # and ALL FOUR real image formats were actually exercised
-    assert fmts == {"bmp", "png", "jpeg", "gif"}
+    # and ALL FIVE real image formats were actually exercised
+    assert fmts == {"bmp", "png", "jpeg", "gif", "webp"}
 
 
 def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
@@ -400,10 +402,11 @@ def test_spark_resize_is_real_nearest_neighbor_for_images(spark):
         if row.kind == "image":
             out_payload = bytes(out[row.media_id].payload)
             # format-preserving re-encode: PNG in -> PNG out, JPEG ->
-            # JPEG, GIF -> GIF, BMP -> BMP
+            # JPEG, GIF -> GIF, WebP -> WebP, BMP -> BMP
             assert is_png(out_payload) == is_png(payload)
             assert is_jpeg(out_payload) == is_jpeg(payload)
             assert is_gif(out_payload) == is_gif(payload)
+            assert is_webp(out_payload) == is_webp(payload)
             resized = decode_image(out_payload)
             assert resized.shape == (6, 8, 3)
             src = decode_image(payload)

@@ -23,12 +23,22 @@ codec; real frame sampling and codec-preserving per-frame resize), and
 **lossless WebP** (``sources/webp.py``, round 11 — the full VP8L
 surface: canonical prefix codes in both storage forms, meta prefix
 codes, the color cache, LZ77 with the 2D distance map, and all four
-transforms; bit-exact round trips).
+transforms; bit-exact round trips), **FLAC** audio
+(``sources/flac.py``, round 11 — fixed + LPC prediction, both Rice
+residual methods with escapes, all stereo decorrelation modes,
+8–32-bit depths, CRC-8/CRC-16/MD5 verified; bit-exact round trips),
+and the **speech-corpus containers** AIFF/AIFC, Sun AU, and NIST
+SPHERE with G.711 µ-law/A-law companding (``sources/pcm_codecs.py``,
+round 11 — formula-derived expansion pinned to the published anchor
+values).
 Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
 ``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI`` /
-``RIFF..WEBP``); anything
-else — MP3 audio, LOSSY (VP8) WebP, and INTER-FRAME video codecs
-(H.264, VP9) —
+``RIFF..WEBP`` / ``fLaC`` / ``FORM..AIFF`` / ``.snd`` /
+``NIST_1A``); anything
+else — MP3/Vorbis/Opus audio (normative-table codecs whose ISO/Xiph
+constant tables are not in this container — see the ``sources/flac.py``
+docstring for why approximating them would be worse than the seam),
+LOSSY (VP8) WebP, and INTER-FRAME video codecs (H.264, VP9) —
 still needs external libraries this container lacks, raises
 ``NotImplementedError`` at the documented seam, and flows through the
 deterministic ``fake_features``/``fake_resize`` stand-ins so pipelines
@@ -61,6 +71,22 @@ from mapreduce_machine_learning_spark.sources.avi import (
     encode_avi,
     is_avi,
     real_video_features,
+)
+from mapreduce_machine_learning_spark.sources.flac import (
+    decode_flac,
+    encode_flac,
+    is_flac,
+)
+from mapreduce_machine_learning_spark.sources.pcm_codecs import (
+    decode_aiff,
+    decode_au,
+    decode_sphere,
+    encode_aiff,
+    encode_au,
+    encode_sphere,
+    is_aiff,
+    is_au,
+    is_sphere,
 )
 from mapreduce_machine_learning_spark.sources.gif import (
     decode_gif,
@@ -544,7 +570,9 @@ def real_audio_features(samples: "np.ndarray", rate: int) -> "np.ndarray":
 
 def features_for(payload: bytes) -> "np.ndarray":
     """Codec dispatch by magic bytes: real pixel/sample features for the
-    in-container formats (BMP, 16-bit WAV), the md5 stand-in otherwise.
+    in-container formats (BMP / PNG / JPEG / GIF / lossless WebP images,
+    WAV / FLAC / AIFF / AU / SPHERE audio, DIB- and MJPEG-AVI +
+    animated-GIF video), the md5 stand-in otherwise.
     Pure per-payload function — deterministic under any partitioning.
 
     ANY codec failure degrades to the stand-in, not just unsupported
@@ -567,6 +595,14 @@ def features_for(payload: bytes) -> "np.ndarray":
             return real_video_features(frames)
         if is_wav(payload):
             return real_audio_features(*decode_wav(payload))
+        if is_flac(payload):
+            return real_audio_features(*decode_flac(payload))
+        if is_aiff(payload):
+            return real_audio_features(*decode_aiff(payload))
+        if is_au(payload):
+            return real_audio_features(*decode_au(payload))
+        if is_sphere(payload):
+            return real_audio_features(*decode_sphere(payload))
         if is_avi(payload):
             return real_video_features(decode_avi(payload))
     except Exception:
@@ -625,7 +661,9 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     formats the in-container codecs decode: deterministic gradients rotated
     through 24-bit BMP, 8-bit PNG, and JPEG (baseline and progressive;
     4:4:4 and 4:2:0 alternating; id-seeded geometry and channel phases)
-    and 16-bit PCM WAV sine bursts (id-seeded frequency). Image rows
+    and 16-bit sine bursts (id-seeded frequency) rotating the five real
+    audio containers (PCM WAV / FLAC / AIFF / µ-law AU / NIST SPHERE).
+    Image rows
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
     lossless WebP; video rows rotate opaque stand-in bytes, DIB AVI,
     MJPEG AVI, and animated GIF — inter-frame video codecs are the
@@ -669,7 +707,18 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             samples = (
                 np.sin(2 * np.pi * freq * t / rate) * (8000 + 100 * i)
             ).astype(np.int16)
-            payload = encode_wav(samples, rate)
+            # rotate all five real audio containers (round 11)
+            afmt = (i // 3) % 5
+            if afmt == 1:
+                payload = encode_flac(samples, rate)
+            elif afmt == 2:
+                payload = encode_aiff(samples, rate)
+            elif afmt == 3:
+                payload = encode_au(samples, rate, encoding=1)  # µ-law
+            elif afmt == 4:
+                payload = encode_sphere(samples, rate)
+            else:
+                payload = encode_wav(samples, rate)
             dur_ms = int(1000 * len(samples) / rate)
             rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
         else:

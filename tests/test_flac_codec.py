@@ -1,0 +1,478 @@
+"""FLAC codec tests.
+
+Two independent pinning strategies, same as the JPEG/GIF/WebP suites:
+
+1. encoder round-trips — FLAC is lossless, so ``decode_flac_pcm(
+   encode_flac(x)) == x`` BIT-EXACTLY for every depth, channel layout,
+   block size, and sample rate form; any drift in either direction
+   fails loudly (the stream carries CRC-8 + CRC-16 + MD5, so even a
+   one-bit encoder regression trips three independent checks);
+2. hand-assembled bitstreams — a minimal MSB-first writer and
+   from-scratch CRC-8/CRC-16 implementations live in THIS file and
+   build tiny FLAC payloads bit by bit from the spec layout, so the
+   decoder is checked against the public format independently of the
+   encoder under test (LPC subframes, wasted bits, 5-bit Rice
+   parameters, raw-escape partitions, and odd depths are decoder-only
+   surfaces our encoder never emits).
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from mapreduce_machine_learning_spark.sources.flac import (
+    decode_flac,
+    decode_flac_pcm,
+    encode_flac,
+    is_flac,
+)
+from mapreduce_machine_learning_spark.sources.multimodal import (
+    decode_wav,
+    encode_wav,
+    fake_features,
+    features_for,
+    real_audio_features,
+)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# round trips
+
+
+def _roundtrip(x, rate, bps=16, block_size=4096):
+    payload = encode_flac(x, rate, bps=bps, block_size=block_size)
+    assert is_flac(payload)
+    pcm, r, d = decode_flac_pcm(payload)
+    want = np.asarray(x, dtype=np.int64)
+    if want.ndim == 1:
+        want = want[:, None]
+    assert r == rate and d == bps
+    assert np.array_equal(pcm, want)
+    return payload
+
+
+@pytest.mark.parametrize("n", [1, 3, 191, 192, 4096, 5000, 30000])
+def test_roundtrip_mono_sine_bit_exact(n):
+    t = np.arange(n)
+    _roundtrip((np.sin(t / 30) * 12000).astype(np.int16), 44100)
+
+
+def test_roundtrip_stereo_and_noise_and_constant():
+    rng = _rng(7)
+    t = np.arange(20000)
+    left = (np.sin(t / 25) * 9000).astype(np.int16)
+    right = (left + rng.integers(-50, 50, t.size)).astype(np.int16)
+    _roundtrip(np.stack([left, right], axis=1), 48000)
+    _roundtrip(rng.integers(-32768, 32768, 5000).astype(np.int16), 32000)
+    _roundtrip(np.full(9000, -123, dtype=np.int16), 8000)
+    _roundtrip(np.zeros(4096, dtype=np.int16), 16000)
+
+
+@pytest.mark.parametrize("bps,lim", [(8, 1 << 7), (16, 1 << 15), (24, 1 << 23)])
+def test_roundtrip_every_encode_depth(bps, lim):
+    rng = _rng(bps)
+    walk = np.cumsum(rng.integers(-lim // 16, lim // 16, 8000))
+    _roundtrip(np.clip(walk, -lim, lim - 1), 22050, bps=bps)
+
+
+@pytest.mark.parametrize("rate", [44100, 12345, 123450, 8000, 65535])
+def test_roundtrip_every_rate_header_form(rate):
+    # tabled codes, 16-bit-Hz, and 16-bit-daHz forms all survive
+    x = (np.sin(np.arange(2000) / 9) * 5000).astype(np.int16)
+    _roundtrip(x, rate)
+
+
+def test_roundtrip_multibyte_utf8_frame_numbers():
+    # 26000 samples at block 192 = 136 frames: frame numbers cross the
+    # single-byte UTF-8 boundary at frame 128
+    x = (np.sin(np.arange(26000) / 40) * 7000).astype(np.int16)
+    _roundtrip(x, 44100, block_size=192)
+
+
+def test_encoder_reaches_every_stereo_decorrelation_mode():
+    # frame 0's channel-assignment nibble sits at byte 45 (4-byte magic +
+    # 4-byte block header + 34-byte STREAMINFO + 3 header bytes)
+    def chan_code(payload):
+        return payload[45] >> 4
+
+    rng = _rng(3)
+    n = 4096
+    t = np.arange(n)
+    sine = (np.sin(t / 20) * 9000).astype(np.int64)
+    small = rng.integers(-40, 40, n)
+    loud_noise = rng.integers(-30000, 30000, n)
+
+    seen = {
+        # L≈R: side is tiny, mid carries the tone → mid-side
+        10: np.stack([sine + small, sine - small], axis=1),
+        # R tiny noise, L loud noise: side ≈ L (no win), but R compresses
+        # → left-side loses to right?  assert each constructed case below
+        1: np.stack([loud_noise, rng.integers(-30000, 30000, n)], axis=1),
+        # L cheap tone, R = expensive noise, side = L - R ≈ -R (no win on
+        # side) → keep R raw and store cheap L: left-side vs independent
+        # both plausible — use L = R + tiny so side is tiny → left/right
+        8: np.stack([sine, sine - small], axis=1),
+        9: np.stack([sine + small, sine], axis=1),
+    }
+    got = {}
+    for want, x in seen.items():
+        payload = encode_flac(x.astype(np.int64), 44100)
+        got[want] = chan_code(payload)
+        pcm, _, _ = decode_flac_pcm(payload)
+        assert np.array_equal(pcm, x)
+    # mid-side must win on the correlated pair; the directional pairs must
+    # pick SOME decorrelated mode (8/9/10 beat independent on them)
+    assert got[10] == 10
+    assert got[8] in (8, 9, 10) and got[9] in (8, 9, 10)
+    assert got[1] == 1
+
+
+def test_decode_flac_feature_contract_matches_wav():
+    # same samples through WAV and FLAC reach identical int16 features
+    x = (np.sin(np.arange(8000) / 15) * 11000).astype(np.int16)
+    f_wav = real_audio_features(*decode_wav(encode_wav(x, 24000)))
+    f_flac = real_audio_features(*decode_flac(encode_flac(x, 24000)))
+    assert np.array_equal(f_wav, f_flac)
+    # and features_for dispatches FLAC by magic
+    assert np.array_equal(features_for(encode_flac(x, 24000)), f_flac)
+
+
+def test_decode_flac_normalizes_depth_to_int16_top_bits():
+    x16 = (np.sin(np.arange(3000) / 12) * 9000).astype(np.int64)
+    m16, _ = decode_flac(encode_flac(x16, 44100, bps=16))
+    m24, _ = decode_flac(encode_flac(x16 << 8, 44100, bps=24))
+    m8, _ = decode_flac(encode_flac(x16 >> 8, 44100, bps=8))
+    assert np.array_equal(m16, m24)
+    assert np.array_equal(m8, (x16 >> 8).astype(np.int16) << 8)
+
+
+def test_hypothesis_style_randomized_roundtrips():
+    rng = _rng(11)
+    for trial in range(25):
+        n = int(rng.integers(1, 700))
+        ch = int(rng.integers(1, 3))
+        scale = int(rng.integers(1, 32768))
+        x = rng.integers(-scale, scale, (n, ch)).astype(np.int64)
+        if ch == 1:
+            x = x[:, 0]
+        bs = int(rng.choice([192, 256, 576, 4096]))
+        _roundtrip(x, 44100, block_size=bs)
+
+
+def test_encoder_rejects_out_of_contract_input():
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros((4, 3), dtype=np.int64), 44100)  # 3 channels
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros(0, dtype=np.int64), 44100)  # empty
+    with pytest.raises(ValueError):
+        encode_flac(np.array([40000]), 44100, bps=16)  # out of range
+    with pytest.raises(ValueError):
+        encode_flac(np.array([1]), 44100, bps=12)  # unsupported depth
+    with pytest.raises(ValueError):
+        encode_flac(np.array([1]), 100001, bps=16)  # not form-encodable
+
+
+# ---------------------------------------------------------------------------
+# hand-assembled bitstreams: independent writer + CRCs in THIS file
+
+
+class _W:
+    """MSB-first bit accumulator, independent of the module's writer."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def signed(self, value, n):
+        self.w(value & ((1 << n) - 1), n)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        assert len(self.bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _crc8_ref(data):
+    reg = 0
+    for byte in data:
+        reg ^= byte
+        for _ in range(8):
+            reg = ((reg << 1) ^ 0x07) & 0xFF if reg & 0x80 else (reg << 1) & 0xFF
+    return reg
+
+
+def _crc16_ref(data):
+    reg = 0
+    for byte in data:
+        reg ^= byte << 8
+        for _ in range(8):
+            reg = (
+                ((reg << 1) ^ 0x8005) & 0xFFFF if reg & 0x8000 else (reg << 1) & 0xFFFF
+            )
+    return reg
+
+
+def _streaminfo(rate, channels, bps, total, md5=b"\x00" * 16, block=4096):
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    body = (
+        struct.pack(">HH", block, block)
+        + (0).to_bytes(3, "big")
+        + (0).to_bytes(3, "big")
+        + packed.to_bytes(8, "big")
+        + md5
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame(body_fn, block_size, chan_code, depth_code, rate_code=9):
+    """Header (8-bit explicit block size) + CRC-8, body bits, CRC-16."""
+    w = _W()
+    w.w(0x3FFE, 14)
+    w.w(0, 1)
+    w.w(0, 1)
+    w.w(6, 4)  # 8-bit explicit block size follows the number
+    w.w(rate_code, 4)
+    w.w(chan_code, 4)
+    w.w(depth_code, 3)
+    w.w(0, 1)
+    w.w(0, 8)  # frame number 0
+    w.w(block_size - 1, 8)
+    hdr = w.bytes()
+    w2 = _W()
+    for b in hdr:
+        w2.w(b, 8)
+    w2.w(_crc8_ref(hdr), 8)
+    body_fn(w2)
+    w2.align()
+    partial = w2.bytes()
+    w3 = _W()
+    for b in partial:
+        w3.w(b, 8)
+    w3.w(_crc16_ref(partial), 16)
+    return w3.bytes()
+
+
+def _rice(w, values, k):
+    for v in values:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        w.unary(u >> k)
+        if k:
+            w.w(u & ((1 << k) - 1), k)
+
+
+def test_hand_assembled_verbatim_12bit():
+    samples = [5, -1000, 2047, -2048, 0, 700]
+
+    def body(w):
+        w.w(0, 1)
+        w.w(1, 6)  # VERBATIM
+        w.w(0, 1)
+        for v in samples:
+            w.signed(v, 12)
+
+    payload = _streaminfo(44100, 1, 12, len(samples)) + _frame(
+        body, len(samples), chan_code=0, depth_code=2
+    )
+    pcm, rate, bps = decode_flac_pcm(payload)
+    assert (rate, bps) == (44100, 12)
+    assert pcm[:, 0].tolist() == samples
+
+
+def test_hand_assembled_lpc_subframe_matches_reference_recurrence():
+    # order-2 LPC, coefs [2, -1], shift 1: x[n] = res + (2x[n-1] - x[n-2]) >> 1
+    warmup = [100, 130]
+    residual = [7, -3, 12, 0, -9, 4]
+    expected = list(warmup)
+    for r in residual:
+        pred = (2 * expected[-1] - 1 * expected[-2]) >> 1
+        expected.append(r + pred)
+
+    def body(w):
+        w.w(0, 1)
+        w.w(32 + 1, 6)  # LPC, order = (type & 31) + 1 = 2
+        w.w(0, 1)
+        for v in warmup:
+            w.signed(v, 16)
+        w.w(4, 4)  # precision-1 → 5-bit coefficients
+        w.signed(1, 5)  # shift
+        w.signed(2, 5)
+        w.signed(-1, 5)
+        w.w(0, 2)  # residual method 0
+        w.w(0, 4)  # partition order 0
+        w.w(3, 4)  # rice k=3
+        _rice(w, residual, 3)
+
+    n = len(expected)
+    payload = _streaminfo(44100, 1, 16, n) + _frame(body, n, 0, 4)
+    pcm, _, _ = decode_flac_pcm(payload)
+    assert pcm[:, 0].tolist() == expected
+
+
+def test_hand_assembled_wasted_bits_shift_back():
+    # verbatim at 16-bit depth with 2 wasted bits: stored 14-bit values
+    # come back left-shifted by 2
+    stored = [3, -5, 40, 0]
+
+    def body(w):
+        w.w(0, 1)
+        w.w(1, 6)
+        w.w(1, 1)  # wasted-bits flag
+        w.unary(1)  # unary 1 → wasted = 2
+        for v in stored:
+            w.signed(v, 14)
+
+    payload = _streaminfo(44100, 1, 16, 4) + _frame(body, 4, 0, 4)
+    pcm, _, _ = decode_flac_pcm(payload)
+    assert pcm[:, 0].tolist() == [v << 2 for v in stored]
+
+
+def test_hand_assembled_5bit_rice_and_partitions_and_escape():
+    # fixed order 1; partition order 1: first partition rice (5-bit
+    # method), second partition raw-escaped at 6 bits
+    samples = [10, 12, 9, 14, 13, 13, 20, 1]
+    residual = [samples[i] - samples[i - 1] for i in range(1, 8)]
+
+    def body(w):
+        w.w(0, 1)
+        w.w(8 + 1, 6)  # FIXED order 1
+        w.w(0, 1)
+        w.signed(samples[0], 16)
+        w.w(1, 2)  # residual method 1: 5-bit parameters
+        w.w(1, 4)  # partition order 1 → two partitions of 4
+        w.w(2, 5)  # partition 0: rice k=2, 3 samples (4 - order)
+        _rice(w, residual[:3], 2)
+        w.w(31, 5)  # partition 1: escape
+        w.w(6, 5)  # 6-bit raw
+        for v in residual[3:]:
+            w.signed(v, 6)
+
+    payload = _streaminfo(44100, 1, 16, 8) + _frame(body, 8, 0, 4)
+    pcm, _, _ = decode_flac_pcm(payload)
+    assert pcm[:, 0].tolist() == samples
+
+
+def test_hand_assembled_left_side_and_right_side():
+    left = [100, 110, 90, 95]
+    right = [40, 42, 44, 46]
+    side = [l - r for l, r in zip(left, right)]
+
+    def verbatim(vals, bits):
+        def body_part(w):
+            w.w(0, 1)
+            w.w(1, 6)
+            w.w(0, 1)
+            for v in vals:
+                w.signed(v, bits)
+
+        return body_part
+
+    def ls_body(w):
+        verbatim(left, 16)(w)
+        verbatim(side, 17)(w)
+
+    def rs_body(w):
+        verbatim(side, 17)(w)
+        verbatim(right, 16)(w)
+
+    p1 = _streaminfo(44100, 2, 16, 4) + _frame(ls_body, 4, 8, 4)
+    p2 = _streaminfo(44100, 2, 16, 4) + _frame(rs_body, 4, 9, 4)
+    for p in (p1, p2):
+        pcm, _, _ = decode_flac_pcm(p)
+        assert pcm[:, 0].tolist() == left and pcm[:, 1].tolist() == right
+
+
+def test_hand_assembled_metadata_blocks_are_skipped():
+    # PADDING (type 1) and VORBIS_COMMENT (type 4) between STREAMINFO and
+    # the first frame must be walked over
+    x = (np.arange(500) % 100 - 50).astype(np.int64) * 100
+    good = encode_flac(x, 44100)
+    info = bytearray(good[:42])
+    info[4] = 0x00  # STREAMINFO no longer last
+    padding = bytes([0x01]) + (6).to_bytes(3, "big") + b"\x00" * 6
+    comment = bytes([0x84]) + (4).to_bytes(3, "big") + b"\x00\x00\x00\x00"
+    spliced = bytes(info) + padding + comment + good[42:]
+    pcm, rate, _ = decode_flac_pcm(spliced)
+    assert rate == 44100 and np.array_equal(pcm[:, 0], x)
+
+
+# ---------------------------------------------------------------------------
+# quarantine behavior
+
+
+def test_corrupt_frame_body_trips_crc_and_quarantines():
+    x = (np.sin(np.arange(4000) / 9) * 5000).astype(np.int16)
+    payload = bytearray(encode_flac(x, 44100))
+    payload[-20] ^= 0x40  # flip a bit inside the last frame's residual
+    with pytest.raises(NotImplementedError):
+        decode_flac_pcm(bytes(payload))
+    # the pipeline entry point degrades to the md5 stand-in, not a crash
+    assert np.array_equal(
+        features_for(bytes(payload)), fake_features(bytes(payload))
+    )
+
+
+def test_corrupt_md5_quarantines():
+    x = np.full(100, 7, dtype=np.int16)
+    payload = bytearray(encode_flac(x, 44100))
+    payload[30] ^= 0xFF  # inside the STREAMINFO md5 field
+    with pytest.raises(NotImplementedError):
+        decode_flac_pcm(bytes(payload))
+
+
+def test_truncated_and_garbage_payloads_quarantine():
+    x = (np.arange(300) * 7 % 2000).astype(np.int16)
+    payload = encode_flac(x, 44100)
+    for bad in (
+        payload[: len(payload) // 2],
+        payload[:40],
+        b"fLaC" + b"\x00" * 60,
+        b"fLoC" + payload[4:],
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_flac_pcm(bad)
+
+
+def test_reserved_subframe_type_quarantines():
+    def body(w):
+        w.w(0, 1)
+        w.w(3, 6)  # reserved subframe type
+        w.w(0, 1)
+
+    payload = _streaminfo(44100, 1, 16, 4) + _frame(body, 4, 0, 4)
+    with pytest.raises(NotImplementedError):
+        decode_flac_pcm(payload)
+
+
+def test_short_stream_vs_streaminfo_quarantines():
+    # STREAMINFO promises 100 samples; the single frame carries 4
+    def body(w):
+        w.w(0, 1)
+        w.w(1, 6)
+        w.w(0, 1)
+        for v in (1, 2, 3, 4):
+            w.signed(v, 16)
+
+    payload = _streaminfo(44100, 1, 16, 100) + _frame(body, 4, 0, 4)
+    with pytest.raises(NotImplementedError):
+        decode_flac_pcm(payload)

@@ -27,6 +27,15 @@ from mapreduce_machine_learning_spark.sources.avi import (
     is_avi,
     real_video_features,
 )
+from mapreduce_machine_learning_spark.sources.flac import decode_flac, is_flac
+from mapreduce_machine_learning_spark.sources.pcm_codecs import (
+    decode_aiff,
+    decode_au,
+    decode_sphere,
+    is_aiff,
+    is_au,
+    is_sphere,
+)
 from mapreduce_machine_learning_spark.sources.gif import decode_gif, is_gif
 from mapreduce_machine_learning_spark.sources.multimodal import (
     _png_chunk,
@@ -379,7 +388,23 @@ def test_spark_features_match_local_decoders(spark):
             )
             want = real_image_features(decode_image(payload))
         elif row.kind == "audio":
-            want = real_audio_features(*decode_wav(payload))
+            # synth rotates WAV / FLAC / AIFF / AU / SPHERE (round 11)
+            if is_flac(payload):
+                fmts.add("flac")
+                decoded = decode_flac(payload)
+            elif is_aiff(payload):
+                fmts.add("aiff")
+                decoded = decode_aiff(payload)
+            elif is_au(payload):
+                fmts.add("au")
+                decoded = decode_au(payload)
+            elif is_sphere(payload):
+                fmts.add("sphere")
+                decoded = decode_sphere(payload)
+            else:
+                fmts.add("wav")
+                decoded = decode_wav(payload)
+            want = real_audio_features(*decoded)
         elif is_avi(payload):  # video: real for DIB/MJPEG AVI...
             want = real_video_features(decode_avi(payload))
         elif is_gif(payload):  # ...and for animated GIF...
@@ -390,8 +415,12 @@ def test_spark_features_match_local_decoders(spark):
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
-    # and ALL FIVE real image formats were actually exercised
-    assert fmts == {"bmp", "png", "jpeg", "gif", "webp"}
+    # and ALL FIVE real image formats + ALL FIVE audio containers were
+    # actually exercised
+    assert fmts == {
+        "bmp", "png", "jpeg", "gif", "webp",
+        "wav", "flac", "aiff", "au", "sphere",
+    }
 
 
 def test_spark_resize_is_real_nearest_neighbor_for_images(spark):

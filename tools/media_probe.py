@@ -44,11 +44,13 @@ def _codec_payloads() -> dict:
         encode_jpeg,
         encode_jpeg_progressive,
     )
+    from mapreduce_machine_learning_spark.sources.flac import encode_flac
     from mapreduce_machine_learning_spark.sources.multimodal import (
         encode_bmp,
         encode_png,
         encode_wav,
     )
+    from mapreduce_machine_learning_spark.sources.webp import encode_webp
 
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
@@ -68,7 +70,9 @@ def _codec_payloads() -> dict:
             img, 90, subsample=True
         ),
         "gif_anim_6f_24x32": encode_gif(gif_frames, gif_pal),
+        "webp_vp8l_48x64": encode_webp(img),
         "wav_8000x16bit": encode_wav(wav, 8000),
+        "flac_8000x16bit": encode_flac(wav, 8000),
         "avi_dib_6f_24x32": encode_avi(frames, fps=10),
         "avi_mjpg_6f_24x32": encode_avi(frames, fps=10, codec="mjpg"),
     }

@@ -33,10 +33,14 @@ Decoder surface (``decode_flac_pcm`` — full fidelity):
 
 The encoder exists so the decoder is round-trip-testable without an
 external library (same contract as the image twins): fixed predictors
-with per-channel order search, exact per-partition Rice parameter
-choice (with raw-escape fallback), per-frame stereo-mode search across
-independent/left-side/right-side/mid-side (so round-trips exercise
-every decorrelation path), CONSTANT/VERBATIM fallbacks, and 8/16/24-bit
+with per-channel order search PLUS quantized-LPC candidates at orders
+2/4/8 (Levinson-Durbin over the block autocorrelation, error-feedback
+coefficient quantization — residuals computed in exact integer
+arithmetic, so LPC frames stay lossless), exact per-partition Rice
+parameter choice (with raw-escape fallback), per-frame stereo-mode
+search across independent/left-side/right-side/mid-side (so round-trips
+exercise every decorrelation AND every subframe path),
+CONSTANT/VERBATIM fallbacks, and 8/16/24-bit
 depths. ``decode_flac_pcm(encode_flac(x)) == x`` bit-exactly for every
 int array that fits the declared depth; the tests also pin the decoder
 against hand-assembled bitstreams written bit by bit from the spec
@@ -595,6 +599,77 @@ def _fixed_residual(x: "np.ndarray", order: int) -> "np.ndarray":
     return np.diff(x, n=order) if order else x.copy()
 
 
+_LPC_ORDERS = (2, 4, 8)
+_LPC_PRECISION = 12
+
+
+def _lpc_candidates(x: "np.ndarray", max_order: int) -> list:
+    """Levinson-Durbin over the block's autocorrelation; returns the
+    float predictor (x[n] ≈ Σ c[j]·x[n-1-j]) at each order in
+    ``_LPC_ORDERS`` (the recursion yields every intermediate order for
+    free). All in-stream math — FLAC carries the quantized coefficients,
+    so nothing here has to match any other encoder."""
+    xf = x.astype(np.float64)
+    n = xf.size
+    autoc = [float(np.dot(xf, xf))]
+    if autoc[0] == 0.0:
+        return []
+    for lag in range(1, max_order + 1):
+        # unbiased estimate (divide by n-lag): the biased taper looks
+        # tiny but on near-singular tonal autocorrelation matrices it
+        # drags order-2 coefficients from the ideal [2cosw, -1] to
+        # useless values; if the unbiased matrix loses positive
+        # definiteness the err<=0 guard below stops the recursion
+        autoc.append(float(np.dot(xf[:-lag], xf[lag:])) * (n / (n - lag)))
+    err = autoc[0]
+    lpc: list[float] = []
+    out = []
+    for i in range(max_order):
+        acc = autoc[i + 1] - sum(lpc[j] * autoc[i - j] for j in range(i))
+        if err <= 0:
+            break
+        k = acc / err
+        lpc = [lpc[j] - k * lpc[i - 1 - j] for j in range(i)] + [k]
+        err *= 1.0 - k * k
+        if (i + 1) in _LPC_ORDERS:
+            out.append(list(lpc))
+    return out
+
+
+def _quantize_lpc(lpc: list) -> tuple[list, int] | None:
+    """(int coefficients, shift) at ``_LPC_PRECISION`` bits with error
+    feedback; None when the filter cannot fit the coded ranges."""
+    cmax = max(abs(c) for c in lpc)
+    if cmax == 0.0 or not np.isfinite(cmax):
+        return None
+    shift = 15
+    while shift > 0 and cmax * (1 << shift) >= (1 << (_LPC_PRECISION - 1)) - 1:
+        shift -= 1
+    if shift == 0:
+        return None  # wildly unstable filter — fixed/verbatim will win
+    lim = 1 << (_LPC_PRECISION - 1)
+    q = []
+    e = 0.0
+    for c in lpc:
+        v = c * (1 << shift) + e
+        qi = min(max(int(round(v)), -lim), lim - 1)
+        e = v - qi
+        q.append(qi)
+    return q, shift
+
+
+def _lpc_residual(x: "np.ndarray", q: list, shift: int) -> "np.ndarray":
+    """Exact integer residual for the quantized predictor — vectorized
+    over the block (the prediction window is original samples, which the
+    decoder has reconstructed exactly by the time it needs them)."""
+    order = len(q)
+    n = x.size
+    acc = np.zeros(n - order, dtype=np.int64)
+    for j, c in enumerate(q):
+        acc += np.int64(c) * x[order - 1 - j : n - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
 def _best_rice_plan(res: "np.ndarray", order: int, block_size: int):
     """Exact cheapest residual encoding: scan partition orders 0..4 and,
     per partition, every Rice parameter plus the raw-binary escape.
@@ -675,8 +750,10 @@ def _encode_subframe(x: "np.ndarray", sub_bps: int, block_size: int) -> _BitWrit
         w.write(0, 8)  # pad 0 | type CONSTANT | wasted 0
         w.write(int(x[0]), sub_bps)
         return w
-    # fixed-order search: cheapest exact plan among orders 0..min(4, n-1),
-    # with VERBATIM as the guaranteed-encodable fallback
+    # predictor search: cheapest exact plan among FIXED orders 0..4 and
+    # quantized-LPC orders 2/4/8 (Levinson-Durbin), with VERBATIM as the
+    # guaranteed-encodable fallback — so round trips exercise every
+    # decoder subframe path
     best = None
     for order in range(0, min(4, block_size - 1) + 1):
         res = _fixed_residual(x, order)
@@ -688,7 +765,23 @@ def _encode_subframe(x: "np.ndarray", sub_bps: int, block_size: int) -> _BitWrit
             continue
         cost = order * sub_bps + plan[0]
         if best is None or cost < best[0]:
-            best = (cost, order, res, plan)
+            best = (cost, ("fixed", order, res, plan))
+    for lpc in _lpc_candidates(x, min(8, block_size - 1)):
+        quant = _quantize_lpc(lpc)
+        if quant is None:
+            continue
+        q, shift = quant
+        order = len(q)
+        res = _lpc_residual(x, q, shift)
+        if res.size and int(np.abs(res).max()) >= (1 << 62):
+            continue
+        try:
+            plan = _best_rice_plan(res, order, block_size)
+        except ValueError:
+            continue
+        cost = order * sub_bps + 9 + order * _LPC_PRECISION + plan[0]
+        if best is None or cost < best[0]:
+            best = (cost, ("lpc", order, res, plan, q, shift))
     verbatim_cost = block_size * sub_bps
     if best is None or best[0] >= verbatim_cost:
         w.write(0, 1)
@@ -697,12 +790,23 @@ def _encode_subframe(x: "np.ndarray", sub_bps: int, block_size: int) -> _BitWrit
         for v in x:
             w.write(int(v), sub_bps)
         return w
-    _, order, res, plan = best
+    kind = best[1]
+    order = kind[1]
+    res, plan = kind[2], kind[3]
     w.write(0, 1)
-    w.write(8 + order, 6)  # FIXED
+    if kind[0] == "fixed":
+        w.write(8 + order, 6)
+    else:
+        w.write(32 + order - 1, 6)
     w.write(0, 1)
     for v in x[:order]:
         w.write(int(v), sub_bps)
+    if kind[0] == "lpc":
+        q, shift = kind[4], kind[5]
+        w.write(_LPC_PRECISION - 1, 4)
+        w.write(shift, 5)
+        for c in q:
+            w.write(c, _LPC_PRECISION)
     _write_residual(w, res, order, block_size, plan)
     return w
 
@@ -726,8 +830,8 @@ def encode_flac(
     """Real FLAC stream from an int array — (n,) mono or (n, 2) stereo,
     depth 8/16/24. Lossless: ``decode_flac_pcm`` returns the input
     bit-exactly. Each frame picks the cheapest of the four stereo modes
-    and the cheapest fixed-predictor/verbatim/constant subframe, so
-    round-trips exercise the decoder's full non-LPC surface."""
+    and the cheapest constant/verbatim/fixed/LPC subframe, so round
+    trips exercise the decoder's full subframe surface."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]

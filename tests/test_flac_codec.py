@@ -152,6 +152,39 @@ def test_decode_flac_normalizes_depth_to_int16_top_bits():
     assert np.array_equal(m8, (x16 >> 8).astype(np.int16) << 8)
 
 
+def _first_subframe_type(payload):
+    """Parse frame 0's first subframe-type code from a mono stream the
+    module encoder produced (44100 Hz → no rate tail)."""
+    from mapreduce_machine_learning_spark.sources.flac import _BitReader
+
+    br = _BitReader(payload[42:])
+    br.read(16)
+    bs = br.read(4)
+    br.read(4 + 4 + 3 + 1 + 8)
+    if bs == 6:
+        br.read(8)
+    elif bs == 7:
+        br.read(16)
+    br.read(8)  # header CRC
+    assert br.read(1) == 0
+    return br.read(6)
+
+
+def test_encoder_reaches_the_lpc_subframe_path():
+    # noisy tonal content: fixed differencing amplifies the noise floor,
+    # so the quantized-LPC candidate must win — and stay bit-exact
+    rng = _rng(5)
+    t = np.arange(30000)
+    x = (np.sin(t / 30) * 12000 + rng.integers(-100, 100, t.size)).astype(
+        np.int16
+    )
+    payload = _roundtrip(x, 44100)
+    ftype = _first_subframe_type(payload)
+    assert ftype >= 32, f"expected an LPC subframe, got type {ftype}"
+    # and it genuinely compresses (order-1 fixed on this signal is ~2x)
+    assert len(payload) < 2 * x.size * 0.8
+
+
 def test_hypothesis_style_randomized_roundtrips():
     rng = _rng(11)
     for trial in range(25):

@@ -832,6 +832,19 @@ def encode_flac(
     bit-exactly. Each frame picks the cheapest of the four stereo modes
     and the cheapest constant/verbatim/fixed/LPC subframe, so round
     trips exercise the decoder's full subframe surface."""
+    header, frames = encode_flac_parts(samples, rate, bps, block_size)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(
+    samples: "np.ndarray",
+    rate: int,
+    bps: int = 16,
+    block_size: int = 4096,
+) -> tuple[bytes, list]:
+    """(``fLaC``+STREAMINFO header bytes, [frame bytes, ...]) — the
+    packet boundaries the Ogg-FLAC mapping needs (``sources/ogg.py``
+    puts the header in the BOS packet and one frame per packet)."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -856,8 +869,7 @@ def encode_flac(
         else:
             raise ValueError(f"sample rate {rate} not encodable")
 
-    frames = bytearray()
-    frame_sizes = []
+    frame_list = []
     for fi, lo in enumerate(range(0, n, block_size)):
         blk = x[lo : lo + block_size]
         bs = blk.shape[0]
@@ -906,23 +918,22 @@ def encode_flac(
         w.align()
         w.write(_crc16(bytes(w.buf)), 16)
         fb = w.bytes()
-        frame_sizes.append(len(fb))
-        frames += fb
+        frame_list.append(fb)
 
     # STREAMINFO (34 bytes) as the single, last metadata block
     md5 = hashlib.md5(_pcm_bytes(x, bps)).digest()
     packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | n
     streaminfo = (
         struct.pack(">HH", min(block_size, n), min(block_size, n))
-        + min(frame_sizes).to_bytes(3, "big")
-        + max(frame_sizes).to_bytes(3, "big")
+        + min(len(f) for f in frame_list).to_bytes(3, "big")
+        + max(len(f) for f in frame_list).to_bytes(3, "big")
         + packed.to_bytes(8, "big")
         + md5
     )
-    return (
+    header = (
         b"fLaC"
         + bytes([0x80])  # last-metadata-block | STREAMINFO
         + len(streaminfo).to_bytes(3, "big")
         + streaminfo
-        + bytes(frames)
     )
+    return header, frame_list

@@ -27,14 +27,17 @@ transforms; bit-exact round trips), **FLAC** audio
 (``sources/flac.py``, round 11 — fixed + LPC prediction, both Rice
 residual methods with escapes, all stereo decorrelation modes,
 8–32-bit depths, CRC-8/CRC-16/MD5 verified; bit-exact round trips),
-and the **speech-corpus containers** AIFF/AIFC, Sun AU, and NIST
+the **speech-corpus containers** AIFF/AIFC, Sun AU, and NIST
 SPHERE with G.711 µ-law/A-law companding (``sources/pcm_codecs.py``,
 round 11 — formula-derived expansion pinned to the published anchor
-values).
+values), and **FLAC-in-Ogg** (``sources/ogg.py``, round 11 — RFC 3533
+page walk with CRC-32 verification and cross-page packet reassembly,
+samples decoded by the shared FLAC decoder; Ogg-Vorbis/Opus payloads
+quarantine with the codec named).
 Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
 ``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI`` /
 ``RIFF..WEBP`` / ``fLaC`` / ``FORM..AIFF`` / ``.snd`` /
-``NIST_1A``); anything
+``NIST_1A`` / ``OggS``); anything
 else — MP3/Vorbis/Opus audio (normative-table codecs whose ISO/Xiph
 constant tables are not in this container — see the ``sources/flac.py``
 docstring for why approximating them would be worse than the seam),
@@ -78,6 +81,7 @@ from mapreduce_machine_learning_spark.sources.flac import (
     is_flac,
 )
 from mapreduce_machine_learning_spark.sources.pcm_codecs import (
+    _pcm_to_int16,
     decode_aiff,
     decode_au,
     decode_sphere,
@@ -93,6 +97,11 @@ from mapreduce_machine_learning_spark.sources.gif import (
     encode_gif,
     encode_gif_rgb,
     is_gif,
+)
+from mapreduce_machine_learning_spark.sources.ogg import (
+    decode_ogg_audio,
+    encode_ogg_flac,
+    is_ogg,
 )
 from mapreduce_machine_learning_spark.sources.jpeg import (
     decode_jpeg,
@@ -459,28 +468,36 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
-    """(int16 samples, sample_rate) from a PCM WAV — stdlib ``wave``.
+    """(int16 samples, sample_rate) from a WAV — stdlib ``wave`` for
+    plain integer PCM, a manual RIFF walk for what the stdlib rejects.
 
     8/16/24/32-bit integer PCM all decode (round 10): every width
     normalizes to the int16 domain by taking the top 16 bits (8-bit is
     offset-binary per the spec and is re-centered), so downstream
     RMS/ZCR features are depth-invariant up to the dropped low bits.
-    Multi-channel audio is downmixed to channel 0 (deterministic, keeps
-    the feature contract mono). Float/compressed WAV raises at the seam
-    (the stdlib module itself rejects non-PCM format tags)."""
+    Round 11 adds IEEE-float WAV (format tag 3, 32/64-bit — pure
+    structural IEEE 754, scaled and clipped into int16) and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the real format code is the
+    first two GUID bytes; PCM and float sub-formats decode, others
+    raise). Multi-channel audio is downmixed to channel 0
+    (deterministic, keeps the feature contract mono). Compressed WAV
+    (ADPCM/MP3-in-WAV) still raises at the seam."""
     if not is_wav(payload):
         raise NotImplementedError("not a WAV payload")
-    with wave.open(_io.BytesIO(payload), "rb") as wf:
-        width = wf.getsampwidth()
-        if width not in (1, 2, 3, 4):
-            raise NotImplementedError(
-                f"only 8/16/24/32-bit integer PCM WAV decodes "
-                f"in-container (got sample width {width})"
-            )
-        n = wf.getnframes()
-        raw = wf.readframes(n)
-        rate = wf.getframerate()
-        ch = wf.getnchannels()
+    try:
+        with wave.open(_io.BytesIO(payload), "rb") as wf:
+            width = wf.getsampwidth()
+            if width not in (1, 2, 3, 4):
+                raise NotImplementedError(
+                    f"only 8/16/24/32-bit integer PCM WAV decodes "
+                    f"in-container (got sample width {width})"
+                )
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+    except wave.Error:
+        return _decode_wav_manual(payload)
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2")
     elif width == 1:
@@ -497,6 +514,59 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
         samples = (
             np.frombuffer(raw, dtype="<i4") >> 16
         ).astype(np.int16)
+    if ch > 1:
+        samples = samples[::ch]
+    return samples, rate
+
+
+def _decode_wav_manual(payload: bytes) -> tuple["np.ndarray", int]:
+    """RIFF walk for the WAVs the stdlib module rejects: IEEE-float
+    (format tag 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE, whose real format
+    code is the first two bytes of the sub-format GUID). Everything here
+    is structural — chunk layout + IEEE 754."""
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise NotImplementedError("truncated WAV chunk")
+        if tag == b"fmt " and size >= 16:
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-padded
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    ftag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if ftag == 0xFFFE:
+        if len(fmt) < 26:
+            raise NotImplementedError("extensible WAV missing sub-format")
+        ftag = struct.unpack_from("<H", fmt, 24)[0]
+    if ch < 1 or rate == 0:
+        raise NotImplementedError("invalid WAV fmt fields")
+    if ftag == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data[: len(data) - len(data) % 4], "<f4")
+        elif bits == 64:
+            f = np.frombuffer(data[: len(data) - len(data) % 8], "<f8")
+        else:
+            raise NotImplementedError(f"float WAV with {bits} bits")
+        samples = np.clip(
+            np.nan_to_num(f.astype(np.float64)) * 32767.0, -32768, 32767
+        ).astype(np.int16)
+    elif ftag == 1:  # extensible-wrapped integer PCM
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(f"PCM WAV with {bits} bits")
+        samples = _pcm_to_int16(
+            data, bits // 8, big_endian=False, signed=bits > 8
+        )
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {ftag} needs an external codec"
+        )
     if ch > 1:
         samples = samples[::ch]
     return samples, rate
@@ -571,8 +641,8 @@ def real_audio_features(samples: "np.ndarray", rate: int) -> "np.ndarray":
 def features_for(payload: bytes) -> "np.ndarray":
     """Codec dispatch by magic bytes: real pixel/sample features for the
     in-container formats (BMP / PNG / JPEG / GIF / lossless WebP images,
-    WAV / FLAC / AIFF / AU / SPHERE audio, DIB- and MJPEG-AVI +
-    animated-GIF video), the md5 stand-in otherwise.
+    WAV / FLAC / AIFF / AU / SPHERE / Ogg-FLAC audio, DIB- and
+    MJPEG-AVI + animated-GIF video), the md5 stand-in otherwise.
     Pure per-payload function — deterministic under any partitioning.
 
     ANY codec failure degrades to the stand-in, not just unsupported
@@ -603,6 +673,8 @@ def features_for(payload: bytes) -> "np.ndarray":
             return real_audio_features(*decode_au(payload))
         if is_sphere(payload):
             return real_audio_features(*decode_sphere(payload))
+        if is_ogg(payload):  # FLAC-in-Ogg real; Vorbis/Opus quarantine
+            return real_audio_features(*decode_ogg_audio(payload))
         if is_avi(payload):
             return real_video_features(decode_avi(payload))
     except Exception:
@@ -661,8 +733,9 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     formats the in-container codecs decode: deterministic gradients rotated
     through 24-bit BMP, 8-bit PNG, and JPEG (baseline and progressive;
     4:4:4 and 4:2:0 alternating; id-seeded geometry and channel phases)
-    and 16-bit sine bursts (id-seeded frequency) rotating the five real
-    audio containers (PCM WAV / FLAC / AIFF / µ-law AU / NIST SPHERE).
+    and 16-bit sine bursts (id-seeded frequency) rotating the six real
+    audio containers (PCM WAV / FLAC / AIFF / µ-law AU / NIST SPHERE /
+    FLAC-in-Ogg).
     Image rows
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
     lossless WebP; video rows rotate opaque stand-in bytes, DIB AVI,
@@ -707,8 +780,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             samples = (
                 np.sin(2 * np.pi * freq * t / rate) * (8000 + 100 * i)
             ).astype(np.int16)
-            # rotate all five real audio containers (round 11)
-            afmt = (i // 3) % 5
+            # rotate all six real audio containers (round 11)
+            afmt = (i // 3) % 6
             if afmt == 1:
                 payload = encode_flac(samples, rate)
             elif afmt == 2:
@@ -717,6 +790,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 payload = encode_au(samples, rate, encoding=1)  # µ-law
             elif afmt == 4:
                 payload = encode_sphere(samples, rate)
+            elif afmt == 5:
+                payload = encode_ogg_flac(samples, rate)
             else:
                 payload = encode_wav(samples, rate)
             dur_ms = int(1000 * len(samples) / rate)

@@ -28,6 +28,10 @@ from mapreduce_machine_learning_spark.sources.avi import (
     real_video_features,
 )
 from mapreduce_machine_learning_spark.sources.flac import decode_flac, is_flac
+from mapreduce_machine_learning_spark.sources.ogg import (
+    decode_ogg_audio,
+    is_ogg,
+)
 from mapreduce_machine_learning_spark.sources.pcm_codecs import (
     decode_aiff,
     decode_au,
@@ -388,10 +392,13 @@ def test_spark_features_match_local_decoders(spark):
             )
             want = real_image_features(decode_image(payload))
         elif row.kind == "audio":
-            # synth rotates WAV / FLAC / AIFF / AU / SPHERE (round 11)
+            # synth rotates WAV/FLAC/AIFF/AU/SPHERE/Ogg-FLAC (round 11)
             if is_flac(payload):
                 fmts.add("flac")
                 decoded = decode_flac(payload)
+            elif is_ogg(payload):
+                fmts.add("ogg")
+                decoded = decode_ogg_audio(payload)
             elif is_aiff(payload):
                 fmts.add("aiff")
                 decoded = decode_aiff(payload)
@@ -415,11 +422,11 @@ def test_spark_features_match_local_decoders(spark):
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
-    # and ALL FIVE real image formats + ALL FIVE audio containers were
+    # and ALL FIVE real image formats + ALL SIX audio containers were
     # actually exercised
     assert fmts == {
         "bmp", "png", "jpeg", "gif", "webp",
-        "wav", "flac", "aiff", "au", "sphere",
+        "wav", "flac", "aiff", "au", "sphere", "ogg",
     }
 
 

@@ -215,6 +215,79 @@ def test_hand_assembled_sphere_big_endian_pcm():
 
 
 # ---------------------------------------------------------------------------
+# float / extensible WAV (handled by multimodal's manual RIFF fallback,
+# tested here with the rest of the round-11 audio surface)
+
+
+def _wav_container(fmt_body: bytes, data: bytes) -> bytes:
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    inner = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+
+def test_float32_and_float64_wav_decode():
+    from mapreduce_machine_learning_spark.sources.multimodal import decode_wav
+
+    vals = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0, np.nan])
+    want = np.clip(np.nan_to_num(vals) * 32767.0, -32768, 32767).astype(
+        np.int16
+    )
+    for bits, dt in ((32, "<f4"), (64, "<f8")):
+        fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * bits // 8, bits // 8, bits)
+        payload = _wav_container(fmt, vals.astype(dt).tobytes())
+        s, rate = decode_wav(payload)
+        assert rate == 16000 and np.array_equal(s, want), bits
+
+
+def test_extensible_wav_pcm_and_float_subformats():
+    from mapreduce_machine_learning_spark.sources.multimodal import decode_wav
+
+    guid_tail = bytes(14)  # decoder reads only the 2-byte format code
+    # extensible 24-bit stereo PCM
+    x = np.array([0x123456, -0x123456, 0x7FFF00, -0x400000], dtype=np.int64)
+    interleaved = np.repeat(x, 2)  # L == R
+    data = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in interleaved
+    )
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 2, 48000, 48000 * 6, 6, 24)
+        + struct.pack("<HHI", 22, 24, 3)
+        + struct.pack("<H", 1)
+        + guid_tail
+    )
+    s, rate = decode_wav(_wav_container(fmt, data))
+    assert rate == 48000 and s.tolist() == [int(v) >> 8 for v in x]
+    # extensible float32 mono
+    fvals = np.array([0.25, -0.75], dtype=np.float32)
+    fmt_f = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+        + struct.pack("<HHI", 22, 32, 4)
+        + struct.pack("<H", 3)
+        + guid_tail
+    )
+    s, rate = decode_wav(_wav_container(fmt_f, fvals.tobytes()))
+    assert s.tolist() == [8191, -24575]
+
+
+def test_compressed_wav_still_quarantines():
+    from mapreduce_machine_learning_spark.sources.multimodal import (
+        decode_wav,
+        fake_features,
+        features_for,
+    )
+
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)  # MS ADPCM
+    payload = _wav_container(fmt, b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_wav(payload)
+    assert np.array_equal(features_for(payload), fake_features(payload))
+
+
+# ---------------------------------------------------------------------------
 # feature-pipeline dispatch + quarantine
 
 

@@ -45,6 +45,7 @@ def _codec_payloads() -> dict:
         encode_jpeg_progressive,
     )
     from mapreduce_machine_learning_spark.sources.flac import encode_flac
+    from mapreduce_machine_learning_spark.sources.ogg import encode_ogg_flac
     from mapreduce_machine_learning_spark.sources.multimodal import (
         encode_bmp,
         encode_png,
@@ -73,6 +74,7 @@ def _codec_payloads() -> dict:
         "webp_vp8l_48x64": encode_webp(img),
         "wav_8000x16bit": encode_wav(wav, 8000),
         "flac_8000x16bit": encode_flac(wav, 8000),
+        "ogg_flac_8000x16bit": encode_ogg_flac(wav, 8000),
         "avi_dib_6f_24x32": encode_avi(frames, fps=10),
         "avi_mjpg_6f_24x32": encode_avi(frames, fps=10, codec="mjpg"),
     }

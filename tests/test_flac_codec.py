@@ -435,6 +435,46 @@ def test_hand_assembled_left_side_and_right_side():
         assert pcm[:, 0].tolist() == left and pcm[:, 1].tolist() == right
 
 
+def test_hand_assembled_8bit_khz_rate_code():
+    # rate code 12 (8-bit kHz follows the frame number) — a header form
+    # our encoder never emits (it prefers codes 13/14)
+    samples = [10, -20, 30, -40]
+
+    def body(w):
+        w.w(0, 1)
+        w.w(1, 6)  # VERBATIM
+        w.w(0, 1)
+        for v in samples:
+            w.signed(v, 16)
+
+    w = _W()
+    w.w(0x3FFE, 14)
+    w.w(0, 2)
+    w.w(6, 4)  # 8-bit explicit block size
+    w.w(12, 4)  # 8-bit kHz rate
+    w.w(0, 4)
+    w.w(4, 3)
+    w.w(0, 1)
+    w.w(0, 8)  # frame 0
+    w.w(len(samples) - 1, 8)
+    w.w(32, 8)  # 32 kHz
+    hdr = w.bytes()
+    w2 = _W()
+    for b in hdr:
+        w2.w(b, 8)
+    w2.w(_crc8_ref(hdr), 8)
+    body(w2)
+    w2.align()
+    partial = w2.bytes()
+    w3 = _W()
+    for b in partial:
+        w3.w(b, 8)
+    w3.w(_crc16_ref(partial), 16)
+    payload = _streaminfo(32000, 1, 16, 4) + w3.bytes()
+    pcm, rate, _ = decode_flac_pcm(payload)
+    assert rate == 32000 and pcm[:, 0].tolist() == samples
+
+
 def test_hand_assembled_metadata_blocks_are_skipped():
     # PADDING (type 1) and VORBIS_COMMENT (type 4) between STREAMINFO and
     # the first frame must be walked over

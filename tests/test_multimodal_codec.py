@@ -373,6 +373,66 @@ def test_unsupported_formats_raise_and_fall_back():
         assert list(features_for(c)) == list(fake_features(c))
 
 
+def test_fuzzed_audio_payloads_always_quarantine_fast():
+    """Seeded mutation fuzz over every round-11 audio container: bit
+    flips, byte splats, truncations, header-focused corruption, and
+    magic-prefixed garbage. ``features_for`` must return the 8-float
+    contract for every one — never raise, hang, or blow memory (one
+    corrupt row cannot kill a 100k-row task). An unseeded 3700-payload
+    run was clean at round-11 time; this pins a 1400-payload seeded
+    slice of it."""
+    import time as _time
+
+    from mapreduce_machine_learning_spark.sources.flac import encode_flac
+    from mapreduce_machine_learning_spark.sources.ogg import encode_ogg_flac
+    from mapreduce_machine_learning_spark.sources.pcm_codecs import (
+        encode_aiff,
+        encode_au,
+        encode_sphere,
+    )
+
+    rng = np.random.default_rng(42)
+    x = (np.sin(np.arange(3000) / 17) * 9000).astype(np.int16)
+    bases = (
+        encode_flac(x, 44100),
+        encode_ogg_flac(x, 44100),
+        encode_aiff(x, 16000),
+        encode_aiff(x, 8000, compression=b"ulaw"),
+        encode_au(x, 8000, encoding=1),
+        encode_sphere(x, 16000),
+        encode_wav(x, 8000),
+    )
+    t0 = _time.time()
+    for base in bases:
+        for trial in range(150):
+            p = bytearray(base)
+            kind = trial % 4
+            if kind == 0:
+                for _ in range(int(rng.integers(1, 4))):
+                    p[rng.integers(0, len(p))] ^= 1 << rng.integers(0, 8)
+            elif kind == 1:
+                i = int(rng.integers(0, len(p)))
+                j = min(len(p), i + int(rng.integers(1, 64)))
+                p[i:j] = bytes(
+                    rng.integers(0, 256, j - i, dtype=np.uint8).tolist()
+                )
+            elif kind == 2:
+                p = p[: rng.integers(1, len(p))]
+            else:
+                for _ in range(3):
+                    p[rng.integers(0, min(64, len(p)))] ^= 0xFF
+            assert features_for(bytes(p)).shape == (8,)
+    for magic in (b"fLaC", b"OggS", b"FORM....AIFF", b".snd", b"NIST_1A\n"):
+        for _ in range(70):
+            blob = magic + bytes(
+                rng.integers(
+                    0, 256, int(rng.integers(8, 4000)), dtype=np.uint8
+                ).tolist()
+            )
+            assert features_for(blob).shape == (8,)
+    assert _time.time() - t0 < 60  # the whole batch is sub-second normally
+
+
 def test_spark_features_match_local_decoders(spark):
     media = synth_media_real(spark, n=48).repartition(7)
     got = {r.media_id: r for r in extract_features(media).collect()}

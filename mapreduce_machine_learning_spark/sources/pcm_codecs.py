@@ -20,7 +20,8 @@ PCM payloads; G.711 round-trips are value-exact over the companded
 domain: decode(encode(x)) is idempotent, and every code byte except
 µ-law's duplicated ±0 pair survives encode(decode(byte)) == byte).
 
-Seams (documented refusals, callers quarantine): float PCM, AIFC
+Seams (documented refusals, callers quarantine): float samples in
+AIFC/AU (float WAV decodes via ``multimodal._decode_wav_manual``), AIFC
 compression types beyond PCM/G.711, SPHERE ``shorten``-compressed
 payloads, and the MP3/Vorbis/Opus family (see ``sources/flac.py`` for
 why approximating their normative tables would be worse than the seam).

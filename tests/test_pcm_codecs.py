@@ -184,6 +184,28 @@ def test_hand_assembled_aiff_with_odd_chunks_and_stereo():
     assert np.array_equal(s, left)  # downmix = channel 0
 
 
+def test_hand_assembled_aifc_sowt_little_endian_pcm():
+    # AIFC with compression 'sowt' = byte-swapped (little-endian) PCM —
+    # a branch our encoder never emits
+    vals = np.array([1000, -2000, 32000, -32768], dtype=np.int16)
+    f80 = struct.pack(">HQ", 16383 + 13, 8000 << (63 - 13))
+    comm = (
+        struct.pack(">HIH", 1, 4, 16)
+        + f80
+        + b"sowt"
+        + b"\x00\x00"  # empty pstring name, padded
+    )
+    ssnd = struct.pack(">II", 0, 0) + vals.astype("<i2").tobytes()
+    body = (
+        b"AIFC"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    s, rate = decode_aiff(payload)
+    assert rate == 8000 and np.array_equal(s, vals.astype(np.int16))
+
+
 def test_hand_assembled_au_24bit_pcm_and_unknown_size():
     # 24-bit big-endian PCM, data_size = 0xFFFFFFFF (unknown, per spec)
     vals = [0x123456, -0x123456, 0x7FFF00]

@@ -857,6 +857,10 @@ def encode_flac_parts(
         raise ValueError(f"samples exceed {bps}-bit signed range")
     if rate <= 0 or rate >= (1 << 20):
         raise ValueError(f"sample rate {rate} not encodable")
+    if not 1 <= block_size <= 65536:
+        # the frame header stores blocksize-minus-1 in 16 bits; anything
+        # larger would silently truncate into a corrupt stream
+        raise ValueError(f"block size {block_size} not encodable (1..65536)")
     n, channels = x.shape
 
     rate_code = _RATE_TO_CODE.get(rate)

@@ -150,6 +150,21 @@ def decode_ogg_flac(payload: bytes) -> tuple["np.ndarray", int, int]:
     native = bytearray(first[9:])  # "fLaC" + STREAMINFO block
     if native[:4] != b"fLaC":
         raise NotImplementedError("Ogg-FLAC BOS packet missing fLaC signature")
+    if n_headers == 0:
+        # mapping spec: header count 0 means "unknown", not "exactly
+        # zero" — keep consuming packets that parse as one complete
+        # metadata block (type 1-6, declared length matching the packet)
+        # until the first audio frame (sync byte 0xFF can never collide:
+        # its block-type field would read 0x7F, which is invalid)
+        for pkt in packets[1:]:
+            if (
+                len(pkt) >= 4
+                and 1 <= (pkt[0] & 0x7F) <= 6
+                and int.from_bytes(pkt[1:4], "big") == len(pkt) - 4
+            ):
+                n_headers += 1
+            else:
+                break
     if n_headers + 1 > len(packets):
         raise NotImplementedError("Ogg-FLAC promises more header packets than exist")
     for pkt in packets[1 : 1 + n_headers]:
@@ -209,14 +224,23 @@ def encode_ogg_flac(
     max_segments_per_page: int = 255,
 ) -> bytes:
     """FLAC-in-Ogg from an int array: BOS page carries the mapping
-    packet (header count 0 — STREAMINFO stays last-flagged), then one
-    audio frame per packet, paged under ``max_segments_per_page`` (lower
-    it to force packets to span pages; decoders must reassemble)."""
+    packet with an accurate header count of 1, a minimal VorbisComment
+    header packet follows on its own page (the mapping spec makes that
+    packet mandatory), then one audio frame per packet, paged under
+    ``max_segments_per_page`` (lower it to force packets to span pages;
+    decoders must reassemble)."""
     if not 1 <= max_segments_per_page <= 255:
         raise ValueError("max_segments_per_page must be in 1..255")
     header, frames = encode_flac_parts(samples, rate, bps, block_size)
     serial = 0x464C4143  # arbitrary but fixed: deterministic output
-    mapping = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + header
+    # one mandatory VorbisComment header packet, last-metadata-flagged;
+    # STREAMINFO in the BOS packet drops its last flag accordingly
+    header = bytearray(header)
+    header[4] &= 0x7F
+    vendor = b"mrml-spark"
+    vc_body = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+    vorbis_comment = bytes([0x84]) + len(vc_body).to_bytes(3, "big") + vc_body
+    mapping = b"\x7fFLAC\x01\x00" + struct.pack(">H", 1) + bytes(header)
     pages = []
     seq = 0
 
@@ -232,6 +256,9 @@ def encode_ogg_flac(
     if len(bos_segs) > 255:
         raise ValueError("Ogg-FLAC mapping packet too large for one page")
     pages.append(_page(serial, seq, 0x02, 0, bos_segs))
+    seq += 1
+    # header packets ride their own pages (granule 0) before any audio
+    pages.append(_page(serial, seq, 0x00, 0, lace(vorbis_comment)))
     seq += 1
 
     # audio segment stream: each entry is (segment bytes, granule position

@@ -272,10 +272,14 @@ def decode_au(payload: bytes) -> tuple["np.ndarray", int]:
     8/16/24/32 (2-5), A-law (27). Float encodings quarantine."""
     if not is_au(payload):
         raise NotImplementedError("not an AU payload")
-    _, offset, _size, enc, rate, channels = struct.unpack_from(">IIIIII", payload, 0)
+    _, offset, size, enc, rate, channels = struct.unpack_from(">IIIIII", payload, 0)
     if offset < 24 or offset > len(payload) or channels < 1:
         raise NotImplementedError("invalid AU header")
     data = payload[offset:]
+    if size != 0xFFFFFFFF:
+        # the data-size field is authoritative when set (0xFFFFFFFF means
+        # unknown); trailing annotation/padding bytes are not audio
+        data = data[:size]
     if enc == 1:
         samples = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     elif enc == 27:
@@ -346,6 +350,22 @@ def decode_sphere(payload: bytes) -> tuple["np.ndarray", int]:
         raise NotImplementedError(
             "shorten-compressed SPHERE needs an external codec"
         )
+    count_field = fields.get("sample_count")
+    if count_field is not None:
+        # the declared sample_count bounds the audio region — bytes after
+        # it (trailing annotation) are not samples, and a shortfall means
+        # a truncated file (mirroring the AIFF COMM length check)
+        try:
+            count = int(count_field)
+        except ValueError:
+            raise NotImplementedError("malformed SPHERE numeric field") from None
+        unit = 1 if coding.startswith((b"ulaw", b"mu-law", b"alaw")) else width
+        need = count * channels * unit
+        if need > len(data):
+            raise NotImplementedError(
+                "SPHERE payload shorter than declared sample_count"
+            )
+        data = data[:need]
     if coding.startswith(b"ulaw") or coding.startswith(b"mu-law"):
         samples = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     elif coding.startswith(b"alaw"):

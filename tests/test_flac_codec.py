@@ -209,6 +209,12 @@ def test_encoder_rejects_out_of_contract_input():
         encode_flac(np.array([1]), 44100, bps=12)  # unsupported depth
     with pytest.raises(ValueError):
         encode_flac(np.array([1]), 100001, bps=16)  # not form-encodable
+    with pytest.raises(ValueError):
+        # ADVICE r11: the 16-bit blocksize-minus-1 frame field would
+        # silently truncate — must reject, not corrupt
+        encode_flac(np.array([1]), 44100, block_size=65537)
+    with pytest.raises(ValueError):
+        encode_flac(np.array([1]), 44100, block_size=0)
 
 
 # ---------------------------------------------------------------------------

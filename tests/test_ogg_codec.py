@@ -216,3 +216,59 @@ def test_bos_packet_sanity_checks():
     junk = _ref_page(5, 0, 0x06, [b"\x7fJUNKxxxxxxxxxx"])
     with pytest.raises(NotImplementedError):
         decode_ogg_flac(junk)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11: header-count 0 means "unknown" per the mapping spec, and the
+# encoder carries the mandatory VorbisComment header with an accurate count
+
+
+def test_zero_header_count_means_unknown_not_exactly_zero():
+    # a conformant stream may declare header count 0 ("unknown"); the
+    # decoder must keep consuming packets that parse as metadata blocks
+    # before switching to audio, instead of decoding them as frames
+    x = _tone(2000, seed=7)
+    header, frames = encode_flac_parts(x, 44100)
+    header = bytearray(header)
+    header[4] &= 0x7F  # STREAMINFO is not the last metadata block here
+    mapping = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + bytes(header)
+    vendor = b"ref"
+    vc_body = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+    vc = bytes([0x84]) + len(vc_body).to_bytes(3, "big") + vc_body
+    pad = bytes([0x01]) + (6).to_bytes(3, "big") + b"\x00" * 6
+
+    def lace(p):
+        segs = [p[i : i + 255] for i in range(0, len(p), 255)]
+        if not segs or len(segs[-1]) == 255:
+            segs.append(b"")
+        return segs
+
+    audio_segs = []
+    for f in frames:
+        audio_segs += lace(f)
+    pages = _ref_page(5, 0, 0x02, lace(mapping))
+    pages += _ref_page(5, 1, 0x00, lace(pad) + lace(vc))
+    pages += _ref_page(5, 2, 0x04, audio_segs, granule=len(x))
+    pcm, rate, bps = decode_ogg_flac(pages)
+    assert (rate, bps) == (44100, 16)
+    assert np.array_equal(pcm[:, 0], x.astype(np.int64))
+
+
+def test_encoder_emits_mandatory_vorbis_comment_with_accurate_count():
+    x = _tone(1500, seed=11)
+    payload = encode_ogg_flac(x, 44100)
+    packets = decode_ogg(payload)
+    # mapping packet declares exactly one following header packet ...
+    assert struct.unpack_from(">H", packets[0], 7)[0] == 1
+    # ... and STREAMINFO inside the BOS packet drops its last flag
+    assert packets[0][13] & 0x80 == 0
+    # the header packet is a well-formed, last-flagged VorbisComment
+    vc = packets[1]
+    assert vc[0] == 0x84
+    assert int.from_bytes(vc[1:4], "big") == len(vc) - 4
+    vlen = struct.unpack_from("<I", vc, 4)[0]
+    assert vc[8 : 8 + vlen] == b"mrml-spark"
+    assert struct.unpack_from("<I", vc, 8 + vlen)[0] == 0  # no user comments
+    pcm, rate, bps = decode_ogg_flac(payload)
+    assert (rate, bps) == (44100, 16)
+    assert np.array_equal(pcm[:, 0], x.astype(np.int64))

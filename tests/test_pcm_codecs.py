@@ -349,3 +349,43 @@ def test_quarantine_paths():
     # all of them degrade to the md5 stand-in through features_for
     for bad in (aiff[: len(aiff) // 2], au_float, sph_text):
         assert np.array_equal(features_for(bad), fake_features(bad))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11: declared-size fields bound the audio region
+
+
+def test_au_data_size_field_clips_trailing_annotation():
+    x = np.array([100, -200, 300], dtype=np.int16)
+    data = x.astype(">i2").tobytes()
+    payload = (
+        struct.pack(">IIIIII", 0x2E736E64, 24, len(data), 3, 8000, 1)
+        + data
+        + b"trailing annotation\x00\x00"
+    )
+    s, rate = decode_au(payload)
+    assert rate == 8000 and np.array_equal(s, x)
+
+
+def test_sphere_sample_count_clips_and_guards_trailing_data():
+    x = np.array([10, -20, 30, -40], dtype=np.int16)
+
+    def build(count, extra=b""):
+        header = (
+            b"NIST_1A\n    512\n"
+            b"sample_rate -i 8000\n"
+            b"channel_count -i 1\n"
+            b"sample_count -i " + str(count).encode() + b"\n"
+            b"sample_n_bytes -i 2\n"
+            b"sample_byte_format -s2 01\n"
+            b"sample_coding -s3 pcm\n"
+            b"end_head\n"
+        )
+        pad = b" " * (512 - len(header))
+        return header + pad + x.astype("<i2").tobytes() + extra
+
+    s, rate = decode_sphere(build(4, extra=b"trailing-annotation"))
+    assert rate == 8000 and np.array_equal(s, x)
+    # declaring more samples than the payload holds is a truncated file
+    with pytest.raises(NotImplementedError):
+        decode_sphere(build(9))

@@ -60,6 +60,40 @@ LLM_BASELINE_SF01 = {
 }
 LLM_GATE_JITTER_S = 0.25
 
+# JIT-settled threshold for the steady-MEDIAN warning (VERDICT r11 #2,
+# round 12). tools/profile_cold_incremental.py measured WHERE the
+# recurring q_llm_dedup_incremental cold spike goes: the cold run's tasks
+# burn ~3.4x the steady core-seconds on an identical plan while the JVM
+# compiles 65 s of JIT thread-time and loads ~13.5k classes, and even
+# "steady" runs still compile 11-27 s of JIT each (PROFILE_incremental_
+# r12.json; driver-side planning gap is ~1.1 s, so codegen/planning and
+# the _ckpt write are NOT the cost). A timed sample taken while the JIT
+# burned more than this much compile time is warm-up, not steady state —
+# the measured separation on the slow-band profile host was 11.4 s
+# (settled, wall ~= best) vs 21-27 s (warming, wall 1.6x best). Such
+# samples still feed the HARD min gate (a real regression lifts the min
+# regardless), but the NON-GATING median warning reads only the settled
+# samples: three rounds (r9-r11) of median warnings on this query all
+# adjudicated to host/JIT state, never to a plan change.
+JIT_SETTLED_MS = 15000
+
+
+def settled_median(samples: list, jit_ms) -> float | None:
+    """Median of the JIT-settled steady samples (samples[1:] whose
+    measured JIT compile time is at most JIT_SETTLED_MS). Falls back to
+    the plain steady median when no per-sample JIT measurements exist;
+    returns None when every steady sample was taken mid-warm-up (the
+    caller records the suppression — see llm_median_jit_suppressed in the
+    detail record). Pure, pinned by tests/test_bench_config.py."""
+    if not samples or len(samples) < 2:
+        return None
+    if not jit_ms or len(jit_ms) != len(samples):
+        return round(statistics.median(samples[1:]), 4)
+    settled = [s for s, j in zip(samples[1:], jit_ms[1:]) if j <= JIT_SETTLED_MS]
+    if not settled:
+        return None
+    return round(statistics.median(settled), 4)
+
 # BENCH_r04's headline steady total (the fastest honest full-session
 # measurement on record) — the reference for the host-drift hint below.
 # This box drifts 1.5-1.9x between sessions on identical code (BASELINE.md
@@ -297,20 +331,28 @@ def main() -> None:
     extra: dict[str, float] = {}
     llm_steady: dict[str, float] = {}
     llm_samples: dict[str, list[float]] = {}
+    llm_jit_ms: dict[str, list[int]] = {}
+    # per-sample JIT compile time (CompilationMXBean, cumulative ms across
+    # JIT threads) — the settled-median evidence; see JIT_SETTLED_MS
+    jit_bean = spark._jvm.java.lang.management.ManagementFactory.getCompilationMXBean()
     for name in llm_chain:
         if name not in queries:
             continue
         reset_memo()
         queries[name](spark, sf_dir).collect()  # warm (JIT/IO), then cold-time
         samples = []
+        jits = []
         for _ in range(4):
             reset_memo()
+            j0 = jit_bean.getTotalCompilationTime()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             samples.append(round(time.perf_counter() - t0, 4))
+            jits.append(int(jit_bean.getTotalCompilationTime() - j0))
         extra[name] = samples[0]
         llm_steady[name] = round(statistics.median(samples[1:]), 4)
         llm_samples[name] = samples
+        llm_jit_ms[name] = jits
 
     total = round(sum(timings.values()), 4)
     # 2× regression gate for the LLM-pipeline set (BASELINE.md "LLM-
@@ -321,14 +363,38 @@ def main() -> None:
     # outright.
     regressions = {}
     median_warns = {}
+    steady_settled: dict = {}
+    jit_suppressed: dict = {}
     if abs(float(sf) - 0.1) < 1e-9:
-        regressions, median_warns = gate_llm(llm_samples, extra, llm_steady)
+        # the median warning reads JIT-settled samples only (round 12 —
+        # see JIT_SETTLED_MS): a sample timed while the JVM was still
+        # compiling is warm-up, not an intermittent plan regression. The
+        # hard min gate still sees every sample via llm_samples.
+        steady_settled = {
+            n: m
+            for n in llm_samples
+            if (m := settled_median(llm_samples[n], llm_jit_ms.get(n)))
+            is not None
+        }
+        jit_suppressed = {
+            n: {"samples": llm_samples[n], "jit_ms": llm_jit_ms.get(n)}
+            for n in llm_samples
+            if n not in steady_settled
+        }
+        regressions, median_warns = gate_llm(llm_samples, extra, steady_settled)
         if regressions:
             print(f"LLM-pipeline 2x regressions: {regressions}", file=sys.stderr)
         if median_warns:
             print(
-                "LLM-pipeline steady MEDIAN above 2x bound (non-gating; min "
-                f"sample passed — intermittent or host noise): {median_warns}",
+                "LLM-pipeline settled-steady MEDIAN above 2x bound "
+                "(non-gating; min sample passed — intermittent or host "
+                f"noise): {median_warns}",
+                file=sys.stderr,
+            )
+        if jit_suppressed:
+            print(
+                "LLM-pipeline median check skipped (every steady sample "
+                f"timed mid-JIT-warm-up): {sorted(jit_suppressed)}",
                 file=sys.stderr,
             )
     # one drift hint, reused by every field derived from it — three
@@ -373,6 +439,11 @@ def main() -> None:
         "llm_pipeline": extra,
         "llm_steady": llm_steady,
         "llm_samples": llm_samples,
+        # per-sample JIT compile ms + the settled medians the median
+        # warning actually read (round 12; see JIT_SETTLED_MS)
+        "llm_jit_ms": llm_jit_ms,
+        "llm_steady_settled": steady_settled,
+        "llm_median_jit_suppressed": jit_suppressed,
         "llm_regressions": regressions,
         "llm_median_warnings": median_warns,
         # non-empty flags are host-adjudicable: the JVM and Python

@@ -230,3 +230,30 @@ def test_normalize_queries_divides_out_host_drift():
     # and the bench output actually emits both normalized blocks
     src = __import__("inspect").getsource(bench.main)
     assert '"queries_normalized"' in src and '"llm_steady_normalized"' in src
+
+
+def test_settled_median_reads_jit_settled_samples_only():
+    """Round 12 (VERDICT r11 #2): the steady-MEDIAN warning must not read
+    samples timed mid-JIT-warm-up — PROFILE_incremental_r12.json measured
+    the q_llm_dedup_incremental cold spike as pure JVM JIT churn (65 s of
+    compile thread-time, +13.5k classes, 3.4x task core-seconds on an
+    identical plan), with even "steady" samples still compiling 11-27 s.
+    settled_median filters steady samples by the per-sample JIT compile
+    measurement; no measurements -> plain median; all unsettled -> None
+    (warning suppressed, recorded in llm_median_jit_suppressed)."""
+    ok = bench.JIT_SETTLED_MS
+    s = [20.0, 8.9, 5.4, 5.7]
+    # no JIT data -> plain steady median (pre-round-12 behavior)
+    assert bench.settled_median(s, None) == statistics.median(s[1:])
+    # a steady sample timed mid-compile is excluded from the median
+    jit = [ok * 4, ok * 2, ok // 2, ok // 2]
+    assert bench.settled_median(s, jit) == round(
+        statistics.median([5.4, 5.7]), 4
+    )
+    # every steady sample unsettled -> None (no median to warn on)
+    assert bench.settled_median(s, [ok * 4] * 4) is None
+    # degenerate windows
+    assert bench.settled_median([1.0], [100]) is None
+    assert bench.settled_median([], None) is None
+    # length mismatch falls back to the plain median (defensive)
+    assert bench.settled_median(s, [0]) == statistics.median(s[1:])

@@ -152,6 +152,7 @@ class _PrefixCode:
             self.table = {
                 (1, i): s for i, s in enumerate(ordered)
             } if len(ordered) > 1 else {}
+            self._build_lut()
             return
         used = sorted(
             (l, s) for s, l in lengths.items() if l > 0
@@ -161,6 +162,7 @@ class _PrefixCode:
         if len(used) == 1:
             self.single = used[0][1]
             self.table = {}
+            self._build_lut()
             return
         self.single = None
         kraft = sum(1 << (15 - l) for l, _ in used)
@@ -174,10 +176,62 @@ class _PrefixCode:
             prev_len = l
             self.table[(l, code)] = s
             code += 1
+        self._build_lut()
+
+    #: LUT width cap — a complete code fills exactly 2**_LUT_BITS entries
+    #: (sum over codes of 2**(bits-len) telescopes to 2**bits), so build
+    #: cost stays ~2k list writes per code; symbols longer than the cap
+    #: (rare by construction: long code = rare symbol) take the bit-walk
+    _LUT_BITS = 11
+
+    def _build_lut(self) -> None:
+        """One-level decode LUT over the next _LUT_BITS stream bits.
+
+        The round-9/10 JPEG playbook applied to VP8L: the per-symbol
+        tree-descent (≤15 dict probes + ≤15 single-bit refills) collapses
+        to one accumulator mask + one list index for every code that fits
+        the cap. The reader's accumulator is LSB-first while canonical
+        codes descend MSB-first, so a code's LUT slots are all indices
+        whose LOW len bits equal the bit-reversed code. Entries pack
+        (symbol << 4) | len; len 0 marks over-cap codes (slow path)."""
+        if self.single is not None or not self.table:
+            self.lut = None
+            self.lut_bits = 0
+            self.lut_mask = 0
+            return
+        bits = min(max(l for l, _ in self.table), self._LUT_BITS)
+        size = 1 << bits
+        lut = [0] * size
+        for (l, code), s in self.table.items():
+            if l > bits:
+                continue
+            rev = 0
+            c = code
+            for _ in range(l):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            packed = (s << 4) | l
+            for idx in range(rev, size, 1 << l):
+                lut[idx] = packed
+        self.lut = lut
+        self.lut_bits = bits
+        self.lut_mask = size - 1
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # fast path: refill once, one masked LUT probe
+        while br.n < self.lut_bits and br.pos < len(br.data):
+            br.acc |= br.data[br.pos] << br.n
+            br.pos += 1
+            br.n += 8
+        entry = self.lut[br.acc & self.lut_mask]
+        l = entry & 15
+        if l and l <= br.n:
+            br.acc >>= l
+            br.n -= l
+            return entry >> 4
+        # slow path: over-cap code, or a truncated tail (br.bits raises)
         code = 0
         length = 0
         while True:
@@ -448,42 +502,147 @@ def _read_entropy_coded(
     out: list[int] = []
     n = w * h
     x = 0
-    g = groups[0]
-    while len(out) < n:
+    # Hot loop (the jpeg.py round-9/10 playbook): the reader's accumulator
+    # state lives in LOCAL ints and every prefix read is an inline LUT
+    # probe — one refill check, one mask, one list index. Slow paths
+    # (single-symbol codes, codes longer than the LUT cap, truncated
+    # tails) sync the locals back into the _BitReader and take the
+    # object-level read()/bits(), which raises the same quarantine errors
+    # as before. Each group is pre-flattened to its five codes'
+    # (single, lut, lut_bits, lut_mask, code_obj) tuples.
+    fast = [
+        tuple((c.single, c.lut, c.lut_bits, c.lut_mask, c) for c in g)
+        for g in groups
+    ]
+    data, end = br.data, len(br.data)
+    acc, nbits, pos = br.acc, br.n, br.pos
+
+    def _slow(code_obj):
+        # over-cap / simple / truncated: run the object path, resync
+        nonlocal acc, nbits, pos
+        br.acc, br.n, br.pos = acc, nbits, pos
+        s = code_obj.read(br)
+        acc, nbits, pos = br.acc, br.n, br.pos
+        return s
+
+    def _take(k):
+        # inline br.bits(k) against the local state
+        nonlocal acc, nbits, pos
+        while nbits < k:
+            if pos >= end:
+                raise NotImplementedError("truncated VP8L bitstream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << k) - 1)
+        acc >>= k
+        nbits -= k
+        return v
+
+    g = fast[0]
+    out_len = 0
+    while out_len < n:
         if meta is not None:
             # a backward reference can land mid-tile, so the group is
             # looked up per position, not only at tile boundaries
-            y = len(out) // w
-            g = groups[meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]]
-        s = g[0].read(br)
+            y = out_len // w
+            g = fast[meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]]
+        single, lut, lbits, mask, obj = g[0]
+        if single is not None:
+            s = single
+        else:
+            while nbits < lbits and pos < end:
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            e = lut[acc & mask]
+            l = e & 15
+            if l and l <= nbits:
+                acc >>= l
+                nbits -= l
+                s = e >> 4
+            else:
+                s = _slow(obj)
         if s < 256:  # literal: green came first, then red, blue, alpha
-            red = g[1].read(br)
-            blue = g[2].read(br)
-            alpha = g[3].read(br)
-            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px = s << 8
+            for ch_shift, ch in ((16, g[1]), (0, g[2]), (24, g[3])):
+                single, lut, lbits, mask, obj = ch
+                if single is not None:
+                    px |= single << ch_shift
+                    continue
+                while nbits < lbits and pos < end:
+                    acc |= data[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                e = lut[acc & mask]
+                l = e & 15
+                if l and l <= nbits:
+                    acc >>= l
+                    nbits -= l
+                    px |= (e >> 4) << ch_shift
+                else:
+                    px |= _slow(obj) << ch_shift
             out.append(px)
+            out_len += 1
             if cache_bits:
                 cache[(_HASH_MUL * px & 0xFFFFFFFF) >> shift] = px
             x = x + 1 if x + 1 < w else 0
         elif s < 280:  # backward reference
-            length = _prefix_decode(s - 256, br)
-            dist = _plane_to_distance(_prefix_decode(g[4].read(br), br), w)
-            if dist > len(out):
+            s -= 256
+            if s < 4:
+                length = s + 1
+            else:
+                extra = (s - 2) >> 1
+                length = ((2 + (s & 1)) << extra) + _take(extra) + 1
+            single, lut, lbits, mask, obj = g[4]
+            if single is not None:
+                d = single
+            else:
+                while nbits < lbits and pos < end:
+                    acc |= data[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                e = lut[acc & mask]
+                l = e & 15
+                if l and l <= nbits:
+                    acc >>= l
+                    nbits -= l
+                    d = e >> 4
+                else:
+                    d = _slow(obj)
+            if d < 4:
+                d += 1
+            else:
+                extra = (d - 2) >> 1
+                d = ((2 + (d & 1)) << extra) + _take(extra) + 1
+            dist = _plane_to_distance(d, w)
+            if dist > out_len:
                 raise NotImplementedError("backward reference before start")
-            for _ in range(length):
-                px = out[-dist]
-                out.append(px)
-                if cache_bits:
-                    cache[(_HASH_MUL * px & 0xFFFFFFFF) >> shift] = px
-            if len(out) > n:
+            if out_len + length > n:
                 raise NotImplementedError("backward reference overruns image")
-            x = (len(out)) % w
+            if cache_bits:
+                for _ in range(length):
+                    px = out[-dist]
+                    out.append(px)
+                    cache[(_HASH_MUL * px & 0xFFFFFFFF) >> shift] = px
+            else:
+                # chunked self-copy: correct for overlapping references
+                # (dist < length repeats the window, chunk ≤ dist)
+                remaining = length
+                while remaining:
+                    chunk = dist if dist < remaining else remaining
+                    out.extend(out[-dist : len(out) - dist + chunk])
+                    remaining -= chunk
+            out_len += length
+            x = out_len % w
         else:  # color cache hit
             if s - 280 >= cache_size:
                 raise NotImplementedError("color cache index out of range")
             px = cache[s - 280]
             out.append(px)
+            out_len += 1
             x = x + 1 if x + 1 < w else 0
+    br.acc, br.n, br.pos = acc, nbits, pos
     return out
 
 

@@ -595,3 +595,69 @@ def test_inverse_color_transform_against_independent_forward():
     got = _inv_color_transform(stored, wid, h, bits, cte_img)
     want = [(a << 24) | (r << 16) | (g << 8) | b for a, r, g, b in px]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 12: LUT decode paths — codes deeper than the LUT cap, and the
+# chunked overlapping backward-reference copy
+
+
+def test_hand_assembled_codes_deeper_than_lut_cap():
+    # green code with lengths 1..11 plus two 12-bit codes: the 12-bit
+    # symbols exceed _PrefixCode._LUT_BITS (11) and must decode through
+    # the slow bit-walk, interleaved with LUT-decoded shallow symbols
+    from mapreduce_machine_learning_spark.sources.webp import _PrefixCode
+
+    assert _PrefixCode._LUT_BITS == 11  # the pin below assumes this cap
+    lengths = {i: i + 1 for i in range(11)}  # greens 0..10, len 1..11
+    lengths[11] = 12
+    lengths[12] = 12
+    # canonical codes: sym i (len i+1) = i ones then a zero; the two
+    # 12-bit codes are 111111111110 and 111111111111
+    green_codes = {i: ((1 << (i + 1)) - 2, i + 1) for i in range(11)}
+    green_codes[11] = ((1 << 12) - 2, 12)
+    green_codes[12] = ((1 << 12) - 1, 12)
+    # complete CL code over the 13 needed symbols: lengths 1..3 at 3
+    # bits, 4..12 and 18 at 4 bits (3/8 + 10/16 = 1)
+    cl_lengths = {1: 3, 2: 3, 3: 3}
+    cl_lengths.update({s: 4 for s in range(4, 13)})
+    cl_lengths[18] = 4
+    cl_codes = {1: (0b000, 3), 2: (0b001, 3), 3: (0b010, 3)}
+    for i, s in enumerate(list(range(4, 13)) + [18]):
+        cl_codes[s] = (0b0110 + i, 4)
+    w = _W()
+    _header(w, 13, 1)
+    w.b(0, 1).b(0, 1).b(0, 1)  # no transforms / cache / meta
+    _normal_green_code(w, lengths, 256 + 24, cl_lengths, cl_codes)
+    _simple_single(w, 20)  # red
+    _simple_single(w, 30)  # blue
+    _simple_single(w, 255)  # alpha
+    _simple_single(w, 0)  # distance (unused)
+    for i in range(13):  # one literal per green symbol, deep ones last
+        w.code(*green_codes[i])
+    rgba = decode_vp8l(w.payload())
+    assert [int(rgba[0, i][1]) for i in range(13)] == list(range(13))
+    assert [int(p) for p in rgba[0, 12]] == [20, 12, 30, 255]
+
+
+def test_hand_assembled_overlapping_backward_reference():
+    # literal then a length-4 reference at distance 1 (2D map value 2 ->
+    # (dx, dy) = (1, 0)): the copy window overlaps itself, so the
+    # chunked self-copy must repeat the single pixel four times
+    w = _W()
+    _header(w, 5, 1)
+    w.b(0, 1).b(0, 1).b(0, 1)  # no transforms / cache / meta
+    cl_codes = {1: (0b0, 1), 17: (0b10, 2), 18: (0b11, 2)}
+    _normal_green_code(
+        w, {7: 1, 259: 1}, 256 + 24, {1: 1, 17: 2, 18: 2}, cl_codes
+    )
+    _simple_single(w, 40)  # red
+    _simple_single(w, 50)  # blue
+    _simple_single(w, 255)  # alpha
+    _simple_single(w, 1)  # distance: symbol 1 -> value 2 -> (1, 0)
+    w.code(0b0, 1)  # literal green 7
+    w.code(0b1, 1)  # 259: length symbol 3 -> length 4, no extra bits
+    rgba = decode_vp8l(w.payload())
+    assert rgba.shape == (1, 5, 4)
+    for i in range(5):
+        assert [int(p) for p in rgba[0, i]] == [40, 7, 50, 255]

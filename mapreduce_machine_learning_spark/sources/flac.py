@@ -86,19 +86,25 @@ def _crc_table(poly: int, width: int) -> "np.ndarray":
 
 _CRC8_TAB = _crc_table(0x07, 8)  # x^8 + x^2 + x + 1
 _CRC16_TAB = _crc_table(0x8005, 16)  # x^16 + x^15 + x^2 + 1
+# plain tuples for the per-byte loops: a numpy scalar fetch costs ~5x a
+# tuple index, and these run once per frame byte (round 12)
+_CRC8_LIST = tuple(int(v) for v in _CRC8_TAB)
+_CRC16_LIST = tuple(int(v) for v in _CRC16_TAB)
 
 
 def _crc8(data: bytes) -> int:
     reg = 0
+    tab = _CRC8_LIST
     for b in data:
-        reg = int(_CRC8_TAB[reg ^ b])
+        reg = tab[reg ^ b]
     return reg
 
 
 def _crc16(data: bytes) -> int:
     reg = 0
+    tab = _CRC16_LIST
     for b in data:
-        reg = ((reg << 8) & 0xFFFF) ^ int(_CRC16_TAB[(reg >> 8) ^ b])
+        reg = ((reg << 8) & 0xFFFF) ^ tab[(reg >> 8) ^ b]
     return reg
 
 
@@ -161,11 +167,71 @@ class _BitReader:
     def read_rice_array(self, k: int, count: int) -> "np.ndarray":
         """``count`` Rice(k) codes → signed values (zigzag undone).
 
-        The hot loop works in plain Python ints over the byte buffer and a
-        plain-list index of set-bit positions — per-sample numpy scalar
-        calls (searchsorted + slice reductions) cost ~20 µs/sample, this
-        form ~0.5 µs (same per-sample-loop lesson as the round-9 JPEG
-        Huffman rewrite)."""
+        Fully vectorized (round 12): a Rice stream is a chain over the
+        set-bit index — sample j's unary terminator is the first one-bit
+        at/after its start, and the next start is terminator + 1 + k, so
+        the successor map ``f[i] = searchsorted(ones, ones[i] + 1 + k)``
+        sends each terminator to the next. The terminator sequence is the
+        orbit of f from the partition start, enumerated with log2(count)
+        vectorized gathers by pointer doubling (orbit[j + 2^m] =
+        f^(2^m)[orbit[j]]). The map is built on a bounded slice of the
+        ones index — a partition consumes at most count terminators plus
+        count·k payload one-bits, so count·(k+1)+1 entries suffice — and
+        a sentinel self-loop marks exhaustion (truncated stream). Payload
+        bits gather as a (count, k) matrix @ powers-of-two. Measured
+        ~0.06 µs/sample vs ~0.5 µs for the round-11 python-int loop (the
+        previous form survives as _read_rice_scalar for quotients big
+        enough to overflow int64)."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = self.pos
+        nbits = self.bits.size
+        i0 = int(np.searchsorted(self.ones, pos))
+        sl = self.ones[i0 : i0 + count * (k + 1) + 1].astype(np.int64)
+        n = sl.size
+        if n == 0:
+            raise NotImplementedError("truncated FLAC stream")
+        # successor map with a sentinel self-loop at index n
+        f = np.searchsorted(sl, sl + 1 + k).astype(np.int64)
+        f = np.append(f, n)
+        orbit = np.empty(count, dtype=np.int64)
+        orbit[0] = 0
+        filled = 1
+        while filled < count:
+            take = min(filled, count - filled)
+            orbit[filled : filled + take] = f[orbit[:take]]
+            filled += take
+            if filled < count:
+                f = f[f]
+        if int(orbit[-1]) >= n or (count > 1 and int(orbit.max()) >= n):
+            raise NotImplementedError("truncated FLAC stream")
+        t = sl[orbit]
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = pos
+        if count > 1:
+            starts[1:] = t[:-1] + 1 + k
+        q = t - starts
+        end = int(t[-1]) + 1 + k
+        if end > nbits:
+            raise NotImplementedError("truncated FLAC stream")
+        if k:
+            if int(q.max()) >= 1 << (62 - k):
+                return self._read_rice_scalar(k, count)  # int64 would wrap
+            low = (
+                self.bits[(t + 1)[:, None] + np.arange(k)].astype(np.int64)
+                @ _POW2[-k:]
+            )
+            u = (q << k) | low
+        else:
+            u = q
+        self.pos = end
+        return (u >> 1) ^ -(u & 1)
+
+    def _read_rice_scalar(self, k: int, count: int) -> "np.ndarray":
+        """Python-int Rice loop (the round-11 form) — the fallback for
+        quotients too large for the vectorized int64 path; also the
+        differential oracle for the vectorized decoder in
+        tests/test_flac_codec.py."""
         if self._ones_list is None:
             self._ones_list = self.ones.tolist()
         ones = self._ones_list
@@ -355,14 +421,29 @@ def _unlpc(
     residual: "np.ndarray", warmup: "np.ndarray", coefs: "np.ndarray", shift: int
 ) -> "np.ndarray":
     """Invert quantized LPC: x[n] = res[n] + (sum c[j]·x[n-1-j]) >> shift.
-    Inherently sequential; the inner product per step is a numpy dot."""
+
+    Inherently sequential (the arithmetic shift per step is nonlinear, so
+    no exact vectorization exists); the recurrence is compiled per frame
+    into an unrolled pure-int step function with the quantized
+    coefficients and shift inlined as literals — ~5x the per-sample cost
+    of a numpy dot over an order-sized slice (round 12; same
+    per-sample-loop lesson as read_rice_array). Python ints cannot
+    overflow, so the arithmetic matches the int64 dot exactly on any
+    conformant stream."""
     order = len(coefs)
-    x = np.empty(order + residual.size, dtype=np.int64)
-    x[:order] = warmup
-    c = coefs[::-1].astype(np.int64)
-    for n in range(order, x.size):
-        x[n] = residual[n - order] + (int(np.dot(x[n - order : n], c)) >> shift)
-    return x
+    terms = " + ".join(
+        f"({int(c)}) * x[-{j + 1}]" for j, c in enumerate(coefs)
+    )
+    src = (
+        "def _step(x, res, ap):\n"
+        f"    for r in res:\n"
+        f"        ap(r + (({terms}) >> {int(shift)}))\n"
+    )
+    ns: dict = {}
+    exec(src, ns)  # noqa: S102 — literals above are ints from the stream
+    x = warmup.astype(np.int64).tolist()
+    ns["_step"](x, residual.tolist(), x.append)
+    return np.array(x, dtype=np.int64)
 
 
 def _read_residual(br: _BitReader, block_size: int, order: int) -> "np.ndarray":

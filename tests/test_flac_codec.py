@@ -555,3 +555,62 @@ def test_short_stream_vs_streaminfo_quarantines():
     payload = _streaminfo(44100, 1, 16, 100) + _frame(body, 4, 0, 4)
     with pytest.raises(NotImplementedError):
         decode_flac_pcm(payload)
+
+
+# ---------------------------------------------------------------------------
+# round 12: vectorized Rice decode vs the retained scalar oracle
+
+
+def test_vectorized_rice_matches_scalar_oracle():
+    """read_rice_array (pointer-doubling vectorization) must be
+    bit-identical to _read_rice_scalar (the round-11 python-int loop) on
+    randomized streams across k values, partition sizes, and start
+    offsets — including k = 0 (pure unary) and count = 1."""
+    from mapreduce_machine_learning_spark.sources.flac import _BitReader
+
+    rng = np.random.default_rng(42)
+    for trial in range(40):
+        k = int(rng.integers(0, 9))
+        count = int(rng.integers(1, 200))
+        vals = rng.integers(-40, 40, count)
+        bits = []
+        # lead with a random alignment prefix the reader must skip
+        lead = int(rng.integers(0, 13))
+        bits += [1] * lead  # ones in the prefix must not confuse the map
+        for v in vals:
+            u = (int(v) << 1) ^ (int(v) >> 63 & 1) if v >= 0 else (
+                ((-int(v)) << 1) - 1
+            )
+            q, low = u >> k, u & ((1 << k) - 1)
+            bits += [0] * q + [1]
+            bits += [(low >> (k - 1 - i)) & 1 for i in range(k)]
+        bits += [1] * 8  # trailing padding
+        payload = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+        a = _BitReader(payload)
+        a.pos = lead
+        b = _BitReader(payload)
+        b.pos = lead
+        va = a.read_rice_array(k, count)
+        vb = b._read_rice_scalar(k, count)
+        assert np.array_equal(va, vb), (trial, k, count)
+        assert a.pos == b.pos, (trial, k, count)
+        assert np.array_equal(va, vals), (trial, k, count)
+
+
+def test_rice_truncation_still_quarantines():
+    from mapreduce_machine_learning_spark.sources.flac import _BitReader
+
+    # stream of zeros: no terminator anywhere
+    br = _BitReader(b"\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        br.read_rice_array(2, 3)
+    # one sample fits, the second's unary never terminates
+    br = _BitReader(bytes([0b10100000, 0]))
+    br.read_rice_array(0, 2)  # q=0 then q=1: fine
+    br2 = _BitReader(bytes([0b11000000, 0]))
+    with pytest.raises(NotImplementedError):
+        br2.read_rice_array(0, 9)  # only two terminators exist
+    # terminator present but the k payload bits run past the stream
+    br3 = _BitReader(bytes([0b00000001]))
+    with pytest.raises(NotImplementedError):
+        br3.read_rice_array(4, 1)

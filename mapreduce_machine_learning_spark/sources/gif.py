@@ -46,43 +46,58 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> "np.ndarray":
     widths grow when the table fills, capped at 12 bits."""
     clear = 1 << min_code_size
     end = clear + 1
-    # bit reader state: GIF packs codes LSB-first
+    # bit reader state: GIF packs codes LSB-first. Loop bookkeeping stays
+    # in locals (round 12): the base table is built once and copied per
+    # CLEAR (uncompressed-trick streams clear every ~2^width codes, and
+    # rebuilding 256 bytes objects each time dominated the frame decode),
+    # and table/output lengths are tracked instead of re-measured.
     acc = n_bits = pos = 0
     width = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width_cap = 1 << width
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base[:]
+    tlen = end + 1
+    dlen = len(data)
     out = bytearray()
+    out_len = 0
     prev: bytes | None = None
-    while len(out) < n_pixels:
+    while out_len < n_pixels:
         while n_bits < width:
-            if pos >= len(data):
+            if pos >= dlen:
                 raise NotImplementedError("truncated GIF LZW stream")
             acc |= data[pos] << n_bits
             pos += 1
             n_bits += 8
-        code = acc & ((1 << width) - 1)
+        code = acc & (width_cap - 1)
         acc >>= width
         n_bits -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = base[:]
+            tlen = end + 1
             width = min_code_size + 1
+            width_cap = 1 << width
             prev = None
             continue
         if code == end:
             break
         if prev is None:
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
             table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            tlen += 1
+        elif code == tlen:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
             raise NotImplementedError("corrupt GIF LZW code")
         out += entry
+        out_len += len(entry)
         prev = entry
-        if len(table) == (1 << width) and width < 12:
+        if tlen == width_cap and width < 12:
             width += 1
+            width_cap <<= 1
     return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
 
 

@@ -78,6 +78,45 @@ LLM_GATE_JITTER_S = 0.25
 JIT_SETTLED_MS = 15000
 
 
+# Median-warning downgrade set (round 12, closing VERDICT r11 #2's "no
+# more per-round adjudication of this one query"). Three rounds of
+# drift_ab adjudication (r9/r10/r11, all code_equivalent) plus the round-12
+# profile pair (PROFILE_incremental_r12{,b}.json) established that
+# q_llm_dedup_incremental's steady samples are BIMODAL on this host beyond
+# what the JIT filter can see: identical plans read 104 vs 212 task
+# core-seconds with GC 1.4 vs 5.0 s between sessions, and spiked samples
+# appear with unremarkable JIT (r12 recovered-host window: walls
+# [12.07, 2.90, 8.10] with jit [8.5, 6.8, 25.9] s). A median over 2-3
+# samples of that distribution trips the 2x bound on host state alone, so
+# for THIS query a median warning with a PASSING min gate downgrades to an
+# informational spike-regime note (llm_median_spike_notes in the detail
+# record) instead of an adjudication-demanding warning. The hard MIN gate
+# stays armed — a real plan regression lifts every sample including the
+# minimum — and every sample + its JIT time still ships in the record.
+MEDIAN_WARN_DOWNGRADE = {
+    "q_llm_dedup_incremental": (
+        "bimodal host spike regime, min gate armed — BASELINE.md round-12"
+        " cold-start anatomy + PROFILE_incremental_r12{,b}.json"
+    ),
+}
+
+
+def downgrade_median_warns(median_warns: dict) -> tuple[dict, dict]:
+    """Split gate_llm's median warnings into (warnings, spike_notes):
+    queries in MEDIAN_WARN_DOWNGRADE move to the notes dict (annotated
+    with the documented reason). Only reached when the min gate PASSED —
+    gate_llm never double-lists a query. Pure, pinned by
+    tests/test_bench_config.py."""
+    warns, notes = {}, {}
+    for name, rec in median_warns.items():
+        reason = MEDIAN_WARN_DOWNGRADE.get(name)
+        if reason is None:
+            warns[name] = rec
+        else:
+            notes[name] = dict(rec, reason=reason)
+    return warns, notes
+
+
 def settled_median(samples: list, jit_ms) -> float | None:
     """Median of the JIT-settled steady samples (samples[1:] whose
     measured JIT compile time is at most JIT_SETTLED_MS). Falls back to
@@ -363,6 +402,7 @@ def main() -> None:
     # outright.
     regressions = {}
     median_warns = {}
+    spike_notes: dict = {}
     steady_settled: dict = {}
     jit_suppressed: dict = {}
     if abs(float(sf) - 0.1) < 1e-9:
@@ -382,6 +422,7 @@ def main() -> None:
             if n not in steady_settled
         }
         regressions, median_warns = gate_llm(llm_samples, extra, steady_settled)
+        median_warns, spike_notes = downgrade_median_warns(median_warns)
         if regressions:
             print(f"LLM-pipeline 2x regressions: {regressions}", file=sys.stderr)
         if median_warns:
@@ -389,6 +430,12 @@ def main() -> None:
                 "LLM-pipeline settled-steady MEDIAN above 2x bound "
                 "(non-gating; min sample passed — intermittent or host "
                 f"noise): {median_warns}",
+                file=sys.stderr,
+            )
+        if spike_notes:
+            print(
+                "LLM-pipeline spike-regime note (informational; min gate "
+                f"passed, downgraded per MEDIAN_WARN_DOWNGRADE): {spike_notes}",
                 file=sys.stderr,
             )
         if jit_suppressed:
@@ -444,6 +491,7 @@ def main() -> None:
         "llm_jit_ms": llm_jit_ms,
         "llm_steady_settled": steady_settled,
         "llm_median_jit_suppressed": jit_suppressed,
+        "llm_median_spike_notes": spike_notes,
         "llm_regressions": regressions,
         "llm_median_warnings": median_warns,
         # non-empty flags are host-adjudicable: the JVM and Python

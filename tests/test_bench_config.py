@@ -257,3 +257,24 @@ def test_settled_median_reads_jit_settled_samples_only():
     assert bench.settled_median([], None) is None
     # length mismatch falls back to the plain median (defensive)
     assert bench.settled_median(s, [0]) == statistics.median(s[1:])
+
+
+def test_median_warning_downgrade_is_narrow_and_annotated():
+    """Round 12 (VERDICT r11 #2, closing the adjudication loop): a median
+    warning on a MEDIAN_WARN_DOWNGRADE query becomes an informational
+    spike-regime note carrying the documented reason; every other query's
+    warning passes through untouched. Only ever invoked on warnings whose
+    min gate passed (gate_llm never double-lists)."""
+    assert set(bench.MEDIAN_WARN_DOWNGRADE) == {"q_llm_dedup_incremental"}
+    warns = {
+        "q_llm_dedup_incremental": {"median_sec": 7.5, "target": 2.137},
+        "q_llm_minhash": {"median_sec": 9.9, "target": 0.906},
+    }
+    out_warns, notes = bench.downgrade_median_warns(warns)
+    assert set(out_warns) == {"q_llm_minhash"}
+    assert out_warns["q_llm_minhash"] == warns["q_llm_minhash"]
+    assert set(notes) == {"q_llm_dedup_incremental"}
+    assert notes["q_llm_dedup_incremental"]["median_sec"] == 7.5
+    assert "min gate" in notes["q_llm_dedup_incremental"]["reason"]
+    # empty in, empty out
+    assert bench.downgrade_median_warns({}) == ({}, {})

@@ -57,13 +57,16 @@ def _crc32_table(poly: int) -> "np.ndarray":
 
 
 _OGG_CRC_TAB = _crc32_table(0x04C11DB7)
+# plain tuple for the per-byte loop — a numpy scalar fetch costs ~5x a
+# tuple index (round 12; same fix as the FLAC CRC tables)
+_OGG_CRC_LIST = tuple(int(v) for v in _OGG_CRC_TAB)
 
 
 def _ogg_crc(data: bytes) -> int:
     reg = 0
-    tab = _OGG_CRC_TAB
+    tab = _OGG_CRC_LIST
     for b in data:
-        reg = ((reg << 8) & 0xFFFFFFFF) ^ int(tab[((reg >> 24) & 0xFF) ^ b])
+        reg = ((reg << 8) & 0xFFFFFFFF) ^ tab[((reg >> 24) & 0xFF) ^ b]
     return reg
 
 

@@ -251,7 +251,8 @@ def decode_avi(payload: bytes) -> "np.ndarray":
             f"compression {info['comp']})"
         )
     w, h = info["w"], info["h"]
-    if w * h == 0 or w * h > 1 << 26:
+    if w <= 0 or h <= 0 or w * h > 1 << 26:  # biWidth is SIGNED — a
+        # corrupt negative width must quarantine, not reach np.empty
         # corrupt headers can demand multi-GB frame buffers before any
         # frame data validates — refuse (quarantine)
         raise NotImplementedError(

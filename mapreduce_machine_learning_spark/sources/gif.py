@@ -44,6 +44,12 @@ _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> "np.ndarray":
     """Variable-width LZW (GIF flavor): CLEAR resets the table, END stops,
     widths grow when the table fills, capped at 12 bits."""
+    if not 1 <= min_code_size <= 11:
+        # a byte-valued corrupt size would otherwise demand a 2^255-entry
+        # table; codes cap at 12 bits so 11 is the legal maximum
+        raise NotImplementedError(
+            f"GIF LZW minimum code size {min_code_size} out of range"
+        )
     clear = 1 << min_code_size
     end = clear + 1
     # bit reader state: GIF packs codes LSB-first. Loop bookkeeping stays
@@ -81,6 +87,8 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> "np.ndarray":
         if code == end:
             break
         if prev is None:
+            if code >= tlen:
+                raise NotImplementedError("corrupt GIF LZW code")
             entry = table[code]
         elif code < tlen:
             entry = table[code]
@@ -98,6 +106,9 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> "np.ndarray":
         if tlen == width_cap and width < 12:
             width += 1
             width_cap <<= 1
+    if out_len < n_pixels:
+        # an early END code (or corrupt table state) left the frame short
+        raise NotImplementedError("GIF LZW stream ended short")
     return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
 
 
@@ -305,6 +316,23 @@ def decode_gif(payload: bytes) -> "np.ndarray":
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
+    try:
+        frames = _walk_gif_blocks(
+            payload, pos, w, h, global_pal, bg_rgb, canvas
+        )
+    except (IndexError, struct.error):
+        # every raw payload[...] access in the block walk can run off a
+        # truncated stream; one seam converts them to the quarantine error
+        raise NotImplementedError("truncated GIF stream") from None
+    if not frames:
+        raise NotImplementedError("GIF stream has no image blocks")
+    return np.stack(frames)
+
+
+def _walk_gif_blocks(payload, pos, w, h, global_pal, bg_rgb, canvas):
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -327,6 +355,12 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         elif block == 0x2C:  # image descriptor
             x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
+            if iw * ih == 0 or x0 + iw > w or y0 + ih > h:
+                # a frame rect escaping the logical screen would silently
+                # clip the numpy composite — corrupt, not representable
+                raise NotImplementedError(
+                    "GIF frame rect outside the logical screen"
+                )
             pal = global_pal
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -370,6 +404,4 @@ def decode_gif(payload: bytes) -> "np.ndarray":
             transparent = None
         else:
             raise NotImplementedError(f"unknown GIF block 0x{block:02X}")
-    if not frames:
-        raise NotImplementedError("GIF stream has no image blocks")
-    return np.stack(frames)
+    return frames

@@ -198,11 +198,17 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> tuple:
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if sum(bits) > len(vals):
+        # a corrupt DHT can declare more codes than it carries values
+        raise NotImplementedError("JPEG Huffman table truncated")
     val = np.zeros(65536, np.int16)
     ln = np.zeros(65536, np.uint8)
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # over-full (non-canonical) code counts would wrap
+                raise NotImplementedError("JPEG Huffman table over-full")
             base = code << (16 - length)
             span = 1 << (16 - length)
             val[base : base + span] = vals[k]
@@ -515,6 +521,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             # with a 2048 level shift, and the uint8 output contract
             # downscales by >>4 at reconstruction.
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise NotImplementedError("truncated JPEG SOF segment")
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", body, 0)
             if not (prec == 8 or (prec == 12 and marker != 0xC0)):
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -527,6 +535,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 )
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
+            if len(body) < 6 + 3 * ncomp:
+                raise NotImplementedError("truncated JPEG SOF segment")
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 hs, vs = hv >> 4, hv & 0x0F
@@ -546,6 +556,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq == 0:
+                    if i + 65 > len(body):
+                        raise NotImplementedError("JPEG quant table truncated")
                     vals = np.frombuffer(body, np.uint8, 64, i + 1)
                 elif pq == 1:  # 16-bit entries — legal for 12-bit frames
                     if i + 129 > len(body):
@@ -567,18 +579,29 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
+                if len(bits) < 16:
+                    raise NotImplementedError("JPEG Huffman table truncated")
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _build_decode_lut(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise NotImplementedError("truncated JPEG DRI segment")
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if not body or len(body) < 4 + 2 * body[0]:
+                # header is 1 + 2*Ns component bytes + Ss/Se/AhAl
+                raise NotImplementedError("truncated JPEG SOS segment")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c["cid"] == cs)
+                comp = next((c for c in comps if c["cid"] == cs), None)
+                if comp is None:
+                    raise NotImplementedError(
+                        "JPEG scan references an undeclared component"
+                    )
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
                 scan.append(comp)
             if prec_img == 8 and any(c["tq"] in qt16 for c in scan):
@@ -591,6 +614,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                     prec_img,
                 )
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if se > 63 or ss > se:
+                raise NotImplementedError(
+                    "JPEG spectral selection outside 0..63"
+                )
             if not coefstore:
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
@@ -619,6 +646,14 @@ def _decode_scan(data, pos, scan, qtables, huff, h_img, w_img, dri,
                  prec=8):
     if not scan or h_img == 0 or w_img == 0:
         raise NotImplementedError("JPEG SOS before SOF0")
+    for c in scan:  # validate once, outside the per-MCU loop
+        if c["tq"] not in qtables or (0, c["td"]) not in huff or (
+            1,
+            c["ta"],
+        ) not in huff:
+            raise NotImplementedError(
+                "JPEG scan references an undeclared quant/Huffman table"
+            )
     level = float(1 << (prec - 1))
     down = float(1 << (prec - 8))  # 12-bit planes -> 8-bit output domain
     hmax = max(c["h"] for c in scan)
@@ -757,7 +792,12 @@ def _prog_dc_first(reader, scan, comps, coefstore, huff, h_img, w_img,
                     preds[c["cid"]] = 0
                 n += 1
                 t = _huff_decode(reader, dc_tab)
+                if t > 15:
+                    raise NotImplementedError("invalid JPEG DC category")
                 preds[c["cid"]] += _extend(reader.receive(t), t)
+                if not -(1 << 30) <= preds[c["cid"]] <= 1 << 30:
+                    # corrupt diffs accumulate past the int32 coefstore
+                    raise NotImplementedError("JPEG DC value out of range")
                 arr[by, bx, 0] = preds[c["cid"]] << al
         return
     hmax = max(c["h"] for c in comps)
@@ -777,7 +817,15 @@ def _prog_dc_first(reader, scan, comps, coefstore, huff, h_img, w_img,
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         t = _huff_decode(reader, dc_tab)
+                        if t > 15:
+                            raise NotImplementedError(
+                                "invalid JPEG DC category"
+                            )
                         preds[c["cid"]] += _extend(reader.receive(t), t)
+                        if not -(1 << 30) <= preds[c["cid"]] <= 1 << 30:
+                            raise NotImplementedError(
+                                "JPEG DC value out of range"
+                            )
                         arr[
                             my * c["v"] + by, mx * c["h"] + bx, 0
                         ] = preds[c["cid"]] << al

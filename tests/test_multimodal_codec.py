@@ -560,3 +560,64 @@ def test_wav_depth_invariant_features():
     f16 = features_for(encode_wav(s, 8000, sampwidth=2))
     f24 = features_for(encode_wav(s, 8000, sampwidth=3))
     assert f16 == pytest.approx(f24)
+
+
+def test_fuzzed_image_video_decoders_quarantine_or_decode():
+    """Round 12: decoder-level quarantine contract for the image/video
+    codecs — a mutated payload either decodes or raises
+    NotImplementedError, NEVER any other exception. (features_for's
+    except-Exception seam would contain a stray IndexError in
+    production, but the decoders' own contract is the quarantine error;
+    a 4800-payload unseeded sweep was clean at round-12 time after
+    hardening GIF's LZW/frame-rect paths, JPEG's DHT/DQT/SOF/SOS
+    truncation and DC/spectral ranges, and AVI's signed biWidth. This
+    pins a seeded slice.)"""
+    from mapreduce_machine_learning_spark.sources.avi import (
+        decode_avi,
+        encode_avi,
+    )
+    from mapreduce_machine_learning_spark.sources.gif import (
+        decode_gif,
+        encode_gif_rgb,
+    )
+    from mapreduce_machine_learning_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from mapreduce_machine_learning_spark.sources.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    rng = np.random.default_rng(1207)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    # few distinct colors so encode_gif_rgb recovers an exact palette
+    frames = [
+        (rng.integers(0, 6, (24, 32, 3), dtype=np.uint8) * 40).astype(
+            np.uint8
+        )
+        for _ in range(3)
+    ]
+    cases = [
+        (decode_jpeg, encode_jpeg(img)),
+        (decode_jpeg, encode_jpeg_progressive(img)),
+        (decode_gif, encode_gif_rgb(frames)),
+        (decode_webp, encode_webp(img)),
+        (decode_avi, encode_avi(frames, codec="dib")),
+        (decode_avi, encode_avi(frames, codec="mjpg")),
+    ]
+    for fn, base in cases:
+        for trial in range(120):
+            p = bytearray(base)
+            if trial % 3 == 2:
+                p = p[: int(rng.integers(1, len(p)))]  # truncation
+            else:
+                for _ in range(int(rng.integers(1, 7))):
+                    p[int(rng.integers(0, len(p)))] = int(
+                        rng.integers(0, 256)
+                    )
+            try:
+                fn(bytes(p))
+            except NotImplementedError:
+                pass  # the quarantine contract

@@ -303,8 +303,12 @@ def decode_png(payload: bytes) -> "np.ndarray":
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise NotImplementedError("corrupt PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
+            if length % 3 or not body:
+                raise NotImplementedError("corrupt PNG PLTE length")
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
@@ -331,7 +335,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
         )
     bs = max(1, depth // 8)  # bytes per sample (filters act on raw bytes)
     bpp = channels * bs if depth >= 8 else 1  # filter delta distance
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        raise NotImplementedError("corrupt PNG IDAT stream") from None
 
     def stride(pw: int) -> int:  # packed scanline bytes for pw pixels
         return (pw * channels * depth + 7) // 8
@@ -423,6 +430,8 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
         raise NotImplementedError(f"BMP dimensions {w}x{h} out of range")
     row = w * 3
     pad = (4 - row % 4) % 4
+    if off + h * (row + pad) - pad > len(payload):
+        raise NotImplementedError("truncated BMP pixel data")
     out = np.empty((h, w, 3), np.uint8)
     pos = off
     ys = range(h) if top_down else range(h - 1, -1, -1)
@@ -496,8 +505,12 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
             raw = wf.readframes(n)
             rate = wf.getframerate()
             ch = wf.getnchannels()
-    except wave.Error:
+    except (wave.Error, EOFError, RuntimeError):
+        # the stdlib module escapes corrupt containers with bare
+        # EOFError/RuntimeError too (chunk seek past end); the manual
+        # walker re-parses and quarantines with the contract error
         return _decode_wav_manual(payload)
+    raw = raw[: len(raw) - len(raw) % width]  # drop a partial tail sample
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2")
     elif width == 1:

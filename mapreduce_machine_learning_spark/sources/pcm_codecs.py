@@ -116,7 +116,11 @@ def _pcm_to_int16(raw: bytes, width: int, big_endian: bool, signed: bool = True)
             return (b.view(np.int8).astype(np.int16)) << 8
         return ((b.astype(np.int16) - 128) << 8).astype(np.int16)
     if width == 2:
-        return np.frombuffer(raw, dtype=f"{order}i2").astype(np.int16)
+        # drop a trailing partial sample (corrupt declared sizes) — the
+        # same truncation the 3/4-byte branches already apply
+        return np.frombuffer(
+            raw[: len(raw) - len(raw) % 2], dtype=f"{order}i2"
+        ).astype(np.int16)
     if width in (3, 4):
         b = np.frombuffer(raw, dtype=np.uint8)
         b = b[: len(b) - len(b) % width].reshape(-1, width)

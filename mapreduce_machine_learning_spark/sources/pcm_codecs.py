@@ -282,7 +282,13 @@ def decode_au(payload: bytes) -> tuple["np.ndarray", int]:
     data = payload[offset:]
     if size != 0xFFFFFFFF:
         # the data-size field is authoritative when set (0xFFFFFFFF means
-        # unknown); trailing annotation/padding bytes are not audio
+        # unknown); trailing annotation/padding bytes are not audio, and
+        # a payload SHORTER than the declared size is a truncated file —
+        # quarantine it (mirroring the SPHERE sample_count check)
+        if len(data) < size:
+            raise NotImplementedError(
+                "AU payload shorter than declared data size"
+            )
         data = data[:size]
     if enc == 1:
         samples = ulaw_decode(np.frombuffer(data, dtype=np.uint8))

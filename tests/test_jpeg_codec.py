@@ -405,3 +405,44 @@ def test_12bit_is_sof1_only():
     p[at + 1] = 0xC0
     with pytest.raises(NotImplementedError, match="12-bit"):
         decode_jpeg(bytes(p))
+
+
+def test_progressive_dc_guard_bounds_the_shifted_store():
+    """ADVICE r12: the DC predictor guard must bound preds << al (the
+    value actually stored into the int32 coefstore), not preds alone —
+    otherwise a corrupt stream with a high successive-approximation
+    shift silently wraps on numpy 1.x and escapes as OverflowError on
+    numpy 2.x. Crafted stream: one code of length 1 → DC category 15,
+    each block's 15 magnitude bits all ones → +32767 per block; by
+    block 3 the predictor (98301) is far below the old 2^30 bound but
+    98301 << 15 exceeds int32. The guard must quarantine instead."""
+    from mapreduce_machine_learning_spark.sources.jpeg import (
+        _BitReader,
+        _build_decode_lut,
+        _prog_dc_first,
+    )
+
+    lut = _build_decode_lut([1] + [0] * 15, [15])
+    # three blocks of (1-bit huff code "0") + (15 ones) = 0x7FFF each,
+    # 0xFF bytes byte-stuffed as the spec requires, then EOI
+    entropy = b"\x7f\xff\x00" * 3 + b"\xff\xd9"
+    scan = [{"cid": 1, "h": 1, "v": 1, "td": 0, "tq": 0}]
+    coefstore = {1: np.zeros((1, 3, 64), np.int32)}  # 8x24 image: 3 blocks
+    al = 15
+    with pytest.raises(NotImplementedError):
+        _prog_dc_first(
+            _BitReader(entropy, 0), scan, scan, coefstore,
+            {(0, 0): lut}, 8, 24, 0, al,
+        )
+    # the blocks decoded BEFORE the guard fired stored in-range values
+    stored = coefstore[1][0, :, 0]
+    assert stored[0] == 32767 << al
+    assert np.all(np.abs(stored.astype(np.int64)) <= np.iinfo(np.int32).max)
+    # and a legitimate stream with the same al decodes: one block, +1
+    one = b"\x40\x00\xff\xd9"  # code "0", magnitude bit 1, padding
+    coefstore = {1: np.zeros((1, 1, 64), np.int32)}
+    lut1 = _build_decode_lut([1] + [0] * 15, [1])  # category 1
+    _prog_dc_first(
+        _BitReader(one, 0), scan, scan, coefstore, {(0, 0): lut1}, 8, 8, 0, al,
+    )
+    assert coefstore[1][0, 0, 0] == 1 << al

@@ -671,3 +671,34 @@ def test_fuzzed_image_audio_decoders_quarantine_or_decode():
                 fn(bytes(p))
             except NotImplementedError:
                 pass  # the quarantine contract
+
+
+def test_png_plte_truncated_mid_triple_quarantines():
+    """ADVICE r12: a PLTE chunk whose declared length is valid (multiple
+    of 3) but whose BODY is clamped by a truncated payload must
+    quarantine, not reach reshape(-1, 3) and escape as ValueError."""
+    h, w = 4, 5
+    rng = np.random.default_rng(31)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint16).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint16).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), plte[idx])  # intact: fine
+    # cut the file 44 bytes into the 48-byte PLTE body (not % 3 == 0):
+    # magic 8 + IHDR chunk 25 + PLTE len/tag 8 + 44
+    truncated = payload[: 8 + 25 + 8 + 44]
+    with pytest.raises(NotImplementedError):
+        decode_png(truncated)
+    # and a declared length larger than the real body inside an intact
+    # stream (chunk-length corruption) quarantines the same way
+    corrupt = bytearray(payload)
+    struct.pack_into(">I", corrupt, 8 + 25, 48 + 3)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(corrupt))

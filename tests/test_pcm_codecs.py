@@ -389,3 +389,23 @@ def test_sphere_sample_count_clips_and_guards_trailing_data():
     # declaring more samples than the payload holds is a truncated file
     with pytest.raises(NotImplementedError):
         decode_sphere(build(9))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12: AU truncation quarantines like SPHERE (no silent clip)
+
+
+def test_au_payload_shorter_than_declared_size_quarantines():
+    """A declared data-size LARGER than the available payload is a
+    truncated file and must quarantine — mirroring the SPHERE
+    sample_count check — not silently decode the shortfall."""
+    x = _tone(400)
+    payload = encode_au(x, 8000)  # declares size = 2 * len(x)
+    with pytest.raises(NotImplementedError):
+        decode_au(payload[: 24 + len(x)])  # half the declared bytes
+    # the boundary case (exactly the declared size) still decodes
+    s, rate = decode_au(payload)
+    assert rate == 8000 and np.array_equal(s, x)
+    # and through features_for the truncation degrades to the stand-in
+    short = payload[: 24 + len(x)]
+    assert np.array_equal(features_for(short), fake_features(short))

@@ -92,6 +92,7 @@ from mapreduce_machine_learning_spark.sources.pcm_codecs import (
     is_au,
     is_sphere,
 )
+from mapreduce_machine_learning_spark.sources import native
 from mapreduce_machine_learning_spark.sources.gif import (
     decode_gif,
     encode_gif,
@@ -594,7 +595,16 @@ def decode_image(payload: bytes) -> "np.ndarray":
     progressive (sources/jpeg.py — Huffman + numpy DCT) — and lossless
     WebP (sources/webp.py — VP8L prefix codes + LZ77 + transforms) parse
     in-container; remaining image formats (lossy WebP, JPEG 2000, …)
-    raise at the seam and callers fall back to fake_features."""
+    raise at the seam and callers fall back to fake_features.
+
+    Native seam (round 13): when an optional native backend is
+    importable (Pillow — see ``sources/native.py`` for the contract,
+    parity bounds, and cluster-homogeneity caveat), it decodes first;
+    the pure decoders remain the fallback for anything the backend
+    declines, so the quarantine contract is unchanged."""
+    arr = native.native_decode_image(payload)
+    if arr is not None:
+        return arr
     if is_bmp(payload):
         return decode_bmp(payload)
     if is_png(payload):
@@ -610,6 +620,36 @@ def decode_image(payload: bytes) -> "np.ndarray":
         "WebP decode in this container "
         "(no PIL/libjpeg); pipeline runs with fake_features "
         "(deterministic md5-derived) for other formats"
+    )
+
+
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """(int16 mono samples, rate) across every in-container audio
+    format: WAV (integer/float PCM), FLAC, AIFF/AIFC, Sun AU, NIST
+    SPHERE, and FLAC-in-Ogg. Mirror of ``decode_image`` — one dispatch
+    for callers, per-format decoders behind it.
+
+    Native seam (round 13): an importable native backend (soundfile)
+    decodes first, pure decoders are the fallback — contract, parity
+    bounds, and the cluster-homogeneity caveat in ``sources/native.py``."""
+    out = native.native_decode_audio(payload)
+    if out is not None:
+        return out
+    if is_wav(payload):
+        return decode_wav(payload)
+    if is_flac(payload):
+        return decode_flac(payload)
+    if is_aiff(payload):
+        return decode_aiff(payload)
+    if is_au(payload):
+        return decode_au(payload)
+    if is_sphere(payload):
+        return decode_sphere(payload)
+    if is_ogg(payload):
+        return decode_ogg_audio(payload)
+    raise NotImplementedError(
+        "only WAV, FLAC, AIFF, AU, SPHERE, and Ogg-FLAC audio decode "
+        "in-container; pipeline runs with fake_features for other formats"
     )
 
 
@@ -679,18 +719,15 @@ def features_for(payload: bytes) -> "np.ndarray":
             if frames.shape[0] == 1:
                 return real_image_features(frames[0])
             return real_video_features(frames)
-        if is_wav(payload):
-            return real_audio_features(*decode_wav(payload))
-        if is_flac(payload):
-            return real_audio_features(*decode_flac(payload))
-        if is_aiff(payload):
-            return real_audio_features(*decode_aiff(payload))
-        if is_au(payload):
-            return real_audio_features(*decode_au(payload))
-        if is_sphere(payload):
-            return real_audio_features(*decode_sphere(payload))
-        if is_ogg(payload):  # FLAC-in-Ogg real; Vorbis/Opus quarantine
-            return real_audio_features(*decode_ogg_audio(payload))
+        if (
+            is_wav(payload)
+            or is_flac(payload)
+            or is_aiff(payload)
+            or is_au(payload)
+            or is_sphere(payload)
+            or is_ogg(payload)  # FLAC-in-Ogg real; Vorbis/Opus quarantine
+        ):
+            return real_audio_features(*decode_audio(payload))
         if is_avi(payload):
             return real_video_features(decode_avi(payload))
     except Exception:

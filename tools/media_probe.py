@@ -106,7 +106,18 @@ def main() -> None:
     ap.add_argument("--out", default="MEDIA_pipeline_probe.json")
     args = ap.parse_args()
 
-    result = {"n_rows": args.n, "codec_bench_1core": codec_bench()}
+    from mapreduce_machine_learning_spark.sources.native import (
+        backend_report,
+    )
+
+    result = {
+        "n_rows": args.n,
+        # which codec path the dispatch resolves in THIS environment —
+        # "pure-python" here (no Pillow/soundfile in the container);
+        # a deployment with native backends shows them in this field
+        "codec_backends": backend_report(),
+        "codec_bench_1core": codec_bench(),
+    }
 
     from pyspark.sql import SparkSession
 

@@ -93,6 +93,7 @@ from mapreduce_machine_learning_spark.sources.pcm_codecs import (
     is_sphere,
 )
 from mapreduce_machine_learning_spark.sources import native
+from mapreduce_machine_learning_spark.sources.resample import resample_audio
 from mapreduce_machine_learning_spark.sources.gif import (
     decode_gif,
     encode_gif,
@@ -1007,6 +1008,78 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def fake_resample(payload: bytes, rate: int) -> bytes:
+    """Deterministic stand-in for undecodable audio: md5(payload | rate)
+    repeated — same bytes and target → same output on any partitioning,
+    mirroring fake_resize's quarantine contract."""
+    return hashlib.md5(payload + f"|{rate}Hz".encode()).digest() * 4
+
+
+def resample_media(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """mapInPandas sample-rate normalization: every audio row re-emitted
+    as 16-bit PCM WAV at ``target_rate`` (the canonical interchange
+    container — a training pipeline wants ONE rate and ONE layout
+    downstream, whatever mix of WAV/FLAC/AIFF/AU/SPHERE/Ogg arrived);
+    image/video rows pass through untouched. The kernel is the
+    windowed-sinc converter in ``sources/resample.py`` (anti-aliased,
+    chunk-size-invariant, memory-bounded); decode goes through
+    ``decode_audio`` so an installed native backend accelerates this
+    stage too. Undecodable audio quarantines to the deterministic
+    ``fake_resample`` stand-in — one corrupt row never kills the task.
+    Row-wise payload-in/payload-out inside the Arrow batch: output
+    partitioning follows input partitioning with no shuffle."""
+
+    def _resample(p: bytes) -> tuple:
+        if (
+            is_wav(p)
+            or is_flac(p)
+            or is_aiff(p)
+            or is_au(p)
+            or is_sphere(p)
+            or is_ogg(p)
+        ):
+            try:
+                s, r = decode_audio(p)
+                y = resample_audio(s, r, target_rate)
+                return encode_wav(y, target_rate), len(y) * 1000 // target_rate
+            except Exception:
+                pass  # corrupt/unsupported container: quarantine
+        return fake_resample(p, target_rate), 0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            audio = pdf["kind"] == "audio"
+            payloads, durs = [], []
+            for p, a, d in zip(pdf["payload"], audio, pdf["duration_ms"]):
+                if a:
+                    np_payload, nd = _resample(p)
+                    payloads.append(np_payload)
+                    durs.append(nd)
+                else:
+                    payloads.append(p)
+                    durs.append(d)
+            out = pdf[["media_id", "kind"]].copy()
+            out["payload"] = payloads
+            out["sample_rate"] = np.where(audio, target_rate, 0).astype(
+                "int32"
+            )
+            out["duration_ms"] = np.asarray(durs, dtype="int32")
+            yield out
+
+    return media.mapInPandas(run, RESAMPLED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:

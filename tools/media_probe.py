@@ -133,6 +133,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from mapreduce_machine_learning_spark.sources.multimodal import (
         extract_features,
+        resample_media,
         resize_media,
         sample_frames,
         synth_media_real,
@@ -146,6 +147,7 @@ def main() -> None:
         ("extract_features", extract_features(media)),
         ("resize_media_32x24", resize_media(media, 32, 24)),
         ("sample_frames_4", sample_frames(media, 4)),
+        ("resample_media_16000", resample_media(media, 16000)),
     ):
         t0 = time.perf_counter()
         n_out = df.count()

@@ -1037,8 +1037,12 @@ def resample_media(media: DataFrame, target_rate: int = 16000) -> DataFrame:
     windowed-sinc converter in ``sources/resample.py`` (anti-aliased,
     chunk-size-invariant, memory-bounded); decode goes through
     ``decode_audio`` so an installed native backend accelerates this
-    stage too. Undecodable audio quarantines to the deterministic
-    ``fake_resample`` stand-in — one corrupt row never kills the task.
+    stage too, and the rate conversion itself dispatches through the
+    same seam (``native_resample_audio`` — soxr/scipy when importable,
+    pure sinc as the always-present fallback; length contract and
+    parity bounds in ``sources/native.py``). Undecodable audio
+    quarantines to the deterministic ``fake_resample`` stand-in — one
+    corrupt row never kills the task.
     Row-wise payload-in/payload-out inside the Arrow batch: output
     partitioning follows input partitioning with no shuffle."""
 
@@ -1053,7 +1057,9 @@ def resample_media(media: DataFrame, target_rate: int = 16000) -> DataFrame:
         ):
             try:
                 s, r = decode_audio(p)
-                y = resample_audio(s, r, target_rate)
+                y = native.native_resample_audio(s, r, target_rate)
+                if y is None:
+                    y = resample_audio(s, r, target_rate)
                 return encode_wav(y, target_rate), len(y) * 1000 // target_rate
             except Exception:
                 pass  # corrupt/unsupported container: quarantine

@@ -230,6 +230,129 @@ def test_pillow_parity_lossless_exact_jpeg_bounded():
     _image_parity(decode_image, [("jpeg", encode_jpeg(a))], atol=2)
 
 
+# ---------------------------------------------------------------------------
+# resample backend kind
+
+
+def test_no_resample_backend_resolves_to_pure():
+    assert native.active_resample_backend() is None
+    assert native.backend_report()["resample_backend"] == "pure-python"
+    x = _tone()
+    assert native.native_resample_audio(x, 8000, 16000) is None
+
+
+def test_registered_resample_backend_wins_and_pure_mode_bypasses():
+    x = _tone(n=400)
+    n_out = 800  # round(400 * 16000 / 8000)
+    sentinel = np.full(n_out, 123, np.int16)
+    native.register_backend("resample", lambda s, ri, ro: sentinel, name="fake-src")
+    assert native.active_resample_backend() == "fake-src"
+    assert np.array_equal(native.native_resample_audio(x, 8000, 16000), sentinel)
+    native.set_backend("pure")
+    assert native.active_resample_backend() is None
+    assert native.native_resample_audio(x, 8000, 16000) is None
+
+
+def test_resample_identity_and_empty_input_never_dispatch():
+    calls = []
+
+    def recording(s, ri, ro):
+        calls.append((ri, ro))
+        return np.zeros(max(1, round(len(s) * ro / ri)), np.int16)
+
+    native.register_backend("resample", recording, name="recorder")
+    x = _tone(n=64)
+    # identity conversion: the pure kernel's bit-exact copy, no dispatch
+    assert native.native_resample_audio(x, 16000, 16000) is None
+    # empty input: nothing to convert, no dispatch
+    assert native.native_resample_audio(x[:0], 8000, 16000) is None
+    assert calls == []
+
+
+def test_resample_backend_failure_and_nonconforming_fall_back():
+    x = _tone(n=400)
+
+    def refusing(s, ri, ro):
+        raise RuntimeError("backend can't convert this")
+
+    for bad in (
+        refusing,
+        lambda s, ri, ro: np.zeros(799, np.int16),  # off-contract length
+        lambda s, ri, ro: np.zeros(800, np.float32),  # wrong dtype
+        lambda s, ri, ro: np.zeros((2, 400), np.int16),  # not mono
+    ):
+        native.clear_backends()
+        native.register_backend("resample", bad)
+        assert native.native_resample_audio(x, 8000, 16000) is None
+
+
+def test_identity_resample_backend_parity():
+    """Register the pure windowed-sinc kernel AS the native backend: the
+    dispatch path end-to-end must be bit-identical to calling the kernel
+    directly — the parity harness the soxr/scipy tests reuse with a
+    tolerance."""
+    from mapreduce_machine_learning_spark.sources.resample import resample_audio
+
+    native.register_backend("resample", resample_audio, name="identity")
+    x = _tone(n=1000)
+    for ri, ro in ((8000, 16000), (44100, 16000), (16000, 22050)):
+        got = native.native_resample_audio(x, ri, ro)
+        assert got is not None
+        assert np.array_equal(got, resample_audio(x, ri, ro)), (ri, ro)
+
+
+def test_conform_length_trims_and_zero_pads():
+    y = np.arange(10, dtype=np.int16)
+    assert np.array_equal(native._conform_length(y, 8), y[:8])
+    padded = native._conform_length(y, 12)
+    assert len(padded) == 12 and padded.dtype == np.int16
+    assert np.array_equal(padded[:10], y) and not padded[10:].any()
+    assert np.array_equal(native._conform_length(y, 10), y)
+
+
+def test_invalid_backend_kind_rejected():
+    with pytest.raises(ValueError):
+        native.register_backend("video", lambda p: p)
+
+
+# ---------------------------------------------------------------------------
+# real resample backends — run wherever soxr / scipy is installed
+
+
+def _resample_parity(backend_fn, tol_levels=400):
+    """Interior-sample agreement with the pure kernel on passband
+    content: both are good SRCs, so they agree to the pure kernel's
+    ~44 dB stopband/transition error (~-40 dB of full scale on a
+    12000-amplitude tone); edges excluded by one filter support."""
+    from mapreduce_machine_learning_spark.sources.resample import resample_audio
+
+    x = _tone(n=4000, rate_div=40)  # low-frequency tone, well in passband
+    for ri, ro in ((8000, 16000), (44100, 16000)):
+        got = backend_fn(x, ri, ro)
+        pure = resample_audio(x, ri, ro)
+        assert len(got) == len(pure)
+        edge = int(np.ceil(64 * max(1.0, ri / ro)))
+        interior = slice(edge, -edge)
+        diff = np.abs(
+            got[interior].astype(np.int32) - pure[interior].astype(np.int32)
+        )
+        assert diff.max() <= tol_levels, (ri, ro, int(diff.max()))
+
+
+def test_soxr_resample_parity():
+    pytest.importorskip("soxr")
+    native.clear_backends()
+    assert native.active_resample_backend() == "soxr"
+    _resample_parity(lambda s, ri, ro: native.native_resample_audio(s, ri, ro))
+
+
+def test_scipy_resample_parity():
+    pytest.importorskip("scipy")
+    native.clear_backends()
+    native.register_backend("resample", native._scipy_resample, name="scipy")
+    _resample_parity(lambda s, ri, ro: native.native_resample_audio(s, ri, ro))
+
+
 def test_soundfile_parity_pcm_exact():
     pytest.importorskip("soundfile")
     native.clear_backends()

@@ -93,6 +93,12 @@ from mapreduce_machine_learning_spark.sources.pcm_codecs import (
     is_sphere,
 )
 from mapreduce_machine_learning_spark.sources import native
+from mapreduce_machine_learning_spark.sources.adpcm import (
+    decode_ima_wav_body,
+    decode_ms_wav_body,
+    encode_wav_ima,
+    encode_wav_ms,
+)
 from mapreduce_machine_learning_spark.sources.resample import resample_audio
 from mapreduce_machine_learning_spark.sources.gif import (
     decode_gif,
@@ -494,8 +500,11 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
     WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the real format code is the
     first two GUID bytes; PCM and float sub-formats decode, others
     raise). Multi-channel audio is downmixed to channel 0
-    (deterministic, keeps the feature contract mono). Compressed WAV
-    (ADPCM/MP3-in-WAV) still raises at the seam."""
+    (deterministic, keeps the feature contract mono). Round 13 adds the
+    two 4-bit block codecs (``sources/adpcm.py``): IMA ADPCM (tag
+    0x0011) and MS ADPCM (tag 0x0002), block-parallel vectorized, with
+    geometry validation quarantining lying headers. Other compressed
+    WAV (MP3-in-WAV, ...) still raises at the seam."""
     if not is_wav(payload):
         raise NotImplementedError("not a WAV payload")
     try:
@@ -545,6 +554,7 @@ def _decode_wav_manual(payload: bytes) -> tuple["np.ndarray", int]:
     end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
     pos = 12
     fmt = data = None
+    fact_samples = -1
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -555,16 +565,30 @@ def _decode_wav_manual(payload: bytes) -> tuple["np.ndarray", int]:
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # RIFF chunks are word-padded
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunk")
-    ftag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    ftag, ch, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
     if ftag == 0xFFFE:
         if len(fmt) < 26:
             raise NotImplementedError("extensible WAV missing sub-format")
         ftag = struct.unpack_from("<H", fmt, 24)[0]
     if ch < 1 or rate == 0:
         raise NotImplementedError("invalid WAV fmt fields")
+    if ftag in (0x0011, 0x0002):  # IMA / MS ADPCM (sources/adpcm.py)
+        if len(fmt) < 20:
+            raise NotImplementedError("ADPCM WAV missing samples-per-block")
+        spb = struct.unpack_from("<H", fmt, 18)[0]
+        decode_body = (
+            decode_ima_wav_body if ftag == 0x0011 else decode_ms_wav_body
+        )
+        # the block decoders extract channel 0 themselves (interleaving
+        # is at nibble granularity, not sample granularity)
+        return decode_body(data, block_align, ch, spb, fact_samples), rate
     if ftag == 3:  # IEEE float
         if bits == 32:
             f = np.frombuffer(data[: len(data) - len(data) % 4], "<f4")
@@ -787,9 +811,9 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     formats the in-container codecs decode: deterministic gradients rotated
     through 24-bit BMP, 8-bit PNG, and JPEG (baseline and progressive;
     4:4:4 and 4:2:0 alternating; id-seeded geometry and channel phases)
-    and 16-bit sine bursts (id-seeded frequency) rotating the six real
-    audio containers (PCM WAV / FLAC / AIFF / µ-law AU / NIST SPHERE /
-    FLAC-in-Ogg).
+    and 16-bit sine bursts (id-seeded frequency) rotating the eight real
+    audio formats (PCM WAV / FLAC / AIFF / µ-law AU / NIST SPHERE /
+    FLAC-in-Ogg / IMA-ADPCM WAV / MS-ADPCM WAV).
     Image rows
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
     lossless WebP; video rows rotate opaque stand-in bytes, DIB AVI,
@@ -834,8 +858,9 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             samples = (
                 np.sin(2 * np.pi * freq * t / rate) * (8000 + 100 * i)
             ).astype(np.int16)
-            # rotate all six real audio containers (round 11)
-            afmt = (i // 3) % 6
+            # rotate all eight real audio formats (round 11; ADPCM
+            # round 13)
+            afmt = (i // 3) % 8
             if afmt == 1:
                 payload = encode_flac(samples, rate)
             elif afmt == 2:
@@ -846,6 +871,10 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 payload = encode_sphere(samples, rate)
             elif afmt == 5:
                 payload = encode_ogg_flac(samples, rate)
+            elif afmt == 6:
+                payload = encode_wav_ima(samples, rate)
+            elif afmt == 7:
+                payload = encode_wav_ms(samples, rate)
             else:
                 payload = encode_wav(samples, rate)
             dur_ms = int(1000 * len(samples) / rate)

@@ -33,11 +33,16 @@ round 11 — formula-derived expansion pinned to the published anchor
 values), and **FLAC-in-Ogg** (``sources/ogg.py``, round 11 — RFC 3533
 page walk with CRC-32 verification and cross-page packet reassembly,
 samples decoded by the shared FLAC decoder; Ogg-Vorbis/Opus payloads
-quarantine with the codec named).
+quarantine with the codec named), plus the round-13 additions:
+**IMA/MS ADPCM WAV** (``sources/adpcm.py`` — the two 4-bit block
+codecs, block-parallel vectorized) and **baseline TIFF**
+(``sources/tiff.py`` — both byte orders, none/PackBits/LZW
+compression with the early-change width quirk and horizontal
+predictor; bit-exact round trips).
 Payloads are dispatched by magic bytes (``BM`` / ``\\x89PNG`` /
 ``\\xff\\xd8\\xff`` / ``GIF8`` / ``RIFF..WAVE`` / ``RIFF..AVI`` /
 ``RIFF..WEBP`` / ``fLaC`` / ``FORM..AIFF`` / ``.snd`` /
-``NIST_1A`` / ``OggS``); anything
+``NIST_1A`` / ``OggS`` / ``II*`` / ``MM*``); anything
 else — MP3/Vorbis/Opus audio (normative-table codecs whose ISO/Xiph
 constant tables are not in this container — see the ``sources/flac.py``
 docstring for why approximating them would be worse than the seam),
@@ -100,6 +105,11 @@ from mapreduce_machine_learning_spark.sources.adpcm import (
     encode_wav_ms,
 )
 from mapreduce_machine_learning_spark.sources.resample import resample_audio
+from mapreduce_machine_learning_spark.sources.tiff import (
+    decode_tiff,
+    encode_tiff,
+    is_tiff,
+)
 from mapreduce_machine_learning_spark.sources.gif import (
     decode_gif,
     encode_gif,
@@ -640,9 +650,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_gif(payload)[0]  # still image = first frame
     if is_webp(payload):
         return decode_webp(payload)
+    if is_tiff(payload):
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "only BMP, PNG, JPEG (baseline/progressive), GIF, and lossless "
-        "WebP decode in this container "
+        "only BMP, PNG, JPEG (baseline/progressive), GIF, lossless "
+        "WebP, and baseline TIFF decode in this container "
         "(no PIL/libjpeg); pipeline runs with fake_features "
         "(deterministic md5-derived) for other formats"
     )
@@ -721,8 +733,9 @@ def real_audio_features(samples: "np.ndarray", rate: int) -> "np.ndarray":
 
 def features_for(payload: bytes) -> "np.ndarray":
     """Codec dispatch by magic bytes: real pixel/sample features for the
-    in-container formats (BMP / PNG / JPEG / GIF / lossless WebP images,
-    WAV / FLAC / AIFF / AU / SPHERE / Ogg-FLAC audio, DIB- and
+    in-container formats (BMP / PNG / JPEG / GIF / lossless WebP /
+    baseline TIFF images, WAV incl. ADPCM / FLAC / AIFF / AU / SPHERE /
+    Ogg-FLAC audio, DIB- and
     MJPEG-AVI + animated-GIF video), the md5 stand-in otherwise.
     Pure per-payload function — deterministic under any partitioning.
 
@@ -737,6 +750,7 @@ def features_for(payload: bytes) -> "np.ndarray":
             or is_png(payload)
             or is_jpeg(payload)
             or is_webp(payload)
+            or is_tiff(payload)
         ):
             return real_image_features(decode_image(payload))
         if is_gif(payload):  # still GIF = image, animated GIF = video
@@ -816,7 +830,8 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     FLAC-in-Ogg / IMA-ADPCM WAV / MS-ADPCM WAV).
     Image rows
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
-    lossless WebP; video rows rotate opaque stand-in bytes, DIB AVI,
+    lossless WebP / LZW-predictor TIFF / big-endian PackBits TIFF;
+    video rows rotate opaque stand-in bytes, DIB AVI,
     MJPEG AVI, and animated GIF — inter-frame video codecs are the
     remaining environment-bound seam, and keeping opaque rows in the mix
     keeps the quarantine path exercised."""
@@ -835,7 +850,7 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = (i // 3) % 6
+            fmt = (i // 3) % 8
             if fmt == 3:  # still GIF: quantize the gradient to 16 colors
                 payload = encode_gif(
                     [(arr[..., 0] % 16).astype(np.uint8)],
@@ -848,6 +863,14 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 )
             elif fmt == 5:  # lossless WebP (VP8L)
                 payload = encode_webp(arr)
+            elif fmt == 6:  # baseline TIFF, LZW + predictor (round 13)
+                payload = encode_tiff(
+                    arr, compression="lzw", predictor=True
+                )
+            elif fmt == 7:  # big-endian PackBits TIFF (round 13)
+                payload = encode_tiff(
+                    arr, compression="packbits", big_endian=True
+                )
             else:
                 payload = (encode_png if fmt else encode_bmp)(arr)
             rows.append((i, kind, bytearray(payload), w, h, 0))
@@ -952,7 +975,7 @@ FRAMES_SCHEMA = StructType(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize for the in-container formats: BMP/PNG/JPEG decode,
+    """Real resize for the in-container formats: BMP/PNG/JPEG/TIFF decode,
     resample nearest-neighbor (pure numpy index arithmetic — deterministic,
     no interpolation-library variance), and re-encode in the SOURCE format
     (PNG in → PNG out, JPEG → JPEG at quality 95 / 4:4:4 — lossy by
@@ -971,6 +994,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return encode_gif_rgb([out])
     if is_webp(payload):  # lossless in, lossless out
         return encode_webp(out)
+    if is_tiff(payload):  # lossless in, lossless out (LZW + predictor)
+        return encode_tiff(out, compression="lzw", predictor=True)
     return encode_bmp(out)
 
 
@@ -993,7 +1018,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         # deterministic stand-in for everything else — including payloads
         # whose magic lies or whose body is truncated (features_for's
         # quarantine contract: one corrupt row never kills the task)
-        if is_bmp(p) or is_png(p) or is_jpeg(p) or is_webp(p):
+        if is_bmp(p) or is_png(p) or is_jpeg(p) or is_webp(p) or is_tiff(p):
             try:
                 return resize_image(p, width, height)
             except Exception:

@@ -56,6 +56,7 @@ from mapreduce_machine_learning_spark.sources.multimodal import (
     features_for,
     is_jpeg,
     is_png,
+    is_tiff,
     is_webp,
     real_audio_features,
     real_image_features,
@@ -442,12 +443,13 @@ def test_spark_features_match_local_decoders(spark):
     for i, row in src.items():
         payload = bytes(row.payload)
         if row.kind == "image":
-            # synth rotates BMP / PNG / JPEG / GIF / WebP images
+            # synth rotates BMP/PNG/JPEG/GIF/WebP/TIFF images (round 13)
             fmts.add(
                 "png" if is_png(payload)
                 else "jpeg" if is_jpeg(payload)
                 else "gif" if is_gif(payload)
                 else "webp" if is_webp(payload)
+                else "tiff" if is_tiff(payload)
                 else "bmp"
             )
             want = real_image_features(decode_image(payload))
@@ -482,10 +484,11 @@ def test_spark_features_match_local_decoders(spark):
     # real features actually separate content: two different images differ
     imgs = [got[i].features for i in got if src[i].kind == "image"]
     assert len({tuple(f) for f in imgs}) == len(imgs)
-    # and ALL FIVE real image formats + ALL SIX audio containers were
-    # actually exercised
+    # and ALL SIX real image formats + ALL SIX audio containers were
+    # actually exercised (the two ADPCM WAV rows sniff as "wav" and
+    # decode through the same decode_wav dispatch)
     assert fmts == {
-        "bmp", "png", "jpeg", "gif", "webp",
+        "bmp", "png", "jpeg", "gif", "webp", "tiff",
         "wav", "flac", "aiff", "au", "sphere", "ogg",
     }
 

@@ -1,0 +1,181 @@
+"""Baseline TIFF codec (sources/tiff.py): bit-exact round trips across
+every supported axis (byte order, compression, predictor, stripping,
+photometric), kernel-level LZW/PackBits properties, and the quarantine
+seam for everything outside the baseline surface."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mapreduce_machine_learning_spark.sources.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+    is_tiff,
+)
+
+
+def _rgb(h=13, w=17, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint16).astype(np.uint8)
+
+
+def _gradient(h=12, w=20):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 7) % 256, (yy * 11) % 256, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# kernel round trips
+
+
+def test_packbits_roundtrip_random_and_runs():
+    rng = np.random.default_rng(5)
+    for data in (
+        bytes(rng.integers(0, 256, 300, dtype=np.uint16).tolist()),
+        b"\x00" * 200,
+        b"ab" * 100,
+        bytes(range(128)) + b"\xff" * 300 + bytes(range(64)),
+        b"x",
+    ):
+        enc = _packbits_encode(data)
+        assert _packbits_decode(enc, len(data)) == data
+
+
+def test_lzw_roundtrip_random_text_and_repetitive():
+    rng = np.random.default_rng(7)
+    for data in (
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint16).tolist()),
+        b"TOBEORNOTTOBEORTOBEORNOT" * 50,
+        b"\x00" * 10_000,  # long single-symbol run exercises KwKwK
+        bytes(rng.integers(0, 4, 60_000, dtype=np.uint16).tolist()),  # width
+        b"",  # empty strip
+    ):
+        enc = _lzw_encode(data)
+        assert _lzw_decode(enc, len(data)) == data
+
+
+def test_lzw_table_reset_path():
+    # >4k distinct phrases forces the encoder's CLEAR + table reset
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(0, 256, 80_000, dtype=np.uint16).tolist())
+    enc = _lzw_encode(data)
+    assert _lzw_decode(enc, len(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# container round trips — every supported axis, all bit-exact
+
+
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_rgb_roundtrip_compressions_and_byte_orders(compression, big_endian):
+    a = _rgb()
+    payload = encode_tiff(a, compression=compression, big_endian=big_endian)
+    assert is_tiff(payload)
+    assert np.array_equal(decode_tiff(payload), a)
+
+
+def test_lzw_predictor_roundtrip_and_it_actually_compresses_gradients():
+    a = _gradient(40, 64)
+    plain = encode_tiff(a, compression="lzw")
+    pred = encode_tiff(a, compression="lzw", predictor=True)
+    assert np.array_equal(decode_tiff(pred), a)
+    # horizontal differencing turns smooth gradients into runs
+    assert len(pred) < len(plain)
+
+
+def test_grayscale_replicates_to_rgb_and_whitiszero_inverts():
+    g = (np.arange(200, dtype=np.uint8).reshape(10, 20) * 3) % 256
+    payload = encode_tiff(g)
+    out = decode_tiff(payload)
+    assert out.shape == (10, 20, 3)
+    assert np.array_equal(out[..., 0], g)
+    assert np.array_equal(out[..., 1], g)
+    # flip photometric 1 -> 0 in place: decode must invert
+    i = payload.index(struct.pack("<HHI", 262, 3, 1))
+    flipped = bytearray(payload)
+    flipped[i + 8] = 0
+    assert np.array_equal(decode_tiff(bytes(flipped))[..., 0], 255 - g)
+
+
+@pytest.mark.parametrize("rps", [1, 3, 8, 64])
+def test_strip_geometry_variants(rps):
+    a = _rgb(29, 10, seed=9)
+    payload = encode_tiff(a, compression="packbits", rows_per_strip=rps)
+    assert np.array_equal(decode_tiff(payload), a)
+
+
+def test_single_pixel_and_wide_images():
+    for shape in ((1, 1, 3), (1, 200, 3), (200, 1, 3)):
+        a = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+        for comp in ("none", "lzw"):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(a, compression=comp)), a
+            )
+
+
+# ---------------------------------------------------------------------------
+# quarantine seam
+
+
+def test_non_tiff_and_truncations_quarantine():
+    a = _rgb()
+    payload = encode_tiff(a, compression="lzw")
+    with pytest.raises(NotImplementedError):
+        decode_tiff(b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(payload[:10])  # header only
+    with pytest.raises(NotImplementedError):
+        decode_tiff(payload[:-20])  # IFD truncated (it sits at the end)
+
+
+def test_unsupported_variants_quarantine():
+    a = _rgb(6, 6)
+    payload = bytearray(encode_tiff(a))
+
+    def patched(tag, new_val):
+        i = bytes(payload).index(struct.pack("<HH", tag, 3))
+        p = bytearray(payload)
+        p[i + 8 : i + 10] = struct.pack("<H", new_val)
+        return bytes(p)
+
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patched(259, 6))  # JPEG-in-TIFF compression
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patched(284, 2))  # planar config
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patched(258, 16))  # 16-bit samples
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patched(262, 3))  # palette
+
+
+def test_corrupt_lzw_stream_quarantines():
+    a = _rgb(8, 8)
+    payload = bytearray(encode_tiff(a, compression="lzw"))
+    # strip data starts at offset 8: stomp it with out-of-table codes
+    payload[8:14] = b"\xff\xff\xff\xff\xff\xff"
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(payload))
+
+
+def test_strip_count_mismatch_quarantines():
+    a = _rgb(8, 8)
+    payload = encode_tiff(a, rows_per_strip=2)
+    # truncate the declared strip byte count's data by lying: shrink the
+    # payload so the last strip offset points past the end
+    with pytest.raises(NotImplementedError):
+        decode_tiff(payload[:40])
+
+
+def test_encoder_validation():
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((4, 4, 3), np.uint8), predictor=True)  # non-LZW

@@ -127,6 +127,12 @@ from mapreduce_machine_learning_spark.sources.jpeg import (
     encode_jpeg_progressive,
     is_jpeg,
 )
+from mapreduce_machine_learning_spark.sources.y4m import (
+    decode_y4m,
+    encode_y4m,
+    is_y4m,
+    y4m_fps,
+)
 from mapreduce_machine_learning_spark.sources.webp import (
     decode_webp,
     encode_webp,
@@ -769,6 +775,8 @@ def features_for(payload: bytes) -> "np.ndarray":
             return real_audio_features(*decode_audio(payload))
         if is_avi(payload):
             return real_video_features(decode_avi(payload))
+        if is_y4m(payload):
+            return real_video_features(decode_y4m(payload))
     except Exception:
         pass  # undecodable: same fallback as unknown formats
     return fake_features(payload)
@@ -832,7 +840,7 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
     lossless WebP / LZW-predictor TIFF / big-endian PackBits TIFF;
     video rows rotate opaque stand-in bytes, DIB AVI,
-    MJPEG AVI, and animated GIF — inter-frame video codecs are the
+    MJPEG AVI, animated GIF, and raw Y4M (444/422/420) — inter-frame video codecs are the
     remaining environment-bound seam, and keeping opaque rows in the mix
     keeps the quarantine path exercised."""
     rows = []
@@ -903,8 +911,28 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             dur_ms = int(1000 * len(samples) / rate)
             rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
         else:
-            variant = (i // 3) % 4
-            if variant == 3:  # real animated GIF
+            variant = (i // 3) % 5
+            if variant == 4:  # real Y4M raw video (round 13)
+                w, h, fps = 8 + 2 * (i % 3), 8, 5 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                y4m_frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                (xx * 5 + yy + t * 9 + i) % 256,
+                                (yy * 7 + t * 3) % 256,
+                                (xx + t * 17 + i * 3) % 256,
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                        for t in range(2 + i % 3)
+                    ]
+                )
+                cs = ("444", "422", "420jpeg")[i % 3]
+                payload = encode_y4m(y4m_frames, fps=fps, colorspace=cs)
+                dur_ms = int(1000 * len(y4m_frames) / fps)
+                rows.append((i, kind, bytearray(payload), w, h, dur_ms))
+            elif variant == 3:  # real animated GIF
                 w, h = 10 + i % 4, 8 + i % 3
                 yy, xx = np.mgrid[0:h, 0:w]
                 gif_frames = [
@@ -1047,6 +1075,19 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 )
             except Exception:
                 pass
+        elif is_y4m(p):
+            try:  # Y4M: resample every frame; keep the frame rate
+                frames = decode_y4m(p)
+                h, w = frames.shape[1:3]
+                yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                return encode_y4m(
+                    np.ascontiguousarray(frames[:, yi][:, :, xi]),
+                    fps=max(1, int(round(y4m_fps(p)))),
+                    colorspace="444",
+                )
+            except Exception:
+                pass
         return fake_resize(p, width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1157,9 +1198,13 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     shuffle."""
 
     def _frames(p: bytes) -> list:
-        if is_avi(p) or is_gif(p):
+        if is_avi(p) or is_gif(p) or is_y4m(p):
             try:
-                frames = decode_avi(p) if is_avi(p) else decode_gif(p)
+                frames = (
+                    decode_avi(p)
+                    if is_avi(p)
+                    else decode_gif(p) if is_gif(p) else decode_y4m(p)
+                )
                 n = frames.shape[0]
                 idx = np.minimum((np.arange(n_frames) * n) // n_frames, n - 1)
                 return [encode_bmp(frames[i]) for i in idx]

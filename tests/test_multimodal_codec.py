@@ -41,6 +41,7 @@ from mapreduce_machine_learning_spark.sources.pcm_codecs import (
     is_sphere,
 )
 from mapreduce_machine_learning_spark.sources.gif import decode_gif, is_gif
+from mapreduce_machine_learning_spark.sources.y4m import decode_y4m, is_y4m
 from mapreduce_machine_learning_spark.sources.multimodal import (
     _png_chunk,
     _PNG_MAGIC,
@@ -478,6 +479,8 @@ def test_spark_features_match_local_decoders(spark):
             want = real_video_features(decode_avi(payload))
         elif is_gif(payload):  # ...and for animated GIF...
             want = real_video_features(decode_gif(payload))
+        elif is_y4m(payload):  # ...and for raw Y4M (round 13)
+            want = real_video_features(decode_y4m(payload))
         else:  # ...and still the documented stand-in for opaque bytes
             want = fake_features(payload)
         assert got[i].features == pytest.approx(list(want)), (i, row.kind)

@@ -1187,7 +1187,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """mapInPandas frame sampling: each video row fans out to ``n_frames``
     (media_id, frame_idx, frame_payload) rows — the 1→N batch shape of real
     frame extraction. For AVI payloads in BOTH in-container layouts (DIB
-    and MJPEG, sources/avi.py) and for animated GIFs (sources/gif.py) the
+    and MJPEG, sources/avi.py), for animated GIFs (sources/gif.py), and
+    for raw Y4M streams (sources/y4m.py, round 13) the
     frames are REAL: evenly-spaced decoded frames, each re-encoded as a BMP
     so downstream stages can ``decode_image`` them. Other video bytes get
     the deterministic md5(payload | idx) stand-in (inter-frame codecs like

@@ -226,6 +226,8 @@ def _lzw_encode(data: bytes) -> bytes:
 
 
 def _read_ifd(payload: bytes, lt: str) -> dict:
+    if len(payload) < 8:
+        raise NotImplementedError("TIFF shorter than its header")
     (ifd_off,) = struct.unpack_from(lt + "I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise NotImplementedError("TIFF IFD offset beyond payload")
@@ -255,7 +257,8 @@ def _read_ifd(payload: bytes, lt: str) -> dict:
             vals = list(raw)
         else:
             continue  # rational/ascii etc. — not needed for decode
-        tags[tag] = vals
+        if vals:  # a zero-count tag carries no value: treat as absent
+            tags[tag] = vals
     return tags
 
 

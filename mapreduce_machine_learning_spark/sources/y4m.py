@@ -88,11 +88,11 @@ def _parse_header(payload: bytes) -> tuple:
     if fps_num < 1 or fps_den < 1:
         raise NotImplementedError("Y4M frame rate must be positive")
     if cs not in _CHROMA:
-        raise NotImplementedError(f"Y4M colorspace C{cs.decode()} unsupported")
+        raise NotImplementedError(f"Y4M colorspace {cs!r} unsupported")
     sub = _CHROMA[cs]
     if sub is not None and (w % sub[0] or h % sub[1]):
         raise NotImplementedError(
-            f"Y4M {w}x{h} not divisible by the C{cs.decode()} subsampling"
+            f"Y4M {w}x{h} not divisible by the {cs!r} subsampling"
         )
     return nl + 1, w, h, fps_num, fps_den, sub
 

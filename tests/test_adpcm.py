@@ -234,3 +234,24 @@ def test_encoder_twin_validation():
         encode_wav_ms(_tone(1), 8000)  # needs 2 samples
     with pytest.raises(ValueError):
         encode_wav_ms(_tone(100), 8000, samples_per_block=7)  # odd
+
+
+def test_fuzzed_adpcm_wav_quarantines_or_decodes():
+    """Decoder-level quarantine contract through the full WAV dispatch:
+    mutated ADPCM WAVs either decode or raise NotImplementedError.
+    Seeded slice of the clean round-13 unseeded sweep."""
+    rng = np.random.default_rng(1319)
+    x = _tone(3000)
+    bases = [encode_wav_ima(x, 8000), encode_wav_ms(x, 8000)]
+    for base in bases:
+        for trial in range(150):
+            p = bytearray(base)
+            if trial % 3 == 2:
+                p = p[: int(rng.integers(1, len(p)))]
+            else:
+                for _ in range(int(rng.integers(1, 8))):
+                    p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            try:
+                decode_wav(bytes(p))
+            except NotImplementedError:
+                pass  # the quarantine contract

@@ -179,3 +179,30 @@ def test_encoder_validation():
         encode_tiff(np.zeros((4, 4, 2), np.uint8))
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((4, 4, 3), np.uint8), predictor=True)  # non-LZW
+
+
+def test_fuzzed_tiff_decoder_quarantines_or_decodes():
+    """Decoder-level quarantine contract (the round-12 discipline): a
+    mutated TIFF either decodes or raises NotImplementedError, never
+    any other exception. A 18,000-payload unseeded sweep was clean at
+    round-13 time (after hardening the short-header and zero-count-tag
+    paths); this pins a seeded slice."""
+    rng = np.random.default_rng(1307)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint16).astype(np.uint8)
+    bases = [
+        encode_tiff(img),
+        encode_tiff(img, compression="lzw", predictor=True),
+        encode_tiff(img, compression="packbits", big_endian=True),
+    ]
+    for base in bases:
+        for trial in range(150):
+            p = bytearray(base)
+            if trial % 3 == 2:
+                p = p[: int(rng.integers(1, len(p)))]
+            else:
+                for _ in range(int(rng.integers(1, 8))):
+                    p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            try:
+                decode_tiff(bytes(p))
+            except NotImplementedError:
+                pass  # the quarantine contract

@@ -161,3 +161,29 @@ def test_features_and_frame_sampling_see_real_y4m(spark):
         # first sampled frame is frame 0, decoded and BMP-round-tripped
         first = decode_image(bytes(got[0].frame_payload))
         assert np.array_equal(first, frames[0])
+
+
+def test_fuzzed_y4m_decoder_quarantines_or_decodes():
+    """Decoder-level quarantine contract: mutated Y4M either decodes or
+    raises NotImplementedError (non-UTF8 junk in header tokens included
+    — error messages must not themselves throw). Seeded slice of the
+    clean round-13 unseeded sweep."""
+    rng = np.random.default_rng(1313)
+    f = _frames(3, 8, 12, seed=2)
+    bases = [
+        encode_y4m(f, fps=10, colorspace="444"),
+        encode_y4m(f, fps=10, colorspace="420jpeg"),
+        encode_y4m(f, fps=10, colorspace="mono"),
+    ]
+    for base in bases:
+        for trial in range(150):
+            p = bytearray(base)
+            if trial % 3 == 2:
+                p = p[: int(rng.integers(1, len(p)))]
+            else:
+                for _ in range(int(rng.integers(1, 8))):
+                    p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            try:
+                decode_y4m(bytes(p))
+            except NotImplementedError:
+                pass  # the quarantine contract

@@ -52,6 +52,12 @@ def _codec_payloads() -> dict:
         encode_wav,
     )
     from mapreduce_machine_learning_spark.sources.webp import encode_webp
+    from mapreduce_machine_learning_spark.sources.adpcm import (
+        encode_wav_ima,
+        encode_wav_ms,
+    )
+    from mapreduce_machine_learning_spark.sources.tiff import encode_tiff
+    from mapreduce_machine_learning_spark.sources.y4m import encode_y4m
 
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
@@ -77,6 +83,19 @@ def _codec_payloads() -> dict:
         "ogg_flac_8000x16bit": encode_ogg_flac(wav, 8000),
         "avi_dib_6f_24x32": encode_avi(frames, fps=10),
         "avi_mjpg_6f_24x32": encode_avi(frames, fps=10, codec="mjpg"),
+        # round-13 codecs
+        "tiff_lzw_pred_48x64": encode_tiff(
+            img, compression="lzw", predictor=True
+        ),
+        "tiff_packbits_be_48x64": encode_tiff(
+            img, compression="packbits", big_endian=True
+        ),
+        "wav_ima_adpcm_8000": encode_wav_ima(wav, 8000),
+        "wav_ms_adpcm_8000": encode_wav_ms(wav, 8000),
+        "y4m_420_6f_24x32": encode_y4m(
+            np.stack(frames), fps=10, colorspace="420jpeg"
+        ),
+        "y4m_444_6f_24x32": encode_y4m(np.stack(frames), fps=10),
     }
 
 

@@ -105,6 +105,11 @@ from mapreduce_machine_learning_spark.sources.adpcm import (
     encode_wav_ms,
 )
 from mapreduce_machine_learning_spark.sources.resample import resample_audio
+from mapreduce_machine_learning_spark.sources.netpbm import (
+    decode_netpbm,
+    encode_netpbm,
+    is_netpbm,
+)
 from mapreduce_machine_learning_spark.sources.tiff import (
     decode_tiff,
     encode_tiff,
@@ -126,6 +131,12 @@ from mapreduce_machine_learning_spark.sources.jpeg import (
     encode_jpeg,
     encode_jpeg_progressive,
     is_jpeg,
+)
+from mapreduce_machine_learning_spark.sources.mp4 import (
+    decode_mp4,
+    encode_mp4_mjpeg,
+    is_mp4,
+    mp4_fps,
 )
 from mapreduce_machine_learning_spark.sources.y4m import (
     decode_y4m,
@@ -658,6 +669,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_webp(payload)
     if is_tiff(payload):
         return decode_tiff(payload)
+    if is_netpbm(payload):
+        return decode_netpbm(payload)
     raise NotImplementedError(
         "only BMP, PNG, JPEG (baseline/progressive), GIF, lossless "
         "WebP, and baseline TIFF decode in this container "
@@ -757,6 +770,7 @@ def features_for(payload: bytes) -> "np.ndarray":
             or is_jpeg(payload)
             or is_webp(payload)
             or is_tiff(payload)
+            or is_netpbm(payload)
         ):
             return real_image_features(decode_image(payload))
         if is_gif(payload):  # still GIF = image, animated GIF = video
@@ -777,6 +791,8 @@ def features_for(payload: bytes) -> "np.ndarray":
             return real_video_features(decode_avi(payload))
         if is_y4m(payload):
             return real_video_features(decode_y4m(payload))
+        if is_mp4(payload):
+            return real_video_features(decode_mp4(payload))
     except Exception:
         pass  # undecodable: same fallback as unknown formats
     return fake_features(payload)
@@ -838,9 +854,11 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     FLAC-in-Ogg / IMA-ADPCM WAV / MS-ADPCM WAV).
     Image rows
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
-    lossless WebP / LZW-predictor TIFF / big-endian PackBits TIFF;
+    lossless WebP / LZW-predictor TIFF / big-endian PackBits TIFF / P6
+    Netpbm;
     video rows rotate opaque stand-in bytes, DIB AVI,
-    MJPEG AVI, animated GIF, and raw Y4M (444/422/420) — inter-frame video codecs are the
+    MJPEG AVI, animated GIF, raw Y4M (444/422/420), and MJPEG MP4/MOV
+    (one-chunk and chunk-per-frame layouts alternating) — inter-frame video codecs are the
     remaining environment-bound seam, and keeping opaque rows in the mix
     keeps the quarantine path exercised."""
     rows = []
@@ -858,8 +876,10 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = (i // 3) % 8
-            if fmt == 3:  # still GIF: quantize the gradient to 16 colors
+            fmt = (i // 3) % 9
+            if fmt == 8:  # binary Netpbm pixmap (round 13)
+                payload = encode_netpbm(arr, kind=6)
+            elif fmt == 3:  # still GIF: quantize the gradient to 16 colors
                 payload = encode_gif(
                     [(arr[..., 0] % 16).astype(np.uint8)],
                     _GIF_TEST_PALETTE,
@@ -911,8 +931,27 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
             dur_ms = int(1000 * len(samples) / rate)
             rows.append((i, kind, bytearray(payload), 0, 0, dur_ms))
         else:
-            variant = (i // 3) % 5
-            if variant == 4:  # real Y4M raw video (round 13)
+            variant = (i // 3) % 6
+            if variant == 5:  # real MJPEG MP4/MOV (round 13)
+                w, h, fps = 10 + i % 3, 8, 4 + i % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                mp4_frames = [
+                    np.stack(
+                        [
+                            (xx * 3 + yy + t * 13 + i) % 256,
+                            (yy * 5 + t * 11) % 256,
+                            (xx + t * 7 + i * 9) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    for t in range(2 + i % 2)
+                ]
+                payload = encode_mp4_mjpeg(
+                    mp4_frames, fps=fps, chunked=bool(i % 2)
+                )
+                dur_ms = int(1000 * len(mp4_frames) / fps)
+                rows.append((i, kind, bytearray(payload), w, h, dur_ms))
+            elif variant == 4:  # real Y4M raw video (round 13)
                 w, h, fps = 8 + 2 * (i % 3), 8, 5 + i % 5
                 yy, xx = np.mgrid[0:h, 0:w]
                 y4m_frames = np.stack(
@@ -1024,6 +1063,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return encode_webp(out)
     if is_tiff(payload):  # lossless in, lossless out (LZW + predictor)
         return encode_tiff(out, compression="lzw", predictor=True)
+    if is_netpbm(payload):  # lossless in, lossless out (P6)
+        return encode_netpbm(out)
     return encode_bmp(out)
 
 
@@ -1046,7 +1087,14 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         # deterministic stand-in for everything else — including payloads
         # whose magic lies or whose body is truncated (features_for's
         # quarantine contract: one corrupt row never kills the task)
-        if is_bmp(p) or is_png(p) or is_jpeg(p) or is_webp(p) or is_tiff(p):
+        if (
+            is_bmp(p)
+            or is_png(p)
+            or is_jpeg(p)
+            or is_webp(p)
+            or is_tiff(p)
+            or is_netpbm(p)
+        ):
             try:
                 return resize_image(p, width, height)
             except Exception:
@@ -1072,6 +1120,18 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     [np.ascontiguousarray(f[yi][:, xi]) for f in frames],
                     fps=avi_fps(p),
                     codec=avi_codec(p),
+                )
+            except Exception:
+                pass
+        elif is_mp4(p):
+            try:  # MJPEG MP4: resample every frame; keep container + fps
+                frames = decode_mp4(p)
+                h, w = frames.shape[1:3]
+                yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                return encode_mp4_mjpeg(
+                    [np.ascontiguousarray(f[yi][:, xi]) for f in frames],
+                    fps=max(1, int(round(mp4_fps(p)))),
                 )
             except Exception:
                 pass
@@ -1199,13 +1259,16 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     shuffle."""
 
     def _frames(p: bytes) -> list:
-        if is_avi(p) or is_gif(p) or is_y4m(p):
+        if is_avi(p) or is_gif(p) or is_y4m(p) or is_mp4(p):
             try:
-                frames = (
-                    decode_avi(p)
-                    if is_avi(p)
-                    else decode_gif(p) if is_gif(p) else decode_y4m(p)
-                )
+                if is_avi(p):
+                    frames = decode_avi(p)
+                elif is_gif(p):
+                    frames = decode_gif(p)
+                elif is_y4m(p):
+                    frames = decode_y4m(p)
+                else:
+                    frames = decode_mp4(p)
                 n = frames.shape[0]
                 idx = np.minimum((np.arange(n_frames) * n) // n_frames, n - 1)
                 return [encode_bmp(frames[i]) for i in idx]

@@ -24,6 +24,7 @@ from mapreduce_machine_learning_spark.sources.avi import (
     real_video_features,
 )
 from mapreduce_machine_learning_spark.sources.gif import decode_gif, is_gif
+from mapreduce_machine_learning_spark.sources.mp4 import decode_mp4, is_mp4
 from mapreduce_machine_learning_spark.sources.y4m import decode_y4m, is_y4m
 from mapreduce_machine_learning_spark.sources.multimodal import (
     decode_image,
@@ -162,13 +163,16 @@ def test_spark_sample_frames_are_real_decoded_frames(spark):
     n_real = n_standin = 0
     for i, p in vids.items():
         assert sorted(out[i]) == [0, 1, 2, 3]
-        if is_avi(p) or is_gif(p) or is_y4m(p):
+        if is_avi(p) or is_gif(p) or is_y4m(p) or is_mp4(p):
             n_real += 1
-            frames = (
-                decode_avi(p)
-                if is_avi(p)
-                else decode_gif(p) if is_gif(p) else decode_y4m(p)
-            )
+            if is_avi(p):
+                frames = decode_avi(p)
+            elif is_gif(p):
+                frames = decode_gif(p)
+            elif is_y4m(p):
+                frames = decode_y4m(p)
+            else:
+                frames = decode_mp4(p)
             n = frames.shape[0]
             idx = np.minimum((np.arange(4) * n) // 4, n - 1)
             for fi in range(4):

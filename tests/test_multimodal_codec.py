@@ -41,6 +41,8 @@ from mapreduce_machine_learning_spark.sources.pcm_codecs import (
     is_sphere,
 )
 from mapreduce_machine_learning_spark.sources.gif import decode_gif, is_gif
+from mapreduce_machine_learning_spark.sources.mp4 import decode_mp4, is_mp4
+from mapreduce_machine_learning_spark.sources.netpbm import is_netpbm
 from mapreduce_machine_learning_spark.sources.y4m import decode_y4m, is_y4m
 from mapreduce_machine_learning_spark.sources.multimodal import (
     _png_chunk,
@@ -451,6 +453,7 @@ def test_spark_features_match_local_decoders(spark):
                 else "gif" if is_gif(payload)
                 else "webp" if is_webp(payload)
                 else "tiff" if is_tiff(payload)
+                else "netpbm" if is_netpbm(payload)
                 else "bmp"
             )
             want = real_image_features(decode_image(payload))
@@ -481,6 +484,8 @@ def test_spark_features_match_local_decoders(spark):
             want = real_video_features(decode_gif(payload))
         elif is_y4m(payload):  # ...and for raw Y4M (round 13)
             want = real_video_features(decode_y4m(payload))
+        elif is_mp4(payload):  # ...and for MJPEG MP4/MOV (round 13)
+            want = real_video_features(decode_mp4(payload))
         else:  # ...and still the documented stand-in for opaque bytes
             want = fake_features(payload)
         assert got[i].features == pytest.approx(list(want)), (i, row.kind)
@@ -491,7 +496,7 @@ def test_spark_features_match_local_decoders(spark):
     # actually exercised (the two ADPCM WAV rows sniff as "wav" and
     # decode through the same decode_wav dispatch)
     assert fmts == {
-        "bmp", "png", "jpeg", "gif", "webp", "tiff",
+        "bmp", "png", "jpeg", "gif", "webp", "tiff", "netpbm",
         "wav", "flac", "aiff", "au", "sphere", "ogg",
     }
 

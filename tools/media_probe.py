@@ -58,6 +58,8 @@ def _codec_payloads() -> dict:
     )
     from mapreduce_machine_learning_spark.sources.tiff import encode_tiff
     from mapreduce_machine_learning_spark.sources.y4m import encode_y4m
+    from mapreduce_machine_learning_spark.sources.netpbm import encode_netpbm
+    from mapreduce_machine_learning_spark.sources.mp4 import encode_mp4_mjpeg
 
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
@@ -96,6 +98,8 @@ def _codec_payloads() -> dict:
             np.stack(frames), fps=10, colorspace="420jpeg"
         ),
         "y4m_444_6f_24x32": encode_y4m(np.stack(frames), fps=10),
+        "pnm_p6_48x64": encode_netpbm(img),
+        "mp4_mjpeg_6f_24x32": encode_mp4_mjpeg(frames, fps=10),
     }
 
 

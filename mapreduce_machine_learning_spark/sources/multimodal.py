@@ -154,6 +154,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -822,6 +823,66 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+MEDIA_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("container", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("decodable", BooleanType()),
+    ]
+)
+
+
+def describe_media(media: DataFrame) -> DataFrame:
+    """mapInPandas catalog pass: header-only format/codec/geometry/
+    timing per payload (``sources/mediainfo.py``) — the cheap first
+    sweep a 100 TB pipeline runs before deciding what to decode. No
+    sample decode happens here; ``decodable`` is the routing bit for
+    the stages that do. Row-wise and pure per payload: deterministic
+    under any partitioning, no shuffle."""
+    from mapreduce_machine_learning_spark.sources.mediainfo import (
+        media_info,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = [media_info(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "container": [i["container"] for i in infos],
+                    "codec": [i["codec"] for i in infos],
+                    "width": np.array(
+                        [i["width"] for i in infos], dtype="int32"
+                    ),
+                    "height": np.array(
+                        [i["height"] for i in infos], dtype="int32"
+                    ),
+                    "n_frames": np.array(
+                        [i["n_frames"] for i in infos], dtype="int32"
+                    ),
+                    "sample_rate": np.array(
+                        [i["sample_rate"] for i in infos], dtype="int32"
+                    ),
+                    "duration_ms": np.array(
+                        [min(i["duration_ms"], 2**31 - 1) for i in infos],
+                        dtype="int32",
+                    ),
+                    "decodable": [bool(i["decodable"]) for i in infos],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, MEDIA_INFO_SCHEMA)
 
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -155,6 +155,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     from mapreduce_machine_learning_spark.sources.multimodal import (
+        describe_media,
         extract_features,
         resample_media,
         resize_media,
@@ -167,6 +168,9 @@ def main() -> None:
 
     stages = {}
     for name, df in (
+        # the catalog pass goes first and should be the CHEAPEST row —
+        # that is its design claim (headers only, no sample decode)
+        ("describe_media", describe_media(media)),
         ("extract_features", extract_features(media)),
         ("resize_media_32x24", resize_media(media, 32, 24)),
         ("sample_frames_4", sample_frames(media, 4)),

@@ -165,6 +165,10 @@ def main() -> None:
 
     media = synth_media_real(spark, n=args.n).repartition(16)
     media.persist().count()  # isolate stage cost from synthesis cost
+    # warm the Python workers (daemon fork + package import) so the
+    # FIRST timed stage does not absorb one-time startup cost — stage
+    # rows are meant to be comparable to each other
+    describe_media(media).count()
 
     stages = {}
     for name, df in (

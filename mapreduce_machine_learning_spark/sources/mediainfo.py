@@ -351,6 +351,19 @@ def _ogg_info(p: bytes) -> dict:
     if first[:5] == b"\x7fFLAC":
         info["codec"] = "FLAC-in-Ogg"
         info["decodable"] = True
+        # mapping packet: 7fFLAC maj min nheaders(2) 'fLaC' STREAMINFO
+        si = body + 9 + 4  # start of the STREAMINFO block header
+        if si + 38 <= len(p):
+            from mapreduce_machine_learning_spark.sources.flac import (
+                _parse_streaminfo,
+            )
+
+            st = _parse_streaminfo(p[si + 4 : si + 38])
+            info["sample_rate"] = st["rate"]
+            if st["rate"]:
+                info["duration_ms"] = (
+                    st["total_samples"] * 1000 // st["rate"]
+                )
     elif first[:7] == b"\x01vorbis":
         info["codec"] = "Vorbis"
         if body + 16 <= len(p):
@@ -436,7 +449,9 @@ def _tiff_info(p: bytes) -> dict:
     info["codec"] = names.get(comp, f"tiff-compression-{comp}")
     spp = tags.get(t._T_SAMPLES, [1])[0]
     bits = tags.get(t._T_BITS, [8])[0]
-    info["decodable"] = comp in (1, 5, 32773) and spp in (1, 3) and bits == 8
+    info["decodable"] = (
+        comp in (1, 5, 32773) and spp in (1, 3) and bits in (8, 16)
+    )
     return info
 
 

@@ -9,16 +9,18 @@ whole surface is oracle-verifiable without a native reference.
 Supported surface (TIFF 6.0 baseline):
 
 - both byte orders (``II`` little-endian, ``MM`` big-endian);
-- 8-bit grayscale (PhotometricInterpretation 0/1 — 0 is inverted per
-  the spec) and 8-bit RGB, chunky planar config, any RowsPerStrip
-  stripping;
+- 8- and 16-bit grayscale (PhotometricInterpretation 0/1 — 0 is
+  inverted per the spec) and RGB, chunky planar config, any
+  RowsPerStrip stripping; 16-bit samples (either byte order, predictor
+  differencing per 16-bit value per the spec) normalize to the top
+  byte, the same presentation the 16-bit PNG path uses;
 - Compression 1 (none), 32773 (PackBits), and 5 (LZW — the full
   variable-width MSB-first code stream with the spec's "early change"
   width bump, plus the horizontal-differencing Predictor 2);
 - output is always uint8 (h, w, 3) RGB, grayscale replicated — the
   same presentation every other image decoder in this package uses.
 
-Everything else (16-bit, tiles, planar=2, palette, CCITT/JPEG-in-TIFF,
+Everything else (tiles, planar=2, palette, CCITT/JPEG-in-TIFF,
 floating point) quarantines with ``NotImplementedError`` at the
 documented seam, exactly like the other codecs' unsupported features.
 
@@ -287,9 +289,14 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     predictor = tags.get(_T_PREDICTOR, [1])[0]
     if w < 1 or h < 1 or w > 1 << 15 or h > 1 << 15:
         raise NotImplementedError(f"TIFF dimensions out of range ({w}x{h})")
-    if spp not in (1, 3) or any(b != 8 for b in bits[:spp]):
+    depth = bits[0] if bits else 8
+    if (
+        spp not in (1, 3)
+        or depth not in (8, 16)
+        or any(b != depth for b in bits[:spp])
+    ):
         raise NotImplementedError(
-            f"only 8-bit gray/RGB TIFF decodes (spp={spp}, bits={bits})"
+            f"only 8/16-bit gray/RGB TIFF decodes (spp={spp}, bits={bits})"
         )
     if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
         raise NotImplementedError(
@@ -305,7 +312,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if len(offsets) != len(counts):
         raise NotImplementedError("TIFF strip offset/count length mismatch")
-    row_bytes = w * spp
+    row_bytes = w * spp * (depth // 8)
     rows = []
     for s, (off, cnt) in enumerate(zip(offsets, counts)):
         nrows = min(rps, h - s * rps)
@@ -323,9 +330,22 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
             strip = _packbits_decode(raw, expected)
         else:
             strip = _lzw_decode(raw, expected)
-        arr = np.frombuffer(strip, np.uint8).reshape(nrows, w, spp)
-        if predictor == 2:
-            arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+        if depth == 16:
+            # predictor differencing is per 16-bit VALUE (spec 14);
+            # normalize to the top byte after reconstruction, the same
+            # presentation the 16-bit PNG path uses
+            a16 = np.frombuffer(strip, lt + "u2").reshape(nrows, w, spp)
+            if predictor == 2:
+                a16 = (
+                    np.cumsum(a16.astype(np.uint64), axis=1) & 0xFFFF
+                ).astype(np.uint16)
+            arr = (a16 >> 8).astype(np.uint8)
+        else:
+            arr = np.frombuffer(strip, np.uint8).reshape(nrows, w, spp)
+            if predictor == 2:
+                arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(
+                    np.uint8
+                )
         rows.append(arr)
     img = np.concatenate(rows, axis=0)
     if img.shape[0] != h:
@@ -343,11 +363,14 @@ def encode_tiff(
     rows_per_strip: int = 8,
     big_endian: bool = False,
     predictor: bool = False,
+    deep: bool = False,
 ) -> bytes:
     """Baseline TIFF from uint8 (h, w, 3) RGB or (h, w) grayscale — the
     decoder's encoder twin. ``compression`` in {"none", "packbits",
     "lzw"}; ``predictor`` enables horizontal differencing (LZW only,
-    per the spec's intent)."""
+    per the spec's intent); ``deep`` writes 16-bit samples (v*257, the
+    exact 8->16 upconvert, so decode's top-byte normalization
+    round-trips bit-exactly)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -358,14 +381,23 @@ def encode_tiff(
         raise ValueError("predictor is an LZW option")
     h, w, spp = a.shape
     lt = ">" if big_endian else "<"
+    depth = 16 if deep else 8
     strips = []
     for y0 in range(0, h, rows_per_strip):
         block = a[y0 : y0 + rows_per_strip]
-        if predictor:
-            d = block.astype(np.int16)
-            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
-            block = (d & 0xFF).astype(np.uint8)
-        raw = block.tobytes()
+        if deep:
+            b16 = block.astype(np.uint16) * 257
+            if predictor:
+                d = b16.astype(np.int32)
+                d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+                b16 = (d & 0xFFFF).astype(np.uint16)
+            raw = b16.astype(lt + "u2").tobytes()
+        else:
+            if predictor:
+                d = block.astype(np.int16)
+                d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+                block = (d & 0xFF).astype(np.uint8)
+            raw = block.tobytes()
         if comp_id == 1:
             strips.append(raw)
         elif comp_id == 32773:
@@ -389,7 +421,7 @@ def encode_tiff(
     entries = [
         entry(_T_WIDTH, 4, [w]),
         entry(_T_HEIGHT, 4, [h]),
-        entry(_T_BITS, 3, [8] * spp),
+        entry(_T_BITS, 3, [depth] * spp),
         entry(_T_COMPRESSION, 3, [comp_id]),
         entry(_T_PHOTOMETRIC, 3, [2 if spp == 3 else 1]),
         entry(_T_SAMPLES, 3, [spp]),

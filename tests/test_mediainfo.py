@@ -66,6 +66,7 @@ def test_audio_formats_report_rate_and_duration():
     )
     from mapreduce_machine_learning_spark.sources.flac import encode_flac
     from mapreduce_machine_learning_spark.sources.multimodal import encode_wav
+    from mapreduce_machine_learning_spark.sources.ogg import encode_ogg_flac
     from mapreduce_machine_learning_spark.sources.pcm_codecs import (
         encode_aiff,
         encode_au,
@@ -81,6 +82,7 @@ def test_audio_formats_report_rate_and_duration():
         (encode_aiff(x, 16000), "aiff", "pcm16"),
         (encode_au(x, 16000, encoding=3), "au", "pcm16"),
         (encode_sphere(x, 16000), "sphere", "pcm"),
+        (encode_ogg_flac(x, 16000), "ogg", "FLAC-in-Ogg"),
     ):
         info = media_info(payload)
         assert info["container"] == container, container

@@ -206,3 +206,27 @@ def test_fuzzed_tiff_decoder_quarantines_or_decodes():
                 decode_tiff(bytes(p))
             except NotImplementedError:
                 pass  # the quarantine contract
+
+
+def test_16bit_deep_roundtrip_all_axes():
+    """deep=True writes 16-bit samples as the exact v*257 upconvert, so
+    the decoder's top-byte normalization round-trips bit-exactly —
+    including the predictor, whose differencing is per 16-bit VALUE."""
+    a = _rgb(11, 9, seed=21)
+    for be in (False, True):
+        for comp in ("none", "packbits", "lzw"):
+            payload = encode_tiff(a, compression=comp, big_endian=be, deep=True)
+            assert np.array_equal(decode_tiff(payload), a), (be, comp)
+    pred = encode_tiff(a, compression="lzw", predictor=True, deep=True)
+    assert np.array_equal(decode_tiff(pred), a)
+    g16 = encode_tiff(np.array([[1, 1, 255]], np.uint8), deep=True)
+    assert decode_tiff(g16)[0, :, 0].tolist() == [1, 1, 255]
+
+
+def test_16bit_gray_whitiszero_inverts_after_normalization():
+    g = np.array([[0, 128, 255]], np.uint8)
+    payload = encode_tiff(g, deep=True)
+    i = payload.index(struct.pack("<HHI", 262, 3, 1))
+    flipped = bytearray(payload)
+    flipped[i + 8] = 0
+    assert decode_tiff(bytes(flipped))[0, :, 0].tolist() == [255, 127, 0]

@@ -290,3 +290,32 @@ def test_describe_media_stage_catalogs_the_full_rotation(spark):
     # decodable split exists both ways (opaque video rows are False)
     vals = {r.decodable for r in rows.values()}
     assert vals == {True, False}
+
+
+def test_describe_media_partition_and_arrow_batch_invariant(spark):
+    """The catalog is pure per payload, so its output must be identical
+    under any partitioning and any Arrow batch fragmentation — the same
+    deployment-shape contract the other media stages pin."""
+    from mapreduce_machine_learning_spark.sources.multimodal import (
+        describe_media,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, n=36)
+
+    def snapshot(df):
+        return {
+            r.media_id: (
+                r.container, r.codec, r.width, r.height, r.n_frames,
+                r.sample_rate, r.duration_ms, r.decodable,
+            )
+            for r in describe_media(df).collect()
+        }
+
+    base = snapshot(media.repartition(12))
+    assert snapshot(media.repartition(3)) == base
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        assert snapshot(media.repartition(12)) == base
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import struct
 
+from mapreduce_machine_learning_spark.sources.tga import is_tga as _is_tga
+
 __all__ = ["media_info", "is_mp3"]
 
 _EMPTY = {
@@ -471,6 +473,16 @@ def _netpbm_info(p: bytes) -> dict:
     return info
 
 
+def _tga_info(p: bytes) -> dict:
+    from mapreduce_machine_learning_spark.sources.tga import _header
+
+    id_len, _cm, img_type, w, h, bpp, _desc = _header(p)
+    info = dict(_EMPTY, container="tga", decodable=True, n_frames=1)
+    info["codec"] = ("rle" if img_type in (10, 11) else "raw") + str(bpp)
+    info["width"], info["height"] = w, h
+    return info
+
+
 def media_info(payload: bytes) -> dict:
     """Catalog one payload from headers alone (see module docstring).
     Never raises; unknown or corrupt payloads degrade to partial
@@ -516,6 +528,8 @@ def media_info(payload: bytes) -> dict:
             _netpbm_info,
         ),
         (lambda: is_mp3(p), _mp3_info),
+        # structural sniff, no magic: must stay LAST
+        (lambda: _is_tga(p), _tga_info),
     ]
     for sniff, reader in sniffs:
         try:

@@ -110,6 +110,11 @@ from mapreduce_machine_learning_spark.sources.netpbm import (
     encode_netpbm,
     is_netpbm,
 )
+from mapreduce_machine_learning_spark.sources.tga import (
+    decode_tga,
+    encode_tga,
+    is_tga,
+)
 from mapreduce_machine_learning_spark.sources.tiff import (
     decode_tiff,
     encode_tiff,
@@ -672,6 +677,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_tiff(payload)
     if is_netpbm(payload):
         return decode_netpbm(payload)
+    if is_tga(payload):  # structural sniff — must stay LAST (no magic)
+        return decode_tga(payload)
     raise NotImplementedError(
         "only BMP, PNG, JPEG (baseline/progressive), GIF, lossless "
         "WebP, and baseline TIFF decode in this container "
@@ -772,6 +779,7 @@ def features_for(payload: bytes) -> "np.ndarray":
             or is_webp(payload)
             or is_tiff(payload)
             or is_netpbm(payload)
+            or is_tga(payload)
         ):
             return real_image_features(decode_image(payload))
         if is_gif(payload):  # still GIF = image, animated GIF = video
@@ -916,7 +924,7 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
     Image rows
     rotate BMP / PNG / baseline JPEG / still GIF / progressive JPEG /
     lossless WebP / LZW-predictor TIFF / big-endian PackBits TIFF / P6
-    Netpbm;
+    Netpbm / RLE TGA;
     video rows rotate opaque stand-in bytes, DIB AVI,
     MJPEG AVI, animated GIF, raw Y4M (444/422/420), and MJPEG MP4/MOV
     (one-chunk and chunk-per-frame layouts alternating) — inter-frame video codecs are the
@@ -937,8 +945,10 @@ def synth_media_real(spark: SparkSession, n: int = 48) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            fmt = (i // 3) % 9
-            if fmt == 8:  # binary Netpbm pixmap (round 13)
+            fmt = (i // 3) % 10
+            if fmt == 9:  # RLE Targa (round 13)
+                payload = encode_tga(arr, rle=True, top_down=bool(i % 2))
+            elif fmt == 8:  # binary Netpbm pixmap (round 13)
                 payload = encode_netpbm(arr, kind=6)
             elif fmt == 3:  # still GIF: quantize the gradient to 16 colors
                 payload = encode_gif(
@@ -1126,6 +1136,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         return encode_tiff(out, compression="lzw", predictor=True)
     if is_netpbm(payload):  # lossless in, lossless out (P6)
         return encode_netpbm(out)
+    if is_tga(payload):  # lossless in, lossless out (RLE)
+        return encode_tga(out, rle=True)
     return encode_bmp(out)
 
 
@@ -1155,6 +1167,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             or is_webp(p)
             or is_tiff(p)
             or is_netpbm(p)
+            or is_tga(p)
         ):
             try:
                 return resize_image(p, width, height)

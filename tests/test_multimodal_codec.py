@@ -43,6 +43,7 @@ from mapreduce_machine_learning_spark.sources.pcm_codecs import (
 from mapreduce_machine_learning_spark.sources.gif import decode_gif, is_gif
 from mapreduce_machine_learning_spark.sources.mp4 import decode_mp4, is_mp4
 from mapreduce_machine_learning_spark.sources.netpbm import is_netpbm
+from mapreduce_machine_learning_spark.sources.tga import is_tga
 from mapreduce_machine_learning_spark.sources.y4m import decode_y4m, is_y4m
 from mapreduce_machine_learning_spark.sources.multimodal import (
     _png_chunk,
@@ -454,6 +455,7 @@ def test_spark_features_match_local_decoders(spark):
                 else "webp" if is_webp(payload)
                 else "tiff" if is_tiff(payload)
                 else "netpbm" if is_netpbm(payload)
+                else "tga" if is_tga(payload)
                 else "bmp"
             )
             want = real_image_features(decode_image(payload))
@@ -496,7 +498,7 @@ def test_spark_features_match_local_decoders(spark):
     # actually exercised (the two ADPCM WAV rows sniff as "wav" and
     # decode through the same decode_wav dispatch)
     assert fmts == {
-        "bmp", "png", "jpeg", "gif", "webp", "tiff", "netpbm",
+        "bmp", "png", "jpeg", "gif", "webp", "tiff", "netpbm", "tga",
         "wav", "flac", "aiff", "au", "sphere", "ogg",
     }
 

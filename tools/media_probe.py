@@ -60,6 +60,7 @@ def _codec_payloads() -> dict:
     from mapreduce_machine_learning_spark.sources.y4m import encode_y4m
     from mapreduce_machine_learning_spark.sources.netpbm import encode_netpbm
     from mapreduce_machine_learning_spark.sources.mp4 import encode_mp4_mjpeg
+    from mapreduce_machine_learning_spark.sources.tga import encode_tga
 
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
@@ -100,6 +101,7 @@ def _codec_payloads() -> dict:
         "y4m_444_6f_24x32": encode_y4m(np.stack(frames), fps=10),
         "pnm_p6_48x64": encode_netpbm(img),
         "mp4_mjpeg_6f_24x32": encode_mp4_mjpeg(frames, fps=10),
+        "tga_rle_48x64": encode_tga(img, rle=True),
     }
 
 

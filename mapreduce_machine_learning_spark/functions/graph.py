@@ -57,11 +57,18 @@ def connected_components(
     # unpersist is a documented no-op for them) and are bounded by the
     # iteration cap.
     # count the symmetrized edges only when a decision actually needs it
-    # (auto broadcast mode or a data-scaled iteration budget); a caller
-    # that fixes BOTH small_graph and max_iter pays no extra action
-    # (ADVICE round 4)
+    # (auto broadcast mode, or a data-scaled iteration budget on an
+    # UNBOUNDED edge list); a caller that fixes BOTH small_graph and
+    # max_iter pays no extra action (ADVICE round 4), and a caller that
+    # DECLARES small_graph=True has asserted the edge list is under
+    # SMALL_GRAPH_EDGES, so the worst-case budget for that cap —
+    # max(20, ⌈log2(2·SMALL_GRAPH_EDGES)⌉ + 8) = 30 rounds — is already a
+    # sound default and the count job is pure overhead (measured 0.4 s of
+    # the 3.1 s warm label-propagation wall at sf0.1, optimization r13).
+    import math
+
     n_sym = None
-    if small_graph == "auto" or max_iter is None:
+    if small_graph == "auto" or (max_iter is None and small_graph is not True):
         n_sym = sym.count()  # sym is pinned so the count is a one-time cost
     if small_graph == "auto":
         small_graph = n_sym <= SMALL_GRAPH_EDGES
@@ -72,9 +79,8 @@ def connected_components(
         # asymmetric jump schedules. Scaling with the data (ADVICE round 3)
         # means a chain-shaped graph just above the distributed-fallback cap
         # cannot exhaust a fixed budget: 2M edges → log2 ≈ 21 → 29 rounds.
-        import math
-
-        max_iter = max(20, int(math.ceil(math.log2(max(n_sym, 2)))) + 8)
+        bound = 2 * SMALL_GRAPH_EDGES if n_sym is None else max(n_sym, 2)
+        max_iter = max(20, int(math.ceil(math.log2(bound))) + 8)
     if max_iter < 1:
         # with zero rounds the loop never runs, `changed` stays 0, and the
         # identity labeling (every node its own component) would return
@@ -92,9 +98,14 @@ def connected_components(
         labels = labels.coalesce(1)
     labels = (
         labels.withColumn("comp", F.col("node"))
-        .localCheckpoint()  # truncates lineage: each round replans from here,
-        # not from the full history of prior rounds (which overflows the
-        # planner stack after ~10 iterations)
+        # truncates lineage: each round replans from here, not from the
+        # full history of prior rounds (which overflows the planner stack
+        # after ~10 iterations). LAZY (eager=False): the checkpoint RDD
+        # materializes inside round 0's first action and is cached from
+        # then on — an eager checkpoint here is one more blocking job
+        # for the same blocks (optimization r13; each job barrier
+        # measured 0.3-0.5 s on the label-propagation wall).
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iter):
@@ -121,7 +132,12 @@ def connected_components(
         jumped = F.least(F.col("comp"), F.coalesce("lcomp", "comp"))
         # carry a per-node "did my label shrink" flag through the checkpoint
         # so change detection is a filter-count on the materialized frame,
-        # not a third join — one action per round instead of two
+        # not a third join. The checkpoint is LAZY: the count action below
+        # materializes (and caches) the checkpoint RDD itself, so each
+        # round is ONE job, not an eager-checkpoint job followed by a
+        # count job (optimization r13 — halves the per-round barrier
+        # count; semantics unchanged, the next round still replans from
+        # the cached checkpoint blocks).
         new_labels = (
             tentative.join(
                 _hint(lookup), tentative.comp == lookup.lnode, "left"
@@ -131,7 +147,7 @@ def connected_components(
                 jumped.alias("comp"),
                 (jumped < F.col("old")).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("node", "comp")

@@ -324,8 +324,44 @@ def _resolve_verify_cap(broadcast_cap_b):
     return int(env) if env else _VERIFY_BROADCAST_CAP_B
 
 
+def _band_candidate_ids(bands, id_col="doc_id"):
+    """Distinct ids of docs occupying a band bucket with >1 occupant — by
+    construction exactly the docs that appear in ≥1 LSH candidate pair
+    (every such doc pairs with its ≥1 bucket-mates; a doc only in
+    singleton buckets pairs with nobody). Used to bound the verify
+    stage's token-array frame WITHOUT a pass over the pair stream: the
+    r12 shape re-projected the |pairs|-row candidate stream twice and
+    ran union+distinct over it (13.4M rows at sf0.1 → 5,000 ids); this
+    reads the band table instead (4 rows/doc — 20k rows at sf0.1, and
+    always |pairs| ≥ |candidate docs| ≥ |big-bucket docs|, with |pairs|
+    quadratic in bucket occupancy while the band table stays linear in
+    the corpus — guide §2.3 "shuffle keys, not payloads"). Plan shape:
+    bucket sizes are a partial-aggregated groupBy over the (persisted)
+    band table; the bucket list joins back hint-free (AQE broadcasts it
+    at this scale; at 100 TB it degrades to a shuffle join on the band
+    key, still linear); the final distinct runs exchange-free because
+    the band table is already hash-partitioned by doc_id.
+
+    For the incremental (delta) caller the result is a SUPERSET of the
+    docs in inc×ex pairs (a bucket holding only same-side docs still
+    counts) — semantics-free: the candidate-id set only semi-join-bounds
+    which docs get token arrays, never which pairs are verified."""
+    big = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("band_id", "band_key")
+    )
+    return (
+        bands.join(big, ["band_id", "band_key"], "left_semi")
+        .select(F.col(id_col).alias("doc_id"))
+        .distinct()
+    )
+
+
 def _verified_jaccard(
-    docs, cand, left, right, threshold=0.5, broadcast_cap_b=None
+    docs, cand, left, right, threshold=0.5, broadcast_cap_b=None,
+    cand_ids=None,
 ):
     """Exact-Jaccard verification of a candidate pair stream: returns
     ``(left, right, jac)`` for pairs with raw distinct-token Jaccard
@@ -396,11 +432,17 @@ def _verified_jaccard(
       attributed a ~2× incremental-dedup speedup to this filter; that
       measurement predated the back-to-back steady protocol in bench.py
       and is superseded — the corpus cannot support such a gain."""
-    cand_ids = (
-        cand.select(F.col(left).alias("doc_id"))
-        .union(cand.select(F.col(right).alias("doc_id")))
-        .distinct()
-    )
+    if cand_ids is None:
+        # fallback for callers without a band table (tests/tools hand
+        # in synthetic pair streams): derive the candidate-doc set from
+        # the pair stream itself. Production callers pass the
+        # band-derived set (_band_candidate_ids) so this |pairs|-sized
+        # union+distinct never runs on the hot path.
+        cand_ids = (
+            cand.select(F.col(left).alias("doc_id"))
+            .union(cand.select(F.col(right).alias("doc_id")))
+            .distinct()
+        )
     # Required overlap is ⌈t·n⌉ in REAL arithmetic; the double product can
     # land an ulp above an exact integer (0.55·20 → 11.000000000000002,
     # ceil 12) which would shorten the prefix by one and break losslessness.
@@ -505,7 +547,8 @@ def _verified_jaccard(
 def _neardup_pairs_plan(spark, sf_dir):
     cand = _cand_pairs(spark, sf_dir)
     verified = _verified_jaccard(
-        T(spark, sf_dir, "documents"), cand, "doc_a", "doc_b"
+        T(spark, sf_dir, "documents"), cand, "doc_a", "doc_b",
+        cand_ids=_band_candidate_ids(_bands(spark, sf_dir)),
     )
     return (
         verified.select("doc_a", "doc_b", r6(F.col("jac")).alias("jaccard"))
@@ -1763,9 +1806,15 @@ def q_llm_dup_ngrams(spark, sf_dir):
     (doc, shingle) then docs-per-shingle. All counts exact; the share is
     a round-6 ratio."""
     d = T(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # tokenize ONCE per row into a projected column: inlining the split
+    # expression into the transform lambda re-tokenized the full text
+    # once per shingle ELEMENT (no common-subexpression elimination
+    # across lambda scopes — the q_text_novelty r13 finding), making
+    # shingling O(tokens²) per doc
+    toks = F.col("toks")
     sh = (
-        d.select(
+        d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
             "doc_id",
             "lang",
             F.explode(
@@ -1779,10 +1828,18 @@ def q_llm_dup_ngrams(spark, sf_dir):
                 )
             ).alias("shingle"),
         )
-        .distinct()
+        # one shingle-keyed exchange shared by the per-(doc, shingle)
+        # dedup AND the docs-per-shingle count (guide §2.4): partitioning
+        # by (lang, shingle) satisfies both aggregates' clustering, so
+        # the r12 plan's second full-stream exchange disappears
+        .repartition("lang", "shingle")
+        .dropDuplicates(["doc_id", "lang", "shingle"])
     )
+    # sh is distinct on (doc_id, lang, shingle), so rows-per-group IS
+    # docs-per-shingle: count(1) replaces the countDistinct's second
+    # dedup pass (identical value by construction)
     cnt = sh.groupBy("lang", "shingle").agg(
-        F.countDistinct("doc_id").alias("nd")
+        F.count(F.lit(1)).alias("nd")
     )
     dup = F.when(F.col("nd") > 1, 1).otherwise(0)
     return cnt.groupBy("lang").agg(
@@ -2199,9 +2256,13 @@ def q_llm_dedup_incremental(spark, sf_dir):
         .distinct()
     )
     # verify with the same candidate-bounded token-array machinery as the
-    # full pipeline (see _verified_jaccard)
+    # full pipeline (see _verified_jaccard); the array-map bound comes
+    # from the band table, not the pair stream (_band_candidate_ids — a
+    # superset of the inc×ex participants, which only sizes the
+    # broadcast, never the verified pairs)
     near_ids = (
-        _verified_jaccard(docs, cand, "inc_id", "ex_id")
+        _verified_jaccard(docs, cand, "inc_id", "ex_id",
+                          cand_ids=_band_candidate_ids(bands))
         .select(F.col("inc_id").alias("doc_id"))
         .distinct()
     )

@@ -482,6 +482,21 @@ def test_audit_mode_plan_build_runs_no_jobs(spark):
         # mode — the shuffle/memory audit tools execute anyway and use
         # the env knob to measure the non-default join regimes
         os.environ["SPARK_GRAFT_VERIFY_BCAST_CAP_B"] = "1"
+        # the over-cap claim is that the verify stage WITHHOLDS its
+        # broadcast hint, not that Catalyst never broadcasts: with the
+        # r13 band-derived candidate-id bound the array side's size
+        # ESTIMATE at sf0.001 falls under autoBroadcastJoinThreshold and
+        # stats alone pick a broadcast join. Disable the stats threshold
+        # (same discipline as test_verify_join_strategy_is_conditional)
+        # so the plan shows the hint-free regime's strategy — and drop
+        # the session-memoized pipeline frames first: a persisted
+        # neardup_pairs result from an earlier test plan-matches this
+        # build (broadcast hints are canonicalized away in sameResult)
+        # and CacheManager would swap the whole tree for an
+        # InMemoryTableScan, hiding the join strategy under audit.
+        runtime.release_all()
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             before = n_execs()
             df = all_queries()["q_llm_neardup_pairs"](spark, SF_DIR)
@@ -490,6 +505,9 @@ def test_audit_mode_plan_build_runs_no_jobs(spark):
             assert "SortMergeJoin" in plan, plan  # over-cap regime held
         finally:
             del os.environ["SPARK_GRAFT_VERIFY_BCAST_CAP_B"]
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresh
+            )
     finally:
         runtime.plan_audit_mode(False)
 

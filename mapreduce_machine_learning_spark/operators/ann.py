@@ -804,17 +804,44 @@ def q_llm_dedup_semantic_ann(spark, sf_dir):
     iterative min-label propagation above it — with survivors computed
     arithmetically from touched/component counts so untouched vectors
     never enter the component computation."""
-    cand = _ann_cand_pairs(spark, sf_dir)
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # Verify candidates with the chunk-pair BLAS kernel, blocked by BAND
+    # BUCKET (optimization r13): the r12 shape joined the distinct pair
+    # stream to both embedding sides and evaluated the higher-order
+    # `cosine` expression per pair — ~1M interpreted per-element lambda
+    # folds at sf0.1, the exact cost class assign_cells_bulk measured at
+    # ~6× BLAS (isolated cold: 6.3 s min / 14.7 s median before, 1.3 s
+    # after). Every within-bucket pair IS a candidate pair (cand was
+    # DEFINED as the union of within-bucket pairs), so scoring each
+    # bucket as gram-matrix chunk pairs and dedup-ing the qualifying
+    # edges afterwards yields the identical edge SET — the dedup moves
+    # only pairs that already passed the threshold (sparse by the same
+    # argument as the docstring's), where the r12 distinct moved the
+    # whole candidate stream. Thresholding happens on the same round-6
+    # grid (np_r6 inside the kernel vs F.round on the expression path —
+    # the cross-path agreement class every BLAS stage in this engine
+    # pins). The blocked kernel is also the documented 100 TB shape: a
+    # hot bucket spreads over nchunks² bounded tasks instead of one
+    # giant expression-eval partition.
+    from mapreduce_machine_learning_spark.operators.llm import (
+        _blocked_cosine_pairs,
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+
+    bands = _bands(spark, sf_dir)
+    emb_raw = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    # exact int64 block key: band_key is the 4-bit sign bucket (0..15),
+    # so band_id·16 + band_key enumerates the 12×16 buckets injectively
+    blocked = bands.select(
+        (F.col("band_id") * (1 << _RP_BITS) + F.col("band_key"))
+        .cast("long")
+        .alias("blk"),
+        F.col("vec_id").alias("vid"),
+    ).join(emb_raw, "vid")
     edges = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .filter(F.round(cosine("e_a", "e_b"), 6) > 0.4)
-        .select("vec_a", "vec_b")
+        _blocked_cosine_pairs(blocked, min_cos=0.4)
+        .select(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b"))
+        .distinct()
     )
     comp = _edge_component_counts(edges)
     total = T(spark, sf_dir, "embeddings").agg(

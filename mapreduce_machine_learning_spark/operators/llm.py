@@ -69,6 +69,13 @@ def _signatures(spark, sf_dir):
     # spreads the md5-heavy explode across the cluster, and already satisfies
     # the groupBy(doc_id) partitioning (no second exchange).
     #
+    # Partition count is SCALE-ADAPTIVE (optimization r13, guide §2):
+    # 2× the cluster's default parallelism, floored at the 64 every
+    # local[32] measurement in BENCH_r01–r12 used (64 = 2×32 cores, so
+    # the local bench number is byte-identical) — a fixed 64 would cap
+    # the md5 stage's parallelism on any cluster wider than 32 cores.
+    n_parts = max(64, 2 * spark.sparkContext.defaultParallelism)
+    #
     # dropDuplicates BEFORE the 16 md5s: hash partitioning on doc_id
     # satisfies the (doc_id, token) clustering, so the dedup aggregate is
     # exchange-free — it costs one partition-local hash-agg and repays it by
@@ -76,7 +83,7 @@ def _signatures(spark, sf_dir):
     # result is identical either way, MIN being idempotent under dups).
     raw = (
         T(spark, sf_dir, "documents")
-        .repartition(64, F.col("doc_id"))
+        .repartition(n_parts, F.col("doc_id"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .dropDuplicates(["doc_id", "token"])
     )

@@ -2713,41 +2713,59 @@ def q_ml_gbdt_iter2(spark, sf_dir):
     property, pinned by an invariant). Rounding the broadcast leaves is
     the determinism hinge: both engines re-derive bit-identical F₁."""
     ev = T(spark, sf_dir, "events")
-    # 1-row base prediction; the residual pass replays once per round
-    # (round-1 grid + round-2 rescore — the per-round scan IS the
-    # algorithm), and without the checkpoint each replay re-ran the
-    # global mean too
+    # 1-row base prediction; residuals are CHECKPOINTED (optimization
+    # r13): both boosting rounds score the same (hr, r) frame, and
+    # without the cache round 2 re-scanned parquet and re-derived the
+    # residuals — persisting the 2-double-per-row residual frame is the
+    # standard distributed-GBDT shape (the cached training matrix), and
+    # it is a derived projection, never the base table
     base = _ckpt(ev.agg(F.avg("value").alias("f0")))
-    resid = ev.crossJoin(F.broadcast(base)).select(
-        F.hour("ts").cast("double").alias("hr"),
-        (F.col("value") - F.col("f0")).alias("r"),
-    )
-    thr = ev.sparkSession.createDataFrame(
-        [(6.0,), (12.0,), (18.0,)], "threshold double"
-    )
-    left = F.col("hr") < F.col("threshold")
-
-    def grid(df, col):
-        return (
-            df.crossJoin(F.broadcast(thr))
-            .groupBy("threshold")
-            .agg(
-                F.sum(F.when(left, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_left"),
-                F.sum(F.when(~left, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_right"),
-                (
-                    F.sum(F.when(left, F.col(col)).otherwise(0.0))
-                    / F.sum(F.when(left, 1).otherwise(0))
-                ).alias("leaf_l"),
-                (
-                    F.sum(F.when(~left, F.col(col)).otherwise(0.0))
-                    / F.sum(F.when(~left, 1).otherwise(0))
-                ).alias("leaf_r"),
-            )
+    resid = _ckpt(
+        ev.crossJoin(F.broadcast(base)).select(
+            F.hour("ts").cast("double").alias("hr"),
+            (F.col("value") - F.col("f0")).alias("r"),
         )
+    )
+    thresholds = (6.0, 12.0, 18.0)
+
+    def grid(df, col, carry=()):
+        """Score the fixed threshold grid in ONE map-side-combined global
+        aggregate — 4 conditional sums per threshold — then pivot the
+        single row back to one row per threshold with an explode over
+        literal-keyed structs. The r12 form cross-joined a 3-row
+        threshold frame onto every event row and grouped by threshold:
+        3× the aggregate input rows, one broadcast build and one
+        hash-shuffle per round that a threshold grid of LITERALS never
+        needed (guide §2.4 — the shuffle carried 4·|thresholds| numbers
+        that a partial aggregate computes in place). Sums are identical
+        (same conditional terms over the same rows; division still
+        happens once per threshold after final merge). `carry` re-emits
+        constant columns (round-2's t1) through the pivot via MAX — the
+        column is a broadcast scalar, so MAX is the value itself."""
+        aggs = []
+        for i, t in enumerate(thresholds):
+            lt = F.col("hr") < F.lit(t)
+            aggs += [
+                F.sum(F.when(lt, 1).otherwise(0)).alias(f"nl{i}"),
+                F.sum(F.when(~lt, 1).otherwise(0)).alias(f"nr{i}"),
+                F.sum(F.when(lt, F.col(col)).otherwise(0.0)).alias(f"sl{i}"),
+                F.sum(F.when(~lt, F.col(col)).otherwise(0.0)).alias(f"sr{i}"),
+            ]
+        aggs += [F.max(c).alias(c) for c in carry]
+        row = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"nl{i}").cast("bigint").alias("n_left"),
+                F.col(f"nr{i}").cast("bigint").alias("n_right"),
+                (F.col(f"sl{i}") / F.col(f"nl{i}")).alias("leaf_l"),
+                (F.col(f"sr{i}") / F.col(f"nr{i}")).alias("leaf_r"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+        return row.select(
+            *carry, F.explode(F.array(*structs)).alias("g")
+        ).select(*carry, "g.*")
 
     gain = (
         F.col("n_left") * F.col("leaf_l") * F.col("leaf_l")
@@ -2774,24 +2792,7 @@ def q_ml_gbdt_iter2(spark, sf_dir):
             )
         ).alias("r2"),
     )
-    split2 = (
-        resid2.crossJoin(F.broadcast(thr))
-        .groupBy("t1", "threshold")
-        .agg(
-            F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("n_left"),
-            F.sum(F.when(~left, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_right"),
-            (
-                F.sum(F.when(left, F.col("r2")).otherwise(0.0))
-                / F.sum(F.when(left, 1).otherwise(0))
-            ).alias("leaf_l"),
-            (
-                F.sum(F.when(~left, F.col("r2")).otherwise(0.0))
-                / F.sum(F.when(~left, 1).otherwise(0))
-            ).alias("leaf_r"),
-        )
-    )
+    split2 = grid(resid2, "r2", carry=("t1",))
     return split2.select(
         "threshold",
         F.col("t1").alias("round1_threshold"),

@@ -47,6 +47,7 @@ DEEP_SHUFFLE_JUSTIFICATION = {
     "q_llm_neardup_pairs": "tokenize→signature→band→candidate→verify pipeline; audit counts unshared stages (production shares them via the session cache)",
     "q_llm_dedup_incremental": "same pipeline over delta AND corpus sides plus exact-hash semi-join; persisted-state deployment (tests/test_incremental_state.py) replaces the corpus-side stages with bucketed reads",
     "q_llm_dedup_semantic": "label-blocked cosine pairs + component labeling + survivor aggregation — multi-stage by definition",
+    "q_llm_dedup_semantic_ann": "band-bucket-blocked BLAS verify (r13: chunk list + two assignment joins, counted unshared under audit) + edge dedup + component counts — the bucket, chunk-pair and edge keys are all distinct",
     "q_llm_dedup_sweep": "one histogram agg over the verified-pair stream; the depth is the unshared verify pipeline (audit mode disables the session cache that q_llm_neardup_pairs shares with it)",
     "q_llm_dup_sources": "verify pipeline + per-source-pair rollup on a different key than the pair stream",
     "q_llm_sim_threshold_ivf": "IVF assign (argmax over centroid broadcast) + chunk-pair scoring + threshold agg — cell key ≠ pair key ≠ output key",

@@ -24,6 +24,59 @@ from pyspark.sql import functions as F
 SMALL_GRAPH_EDGES = 2_000_000  # ≈ a few tens of MB symmetrized: broadcastable
 
 
+def _components_single_task(sym: DataFrame) -> DataFrame:
+    """(node, comp) labels of a SMALL symmetrized edge list, computed by
+    one in-memory union-find inside a single Arrow task — the same
+    two-strategy design as ann.py's `_edge_component_counts`: under the
+    caller-declared cap the edge list is a safe single-task payload, so
+    components cost one narrow job instead of an O(log diameter) driver
+    loop whose per-round actions are pure job-scheduling overhead
+    (optimization r13: the loop measured ~1.9 s warm on a 1,000-edge
+    graph — all barriers, no data movement). Above the cap the iterative
+    label propagation below remains the only shape that never holds the
+    edge list in one task.
+
+    Union attaches the larger root under the smaller, so each final root
+    is the minimum node id of its component — exactly the fixpoint label
+    propagation converges to (parity pinned by
+    tests/test_graph_components.py::test_fast_and_loop_paths_agree).
+    `coalesce(1)` guarantees every edge reaches the one task regardless
+    of layout or Arrow batch size (the iterator form accumulates all
+    batches before labeling), so the result is partition- and
+    batch-invariant by construction."""
+    import pandas as pd
+
+    node_t = dict(sym.dtypes)["u"]
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        dtype = "int64"
+        for pdf in batches:
+            dtype = str(pdf["u"].dtype)
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype=dtype),
+                "comp": pd.Series([find(n) for n in nodes], dtype=dtype),
+            }
+        )
+
+    return sym.coalesce(1).mapInPandas(uf, f"node {node_t}, comp {node_t}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -72,6 +125,14 @@ def connected_components(
         n_sym = sym.count()  # sym is pinned so the count is a one-time cost
     if small_graph == "auto":
         small_graph = n_sym <= SMALL_GRAPH_EDGES
+    if small_graph and max_iter is None:
+        # declared-or-measured small graph with the DEFAULT iteration
+        # budget: skip the driver loop entirely — one single-task
+        # union-find job, identical labels (see _components_single_task).
+        # An EXPLICIT max_iter keeps the iterative path: callers passing a
+        # budget are asking for the loop's truncation semantics
+        # (tests/test_graph_components.py::test_nonconvergence_raises).
+        return _components_single_task(sym)
     if max_iter is None:
         # Pointer jumping lets a label travel ~2^k hops after k rounds, so
         # ⌈log2(longest path)⌉ rounds suffice; the longest possible path has

@@ -278,21 +278,45 @@ def q_llm_ann_pairs(spark, sf_dir):
     exact cosine; top-20 by (cos DESC, vec_a, vec_b). This is the embedding
     near-dup retrieval shape — at sf0.01 it retrieves 20/20 of the true
     top-20 pairs while scoring ~54% of the pair space (see module docstring
-    for why the pruning dial sits low on this near-uniform corpus). The
-    rerank join is keyed on vec ids, so the pair stream — not the corpus —
-    is what flows through the shuffles."""
-    cand = _ann_cand_pairs(spark, sf_dir)
-    emb = T(spark, sf_dir, "embeddings")
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a")
+    for why the pruning dial sits low on this near-uniform corpus).
+
+    Scoring runs as bucket-blocked chunk-pair BLAS (optimization r13,
+    the same kernel move as q_llm_dedup_semantic_ann): the r12 shape
+    materialized the DISTINCT candidate-pair stream, joined both
+    embedding sides onto it, and evaluated the higher-order `cosine`
+    fold per pair — ~1M interpreted per-element lambda evaluations at
+    sf0.1 plus a full pair-stream distinct. Every within-bucket pair IS
+    a candidate pair, so gram-matrix chunk pairs per bucket score the
+    identical pair set; `per_group_top=20` then bounds what returns
+    through Arrow to each group's top-20 under the FINAL total order
+    (round-6 cos DESC, vec_a, vec_b) — provably a superset of the global
+    top-20 (see _blocked_cosine_pairs) — and the JVM side just dedups
+    the multi-bucket repeats and re-sorts ≤ 20·n_groups rows. Cosine is
+    rounded to the same round-6 grid inside the kernel (np_r6 vs
+    F.round: the pinned cross-path agreement class), so values are
+    bit-identical to the expression path through the grid."""
+    from mapreduce_machine_learning_spark.operators.llm import (
+        _blocked_cosine_pairs,
     )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b")
+
+    bands = _bands(spark, sf_dir)
+    emb_raw = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
     )
+    blocked = bands.select(
+        (F.col("band_id") * (1 << _RP_BITS) + F.col("band_key"))
+        .cast("long")
+        .alias("blk"),
+        F.col("vec_id").alias("vid"),
+    ).join(emb_raw, "vid")
+    top = _blocked_cosine_pairs(blocked, min_cos=-2.0, per_group_top=20)
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", r6(cosine("e_a", "e_b")).alias("cos_sim"))
+        top.select(
+            F.col("ia").alias("vec_a"),
+            F.col("ib").alias("vec_b"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+        .distinct()
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)
     )
@@ -647,32 +671,6 @@ def q_llm_ann_ivf_knn(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
-
-
-def _ann_cand_pairs(spark, sf_dir):
-    """Distinct LSH candidate pairs (≥1 shared band, vec_a < vec_b) —
-    materialized once; consumed by the pair rerank and the ANN-blocked
-    semantic dedup."""
-
-    def build():
-        bands = _bands(spark, sf_dir)
-        a = bands.alias("a")
-        b = bands.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-            )
-            .distinct()
-        )
-
-    return _materialize(spark, sf_dir, "ann_cand_pairs", build)
 
 
 _UF_EDGE_CAP = 2_000_000  # ≈ 32 MB of id pairs: a safe single-task payload

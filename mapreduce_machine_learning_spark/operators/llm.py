@@ -574,9 +574,20 @@ _QUERIES_NEARDUP_SQL = _registered_oracles["q_llm_neardup_pairs"]
 _BLOCK_CAP = 256  # max vectors per BLAS sub-block (bounds task memory)
 
 
-def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
+def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP, per_group_top=None):
     """Within-block cosine pairs (blk, ia, ib, cos) with round-6 cos >
     min_cos, scored as CHUNK-PAIR gram matrices so task memory is bounded.
+
+    ``per_group_top=k`` additionally caps each chunk-pair GROUP's output at
+    its top-k pairs under the total order (round-6 cos DESC, ia, ib) — the
+    lossless reduction for a global top-k consumer: every unordered pair
+    lands in exactly one group per block it shares, and a pair in the
+    GLOBAL top-k has fewer than k pairs above it globally, hence fewer
+    than k above it in any one group (the group order is a restriction of
+    the same total order), so it survives every group cut. The consumer
+    re-sorts the ≤ k·n_groups survivors and takes its global k; only
+    k rows per group ever cross Arrow back to the JVM instead of the full
+    candidate stream (optimization r13, q_llm_ann_pairs).
 
     Input: (blk, vid, vec). Each block is split into ⌈n/cap⌉ chunks
     (xxhash64(vid) mod nchunks — deterministic, derived in-plan from the
@@ -689,11 +700,19 @@ def _blocked_cosine_pairs(df, min_cos, cap=_BLOCK_CAP):
             ia = A["vid"].to_numpy()[iu[keep]]
             ib = A["vid"].to_numpy()[ju[keep]]
             cos = C[iu, ju][keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        if per_group_top is not None and len(lo) > per_group_top:
+            # top-k under (r6(cos) DESC, ia, ib) — the SAME total order the
+            # global consumer sorts by, which is what makes the per-group
+            # cut lossless (docstring); np.lexsort keys are listed
+            # last-key-primary
+            sel = np.lexsort((hi, lo, -np_r6(cos)))[:per_group_top]
+            lo, hi, cos = lo[sel], hi[sel], cos[sel]
         return pd.DataFrame(
             {
-                "blk": np.full(len(ia), pdf["blk"].iloc[0], dtype="int64"),
-                "ia": np.minimum(ia, ib),
-                "ib": np.maximum(ia, ib),
+                "blk": np.full(len(lo), pdf["blk"].iloc[0], dtype="int64"),
+                "ia": lo,
+                "ib": hi,
                 "cos": cos,
             }
         )

@@ -11,9 +11,9 @@ from mapreduce_machine_learning_spark.operators.llm import q_llm_neardup_pairs
 from tests.conftest import SF_DIR
 
 
-def _comps(spark, pairs):
+def _comps(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    out = connected_components(edges)
+    out = connected_components(edges, **kw)
     return {r["node"]: r["comp"] for r in out.collect()}
 
 
@@ -69,9 +69,27 @@ def test_default_budget_scales_with_edges(spark):
     scenario was a chain just above the 2M distributed-fallback cap
     exhausting a fixed 20-round budget. 200 nodes needs ~⌈log2 199⌉ = 8
     jumping rounds; the budget formula allows max(20, ⌈log2 398⌉+8) = 20."""
-    got = _comps(spark, [(i, i + 1) for i in range(199)])
+    got = _comps(spark, [(i, i + 1) for i in range(199)], small_graph=False)
     assert set(got.values()) == {0}
     assert len(got) == 200
+
+
+def test_fast_and_loop_paths_agree(spark):
+    """The single-task union-find (the default small-graph path since
+    optimization r13) and the iterative label propagation must produce the
+    IDENTICAL (node, comp) labeling — full parity, so the fast path can
+    never drift from the distributed fixpoint it replaced. Same seeded
+    graphs as the local-union-find test."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(20, 120)
+        m = rng.randint(n // 2, 3 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        fast = _comps(spark, edges, small_graph=True)
+        loop = _comps(spark, edges, small_graph=False)
+        assert fast == loop, f"seed {seed}: fast/loop labeling mismatch"
 
 
 def test_random_graphs_match_local_union_find(spark):

@@ -76,6 +76,7 @@ VECTORIZED_PYTHON_OK = {
     "q_llm_dedup_semantic_ann",  # union-find over the verified edge list
     "q_llm_sim_threshold",
     "q_llm_sim_threshold_ivf",
+    "q_llm_ann_pairs",  # bucket-blocked gram rerank (optimization r13)
 }
 
 

@@ -810,51 +810,63 @@ def q_part_range_bounds(spark, sf_dir):
 def q_win_leaderboard(spark, sf_dir):
     """Accumulating leaderboard: for each of the last 5 days, the top-3
     users by CUMULATIVE event count up to that day (row_number with
-    user_id tie-break). The grid densifies (user × day) so users idle on
-    a day keep their standing — the piece a sparse groupBy silently
-    drops. The dense grid is |users|·|days|; at 100 TB the same
-    leaderboard is maintained incrementally (yesterday's standings +
-    today's per-user increments, one merge join) rather than re-densified
-    — this query is the batch-recompute twin of that pipeline."""
+    user_id tie-break).
+
+    Shape (optimization r13): the r12 implementation mirrored the oracle
+    literally — densify a (user × day) grid so idle users keep their
+    standing, run a per-user running-sum window, then a per-day rank
+    window. But the output only ranks the LAST 5 days, and a user's
+    cumulative count at day d is just SUM(cnt) over their daily rows with
+    day ≤ d — so the dense grid, the |users|·|days| cross join and the
+    running-sum window are all computable-away: broadcast the 5 target
+    days onto the sparse per-(user, day) counts (map-side inequality
+    join), partial-agg groupBy(target, user), rank. 7 exchanges → 3
+    (daily counts, the 5×users aggregate, the rank window; plan diff in
+    plans/r13/q_win_leaderboard_{before,after}.txt), and the intermediate
+    is 5·|active users| instead of |users|·|days| — at 100 TB the grid is
+    the scale-killer (1e9 users × 365 days) while this form stays linear
+    in the daily-count table. Sums are exact longs in any order.
+
+    VALUE EQUIVALENCE to the dense grid: a user with no events on or
+    before a target day appears in the grid with cum_events = 0 and in
+    the sparse form not at all; both lose every top-3 contest to any
+    nonzero user, so outputs are identical whenever each target day has
+    ≥ 3 nonzero users. On the fixture corpora EVERY user has events
+    before the first target day (15/150/1500 nonzero users per target day
+    at sf0.001/0.01/0.1 vs 3 needed — measured via DuckDB, r13), and the
+    oracle keeps the dense-grid semantics, so any future data regression
+    would surface as an oracle mismatch, not silence."""
     ev = T(spark, sf_dir, "events")
-    # ONE pass over the fact table: the day and user dimensions project
-    # from the checkpointed daily-count frame (every user/day present in
-    # events is present in it), instead of three separate distinct scans
-    # — and `days` itself feeds both the grid and the cutoff row (4
-    # events scans measured round 4; 1 with this shape)
+    # ONE pass over the fact table: the day dimension and the cutoff row
+    # project from the checkpointed daily-count frame (every user/day
+    # present in events is present in it)
     daily = _ckpt(
         ev.groupBy(
             "user_id", F.date_trunc("day", "ts").alias("day")
         ).agg(F.count(F.lit(1)).alias("cnt"))
     )
     days = daily.select("day").distinct()
-    users = daily.select("user_id").distinct()
-    grid = (
-        users.crossJoin(days)
-        .join(daily, ["user_id", "day"], "left")
-        .select(
-            "user_id", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
-        )
-    )
-    w_cum = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = grid.select(
-        "user_id", "day", F.sum("cnt").over(w_cum).alias("cum_events")
-    )
-    w_rank = Window.partitionBy("day").orderBy(
-        F.desc("cum_events"), "user_id"
-    )
-    ranked = cum.withColumn("rnk", F.row_number().over(w_rank))
     last5 = days.agg(
         (F.max("day") - F.expr("INTERVAL 4 DAY")).alias("cutoff")
     )
-    return (
-        ranked.filter(F.col("rnk") <= 3)
-        .crossJoin(F.broadcast(last5))
+    tgt = (
+        days.crossJoin(F.broadcast(last5))
         .filter(F.col("day") >= F.col("cutoff"))
+        .select(F.col("day").alias("tgt_day"))
+    )
+    cum = (
+        daily.join(F.broadcast(tgt), F.col("day") <= F.col("tgt_day"))
+        .groupBy("tgt_day", "user_id")
+        .agg(F.sum("cnt").alias("cum_events"))
+    )
+    w_rank = Window.partitionBy("tgt_day").orderBy(
+        F.desc("cum_events"), "user_id"
+    )
+    return (
+        cum.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
         .select(
-            "day",
+            F.col("tgt_day").alias("day"),
             F.col("rnk").cast("bigint").alias("rnk"),
             "user_id",
             F.col("cum_events").cast("bigint").alias("cum_events"),

@@ -1237,12 +1237,23 @@ def q_ml_crossval(spark, sf_dir):
     training, and the held-out RMSE pass joins 5 broadcast parameter rows
     back to the fact. Fold assignment is the reproducible md5 bucket of the
     unique (orderkey, linenumber) row key — rerun- and
-    relayout-stable, like every split in this engine. Two fact passes
-    total (stats + eval), both map-side-combined aggregates; the reference
-    would run 10 MapReduce jobs (5 trains + 5 tests) over the same bytes.
-    Params round-6 before scoring on both engines (the iter2 pattern) so
-    residuals are bitwise-reproducible; RMSE is a ratio-then-sqrt of
-    same-order sums — round-6 stable."""
+    relayout-stable, like every split in this engine. ONE fact pass
+    total (optimization r13; was stats + a second held-out eval scan):
+    with sum(y²) added to the per-fold statistics, the held-out RMSE is
+    itself a closed form of the fold's own sufficient statistics and its
+    complement-trained params — Σ(y−sx−i)² = syy − 2s·sxy − 2i·sy +
+    s²·sxx + 2si·sx + i²·n — so the eval "pass" is scalar math on the
+    5-row stats frame (guide §2.3: the aggregate already contained the
+    answer). The reference would run 10 MapReduce jobs (5 trains +
+    5 tests) over the same bytes. Params round-6 before scoring on both
+    engines (the iter2 pattern) so the residual polynomial is evaluated
+    from bitwise-identical coefficients. FP honesty: the closed form
+    cancels ~2 decimal digits (syy ≈ 1e15 down to Σresid² ≈ 1e13), so
+    it sits ~1e-11 off the oracle's per-row sum — measured against the
+    round-6 grid the nearest boundary is ≥ 3.5e-8 away on every fold at
+    sf0.001/0.01/0.1 (≥ 2,000× the delta, evidence in
+    OPTIMIZATION_r13.md); parity re-proven under all four layout
+    modes."""
     li = T(spark, sf_dir, "lineitem")
     fold = (
         F.conv(
@@ -1277,6 +1288,7 @@ def q_ml_crossval(spark, sf_dir):
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     ).transform(_ckpt)
     t = s.agg(
         F.sum("n").alias("tn"),
@@ -1296,15 +1308,25 @@ def q_ml_crossval(spark, sf_dir):
         r6(slope).alias("slope"),
         r6((try_ - slope * trx) / trn).alias("intercept"),
     )
-    resid = F.col("y") - (F.col("slope") * F.col("x") + F.col("intercept"))
+    # held-out Σ(y − s·x − i)² expanded over the fold's own sufficient
+    # statistics — no second fact scan (docstring: FP margin evidence)
+    sl, ic = F.col("slope"), F.col("intercept")
+    ss_resid = (
+        F.col("syy")
+        - 2 * sl * F.col("sxy")
+        - 2 * ic * F.col("sy")
+        + sl * sl * F.col("sxx")
+        + 2 * sl * ic * F.col("sx")
+        + ic * ic * F.col("n")
+    )
     return (
-        f.join(F.broadcast(p), "fold")
-        .groupBy("fold", "slope", "intercept")
-        .agg(
-            F.count(F.lit(1)).alias("n_test"),
-            r6(F.sqrt(F.sum(resid * resid) / F.count(F.lit(1)))).alias(
-                "rmse"
-            ),
+        p.join(s, "fold")
+        .select(
+            "fold",
+            "slope",
+            "intercept",
+            F.col("n").cast("bigint").alias("n_test"),
+            r6(F.sqrt(ss_resid / F.col("n"))).alias("rmse"),
         )
         .orderBy("fold")
     )

@@ -717,7 +717,18 @@ def q_ml_conformal(spark, sf_dir):
     uncertainty from two aggregation passes and one prefix scan — the
     modern answer to 'what interval do I put on this prediction' without
     normality assumptions. q̂ is rounded at 4 (residual magnitude ~1e4,
-    tiny slope noise shifts every residual by ~1e-9)."""
+    tiny slope noise shifts every residual by ~1e-9).
+
+    Coverage is read off the SAME cumulative histogram that picks q̂
+    (optimization r13): cw at the q̂ row is by definition the count of
+    calibration points with ar ≤ q̂, so coverage_calib = min(cw)/n over
+    the qualifying rows — a ratio of the same exact integers the old
+    second pass produced (AVG of 0/1 indicators = k exact ones summed,
+    divided by the same n; both reduce to the double division k/n).
+    That deletes the per-row residual checkpoint (the histogram became
+    calib's only consumer) and the whole coverage re-scan: two fact
+    passes total — train stats, calib histogram — and scalar math
+    after (guide §2.3: the answer was already in the aggregate)."""
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
@@ -754,11 +765,10 @@ def q_ml_conformal(spark, sf_dir):
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
-    # checkpointed shared frames: calib feeds the quantile histogram AND
-    # the coverage pass, qhat feeds coverage AND the output row — uncached,
-    # each extra consumer replayed the whole upstream (6 lineitem scans
-    # measured round 4; 2 with the checkpoints)
-    calib = _ckpt(
+    # single-consumer calib stream: the histogram below is the only thing
+    # derived from the per-row residuals now, so nothing is checkpointed —
+    # coverage comes from the histogram's own cumulative weights
+    by_r = (
         li.filter(F.col("part") == "calib")
         .crossJoin(F.broadcast(fit))
         .select(
@@ -767,8 +777,9 @@ def q_ml_conformal(spark, sf_dir):
                 - (F.col("intercept") + F.col("slope") * F.col("x"))
             ).alias("ar")
         )
+        .groupBy("ar")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    by_r = calib.groupBy("ar").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = Window.orderBy("ar").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
     cum = by_r.select(
@@ -776,21 +787,12 @@ def q_ml_conformal(spark, sf_dir):
         F.sum("cnt").over(w_cum).alias("cw"),
         F.sum("cnt").over(w_all).alias("n"),
     )
-    qhat = _ckpt(
-        cum.filter(F.col("cw") >= 0.9 * F.col("n")).agg(
-            F.min("ar").alias("q"),
-            F.max("n").cast("bigint").alias("n_calib"),
-        )
-    )
-    cov = calib.crossJoin(F.broadcast(qhat)).agg(
-        F.avg(
-            F.when(F.col("ar") <= F.col("q"), 1.0).otherwise(0.0)
-        ).alias("coverage")
-    )
-    return qhat.crossJoin(cov).select(
-        "n_calib",
-        F.round(F.col("q"), 4).alias("q_hat"),
-        r6(F.col("coverage")).alias("coverage_calib"),
+    # the min-ar qualifying row IS q̂, and cw is increasing in ar, so
+    # min(cw) over the qualifying rows = |{ar ≤ q̂}| — coverage for free
+    return cum.filter(F.col("cw") >= 0.9 * F.col("n")).agg(
+        F.max("n").cast("bigint").alias("n_calib"),
+        F.round(F.min("ar"), 4).alias("q_hat"),
+        r6(F.min("cw") / F.max("n")).alias("coverage_calib"),
     )
 
 

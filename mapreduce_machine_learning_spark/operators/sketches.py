@@ -106,16 +106,33 @@ def q_sketch_countmin(spark, sf_dir):
     shuffle carries 256 counters per partition while exact counting carries
     the whole vocabulary. Estimates upper-bound truth (overcount ≥ 0 is the
     CM guarantee, pinned by an invariant test); the probe lookup touches
-    d rows of the tiny cell table."""
+    d rows of the tiny cell table.
+
+    The sketch is filled from the exact-count AUDIT aggregate
+    (optimization r13): the audit already pays one groupBy(token) over
+    the exploded stream, and summing that aggregate's counts into cells
+    is integer-exact the same as counting occurrences — so the d·|stream|
+    md5 evaluations become d·|vocab| and the second tokenization scan
+    disappears (1 documents scan, was 2; guide §2.3 — aggregate before
+    you hash). This is a batch-query fusion, not a sketch-semantics
+    change: a streaming CM still updates per occurrence; here the audit
+    frame was already carrying the vocabulary through the shuffle, so
+    reusing it costs nothing the plan wasn't paying."""
     docs = T(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    # one tokenization + ONE vocab-sized aggregate feeds BOTH the sketch
+    # fill and the exact-count audit (checkpointed: 2 consumers)
+    tokcnt = _ckpt(
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     buckets = F.array(
         *[_hash_mod(F.col("token"), f"c{i}", 8, CM_WIDTH) for i in range(CM_DEPTH)]
     )
     cells = (
-        tok.select(F.posexplode(buckets).alias("i", "bucket"))
+        tokcnt.select("cnt", F.posexplode(buckets).alias("i", "bucket"))
         .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
     probes = spark.createDataFrame([(p,) for p in PROBES], ["probe"])
     pb = F.array(
@@ -127,8 +144,8 @@ def q_sketch_countmin(spark, sf_dir):
         .groupBy("probe")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
-    truth = tok.groupBy(F.col("token").alias("probe")).agg(
-        F.count(F.lit(1)).alias("true_cnt")
+    truth = tokcnt.select(
+        F.col("token").alias("probe"), F.col("cnt").alias("true_cnt")
     )
     return est.join(truth, "probe", "left").select(
         "probe",

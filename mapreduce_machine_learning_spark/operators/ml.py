@@ -1326,7 +1326,16 @@ def q_ml_crossval(spark, sf_dir):
             "slope",
             "intercept",
             F.col("n").cast("bigint").alias("n_test"),
-            r6(F.sqrt(ss_resid / F.col("n"))).alias("rmse"),
+            # clamp at 0 (ADVICE r13): the expansion cancels ~2 decimal
+            # digits, and under a near-perfect fit the true Σresid² → 0
+            # can land an ulp NEGATIVE, turning sqrt into NaN; the clamp
+            # is a no-op whenever the value is representable (≥ 0 by
+            # definition) and the documented ≥2000× margin to the round-6
+            # grid covers every nonzero case. Re-check that margin when
+            # fixture scale factors change (docstring).
+            r6(F.sqrt(F.greatest(ss_resid, F.lit(0.0)) / F.col("n"))).alias(
+                "rmse"
+            ),
         )
         .orderBy("fold")
     )

@@ -269,6 +269,27 @@ RECHECK_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries whose physical plans were REWRITTEN in optimization round 13 but
+# which did not rotate through that round's driver correctness window, so
+# their post-change oracle evidence is builder-run only (VERDICT r13
+# "Next round" #1). They jump the rotation queue — right behind the
+# RECHECK_PRIORITY flagships — until a recheck-era driver row from a round
+# AFTER the rewrite lands; then the pin self-expires and they rejoin the
+# normal least-recently-rechecked rotation. Cost: the rotating window
+# temporarily narrows from 32 to 26 slots for the one round the pin is
+# live, after which the cadence math above RECHECK_ERA_START resumes
+# unchanged.
+POST_REWRITE_RECHECK: tuple[str, ...] = (
+    "q_ml_gbdt_iter2",
+    "q_ml_crossval",
+    "q_ml_conformal",
+    "q_win_leaderboard",
+    "q_sketch_countmin",
+    "q_graph_components",
+)
+POST_REWRITE_ROUND = 13  # the round whose rewrites need driver rows
+
+
 def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     """Registration order for the driver: contract-first, never-green-first.
 
@@ -294,6 +315,7 @@ def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     contract_rank = {name: i for i, name in enumerate(CONTRACT_QUERIES)}
     priority_rank = {name: i for i, name in enumerate(EXTENSION_PRIORITY)}
     recheck_rank = {name: i for i, name in enumerate(RECHECK_PRIORITY)}
+    rewrite_rank = {name: i for i, name in enumerate(POST_REWRITE_RECHECK)}
     reg_rank = {name: i for i, name in enumerate(queries)}
 
     def key(name: str) -> tuple:
@@ -305,6 +327,10 @@ def _ordered(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
             return (2, 0, 0, reg_rank[name])
         if name in recheck_rank:
             return (3, 0, 0, recheck_rank[name])
+        if name in rewrite_rank and last.get(name, 0) <= POST_REWRITE_ROUND:
+            # plan rewritten in POST_REWRITE_ROUND, no post-rewrite driver
+            # row yet: pinned behind the flagships until one lands
+            return (3, 1, 0, rewrite_rank[name])
         if name in contract_rank:
             return (4, last.get(name, 0), 0, contract_rank[name])
         return (4, last.get(name, 0), 1, reg_rank[name])

@@ -89,6 +89,13 @@ def pin(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def memo_count() -> int:
+    """Number of live session-memo entries. tools/time_sweep.py reads the
+    delta around a query run to charge memo-fill cost to its own line
+    instead of the alphabetically-first consumer (VERDICT r13 #7)."""
+    return len(_MATERIALIZED)
+
+
 def release_all() -> None:
     """Free every materialized frame (bench cold-timing hygiene)."""
     for df in _MATERIALIZED.values():

@@ -148,8 +148,10 @@ def test_compact_final_line_fits_driver_tail_window():
             q: {"median_sec": 12345.6789, "target": 12345.6789} for q in llms
         },
         "flag_protocol": "x" * 300,
+        "host_band_note": bench.host_band_note(3.21, 1.264),
         "sf": 0.1,
     }
+    assert full["host_band_note"]  # worst case includes the band label
     line = bench.compact_line(full)
     assert len(line) < bench.COMPACT_LINE_MAX_CHARS, len(line)
     rec = json.loads(line)
@@ -165,6 +167,9 @@ def test_compact_final_line_fits_driver_tail_window():
     for heavy in ("headline_samples", "llm_samples", "queries_normalized"):
         assert heavy not in rec
     assert rec["detail"] == bench.DETAIL_SIDECAR
+    # the band label survives into the compact line (VERDICT r13 #6:
+    # "field present in both JSON lines")
+    assert rec["host_band_note"] == full["host_band_note"]
 
     # source pin: the compact line is the LAST print in main() (only
     # spark.stop() follows), so nothing can land after it on stdout
@@ -194,6 +199,44 @@ def test_sidecar_write_cannot_abort_compact_line():
     handler_body = src[handler_at:compact_at]
     assert "raise" not in handler_body
     assert "non-fatal" in handler_body
+
+
+def test_host_band_note_labels_only_real_band_shifts():
+    """VERDICT r13 #6: the bench labels host-band state at run time by
+    comparing this run's host_drift_hint against the last committed
+    bench's. Non-gating, additions-only: within ±HOST_BAND_DEVIATION (or
+    with no committed reference) there is NO note; past it the note names
+    both hints and the drift_ab adjudication tool. The r13 driver run
+    (1.75 vs r12's 1.264 — the 0.70x false 'regression') must trip it."""
+    # inside the band, or no reference: silent
+    assert bench.host_band_note(1.30, 1.264) is None
+    assert bench.host_band_note(1.264, None) is None
+    assert bench.host_band_note(1.264, 0.0) is None
+    assert bench.host_band_note(0.0, 1.264) is None
+    # exactly at the boundary stays silent (<=)
+    assert bench.host_band_note(1.2, 1.0) is None
+    # the r13 incident trips it, in both directions
+    slow = bench.host_band_note(1.75, 1.264)
+    assert slow and "slower" in slow and "1.750" in slow and "1.264" in slow
+    assert "drift_ab" in slow
+    fast = bench.host_band_note(1.264, 1.75)
+    assert fast and "faster" in fast
+    assert 0.0 < bench.HOST_BAND_DEVIATION < 1.0
+
+
+def test_last_committed_hint_is_best_effort(tmp_path):
+    """Any unreadable/garbage sidecar yields None (the label must never
+    abort a bench run); a well-formed one yields its hint."""
+    assert bench.last_committed_hint(str(tmp_path / "missing.json")) is None
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench.last_committed_hint(str(bad)) is None
+    nohint = tmp_path / "nohint.json"
+    nohint.write_text('{"metric": "x"}')
+    assert bench.last_committed_hint(str(nohint)) is None
+    good = tmp_path / "good.json"
+    good.write_text('{"host_drift_hint": 1.285}')
+    assert bench.last_committed_hint(str(good)) == 1.285
 
 
 def test_shuffle_audit_size_parser():

@@ -92,6 +92,29 @@ def test_fast_and_loop_paths_agree(spark):
         assert fast == loop, f"seed {seed}: fast/loop labeling mismatch"
 
 
+def test_overcap_declared_small_fails_loudly(spark, monkeypatch):
+    """A caller mis-declaring `small_graph=True` on an edge list over
+    SMALL_GRAPH_EDGES must get a clean in-task error, not a silent
+    single-task OOM hazard at scale (VERDICT r13 #3). The cap is bound
+    into the task closure at plan-build time, so shrinking the module
+    constant here exercises the exact enforcement path production uses."""
+    import pytest
+
+    from mapreduce_machine_learning_spark.functions import graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "SMALL_GRAPH_EDGES", 10)
+    # 20 distinct edges symmetrize to 40 rows > the patched cap of 10
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(Exception, match="SMALL_GRAPH_EDGES"):
+        connected_components(edges, small_graph=True).collect()
+    # the same graph through the measured strategy is fine: auto counts,
+    # sees over-cap, and takes the distributed loop
+    got = _comps(spark, [(i, i + 1) for i in range(20)], small_graph="auto")
+    assert set(got.values()) == {0} and len(got) == 21
+
+
 def test_random_graphs_match_local_union_find(spark):
     """Five seeded random graphs (mixed density, self-loops, isolated-free)
     must produce exactly the min-label component assignment of a local

@@ -139,9 +139,22 @@ def test_slack_fill_order_is_flagships_then_rotation():
     done_recheck = [n for n in registry.RECHECK_PRIORITY if n in done]
     # the done block always leads with the green flagships, in recheck order
     assert done_block[: len(done_recheck)] == done_recheck
-    tail = done_block[len(done_recheck) :]
-    # flagships never hide in the rotating tail
-    assert not [n for n in tail if n in recheck]
+    # ... then any live POST_REWRITE_RECHECK pins (r13 rewrites awaiting a
+    # post-rewrite driver row — VERDICT r13 #1), in pin order
+    pinned = [
+        n
+        for n in registry.POST_REWRITE_RECHECK
+        if n in done
+        and n not in recheck
+        and last.get(n, 0) <= registry.POST_REWRITE_ROUND
+    ]
+    assert (
+        done_block[len(done_recheck) : len(done_recheck) + len(pinned)]
+        == pinned
+    )
+    tail = done_block[len(done_recheck) + len(pinned) :]
+    # flagships and live pins never hide in the rotating tail
+    assert not [n for n in tail if n in recheck or n in pinned]
     # the rotating tail is least-recently-rechecked first …
     recencies = [last.get(n, 0) for n in tail]
     assert recencies == sorted(recencies)
@@ -166,6 +179,60 @@ def test_slack_fill_order_is_flagships_then_rotation():
             if n in done and n not in recheck
         ]
         assert tail[: len(done_contract)] == done_contract
+
+
+def test_post_rewrite_pin_is_self_expiring():
+    """The POST_REWRITE_RECHECK pin (VERDICT r13 #1: the six r13-rewritten
+    queries must earn post-rewrite driver rows) holds a query right behind
+    the RECHECK_PRIORITY flagships only while its last recheck-era driver
+    row is at or before POST_REWRITE_ROUND; a later row retires the pin and
+    the query rejoins the normal rotation. Simulated with synthetic reports
+    through the registry's own recency parser, so this keeps passing
+    unchanged after the real CORRECTNESS_r14 lands."""
+    registry.all_queries()
+    names_reg = list(registry._QUERIES)
+    assert all(n in names_reg for n in registry.POST_REWRITE_RECHECK)
+    assert not set(registry.POST_REWRITE_RECHECK) & set(
+        registry.RECHECK_PRIORITY
+    )
+    contract_rank = {n: i for i, n in enumerate(registry.CONTRACT_QUERIES)}
+    recheck_rank = {n: i for i, n in enumerate(registry.RECHECK_PRIORITY)}
+    rewrite_rank = {n: i for i, n in enumerate(registry.POST_REWRITE_RECHECK)}
+    reg_rank = {n: i for i, n in enumerate(names_reg)}
+
+    def window(last, n=50):  # _ordered's done-block key, everything green
+        def key(name):
+            if name in recheck_rank:
+                return (3, 0, 0, recheck_rank[name])
+            if (
+                name in rewrite_rank
+                and last.get(name, 0) <= registry.POST_REWRITE_ROUND
+            ):
+                return (3, 1, 0, rewrite_rank[name])
+            if name in contract_rank:
+                return (4, last.get(name, 0), 0, contract_rank[name])
+            return (4, last.get(name, 0), 1, reg_rank[name])
+
+        return sorted(names_reg, key=key)[:n]
+
+    # live pin: no post-rewrite row yet (last row at the rewrite round)
+    last_live = registry._last_recheck_from_reports(
+        [{n: {"rows_match": True} for n in registry.POST_REWRITE_RECHECK}],
+        [registry.POST_REWRITE_ROUND],
+    )
+    w = window(last_live)
+    n_flag = len(registry.RECHECK_PRIORITY)
+    assert w[n_flag : n_flag + len(registry.POST_REWRITE_RECHECK)] == list(
+        registry.POST_REWRITE_RECHECK
+    )
+    # retired pin: a driver row AFTER the rewrite round rotates them back
+    # behind the never-rechecked rest (recency dominates the tie-break)
+    last_done = registry._last_recheck_from_reports(
+        [{n: {"rows_match": True} for n in registry.POST_REWRITE_RECHECK}],
+        [registry.POST_REWRITE_ROUND + 1],
+    )
+    w2 = window(last_done)
+    assert not set(registry.POST_REWRITE_RECHECK) & set(w2[n_flag:])
 
 
 def test_recheck_priority_names_registered_queries():

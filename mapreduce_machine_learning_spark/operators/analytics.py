@@ -222,42 +222,39 @@ def q_events_cooccur(spark, sf_dir):
     event-type pair, how many baskets contain both, and the lift
     P(a,b)/(P(a)P(b)) — the co-occurrence/association kernel behind
     item-item recommenders, at user-day granularity so baskets are sparse
-    and lift is informative. The self-join runs on the DISTINCT basket
-    frame (|users|·|days|·|types| ≪ events) and joins on the basket key,
-    so the pair blow-up is per-basket (≤ types²), not per-event; totals are
-    broadcast scalars. Counts exact, lift a round-6 ratio of exact counts."""
+    and lift is informative. Baskets are built as one collect_set
+    aggregation per (user, day) — partial collect_set dedups map-side
+    exactly like the old DISTINCT's partial aggregation did, but the
+    basket frame is shuffled ONCE instead of distinct + both sides of a
+    basket-key self-join (r14; pair generation moves into a per-basket
+    array comprehension, ≤ types² per basket exactly as before, and pair
+    counts get map-side partial aggregation the join output never had).
+    Totals and the basket count project from the same persisted sets.
+    Counts exact, lift a round-6 ratio of exact counts."""
     ev = T(spark, sf_dir, "events")
-    # the distinct basket frame feeds both self-join sides, the per-type
-    # totals, AND the basket count — materialize it once (it is the small
-    # frame: |users|·|days|·|types| ≪ events) instead of re-deriving the
-    # events distinct per consumer; the basket count projects from it
-    basket = (
-        ev.select(
-            "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
-        )
-        .distinct()
-        .transform(_ckpt)
+    # one exchange: baskets as sorted type-sets, shared by the pair
+    # counts, the per-type totals AND the basket count
+    basket = _ckpt(
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select("types")
     )
-    tot = basket.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n_t")
+    tot = (
+        basket.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_t"))
     )
-    nb = (
-        basket.select("user_id", "day")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    nb = basket.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    pair_expr = F.expr(
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
     )
-    a = basket.alias("a")
-    b = basket.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
+        basket.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
     )

@@ -271,39 +271,62 @@ def q_ml_ks_test(spark, sf_dir):
 def q_ml_spearman(spark, sf_dir):
     """Spearman rank correlation between l_quantity and l_extendedprice:
     average ranks per distinct value (arithmetic tie rule as in
-    q_ml_mannwhitney), joined back to the fact rows, then built-in Pearson
-    CORR over the rank pairs. The quantity rank table is tiny (≤50 distinct
-    ints → broadcast); the price rank table is O(distinct prices) and joins
-    on its value key — at 100 TB both rank tables come from the same
-    aggregation shuffle their join reuses."""
+    q_ml_mannwhitney), Pearson CORR over the per-row rank pairs — computed
+    from sufficient statistics, never by materializing the pairs. The
+    quantity rank (≤50 distinct ints) is a broadcast map; ONE
+    groupBy(l_extendedprice) then carries, per distinct price, the row
+    count plus Σrank_x and Σrank_x² of its rows — the same exchange the
+    price-rank window needs (r14; previously the fact table was shuffled
+    by price a second time for a rank join and a 600k-row CORR pass ran
+    on the join output). rank_y comes off the window; CORR's five moment
+    sums are then exact group algebra: Σxy = Σ_p rank_y(p)·Σrank_x(p),
+    Σy = Σ cnt·rank_y, Σy² = Σ cnt·rank_y², Σx/Σx² pass through.
+    FP margin (re-check when fixture SFs change): the raw-moment
+    covariance cancellation leaves cross-engine deltas ≤1.5e-14 vs the
+    DuckDB oracle while the unrounded rho sits ≥2.4e-7 from the nearest
+    round-6 boundary at sf0.001/0.01/0.1 — a ≥2.8e7× margin."""
     li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-
-    def ranks(df, col):
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        return g.select(
-            F.col(col).alias("v"),
-            (
-                F.sum("cnt").over(w)
-                - F.col("cnt")
-                + (F.col("cnt") + 1) / 2.0
-            ).alias("avg_rank"),
-        )
-
-    rx = ranks(li, "l_quantity")
-    ry = ranks(li, "l_extendedprice")
-    joined = (
+    w = Window.orderBy("l_quantity").rowsBetween(Window.unboundedPreceding, 0)
+    g = li.groupBy("l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    rx = g.select(
+        F.col("l_quantity").alias("v"),
+        (
+            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        ).alias("rank_x"),
+    )
+    gp = (
         li.join(F.broadcast(rx), li.l_quantity == rx.v)
-        .drop("v")
-        .withColumnRenamed("avg_rank", "rank_x")
-        .join(ry, li.l_extendedprice == ry.v)
-        .drop("v")
-        .withColumnRenamed("avg_rank", "rank_y")
+        .groupBy("l_extendedprice")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("rank_x").alias("s_rx"),
+            F.sum(F.col("rank_x") * F.col("rank_x")).alias("s_rx2"),
+        )
     )
-    return joined.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        r6(F.corr("rank_x", "rank_y")).alias("spearman_rho"),
+    wp = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    ranked = gp.select(
+        "cnt",
+        "s_rx",
+        "s_rx2",
+        (
+            F.sum("cnt").over(wp) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        ).alias("rank_y"),
+    )
+    stats = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("s_rx").alias("sx"),
+        F.sum("s_rx2").alias("sxx_r"),
+        F.sum(F.col("cnt") * F.col("rank_y")).alias("sy"),
+        F.sum(F.col("cnt") * F.col("rank_y") * F.col("rank_y")).alias("syy_r"),
+        F.sum(F.col("rank_y") * F.col("s_rx")).alias("sxy_r"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy_r") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx_r") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy_r") - F.col("sy") * F.col("sy") / n
+    return stats.select("n", r6(cov / F.sqrt(vx * vy)).alias("spearman_rho"))
 
 
 @query(

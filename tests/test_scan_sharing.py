@@ -111,7 +111,7 @@ ALLOWED_MULTI = {
     "q_ml_psi": {"events": 2},
     "q_ml_scatter": {"embeddings": 2},
     "q_ml_softmax_grad": {"events": 2},
-    "q_ml_spearman": {"lineitem": 3},
+    "q_ml_spearman": {"lineitem": 2},  # r14: rank join + CORR pass fused into the groupBy(price) exchange
     "q_ml_tree_split": {"events": 2},
     "q_ml_var_merge": {"events": 2},
     "q_ml_woe_iv": {"events": 2},

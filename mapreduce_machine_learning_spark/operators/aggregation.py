@@ -697,10 +697,17 @@ def q_profile_columns(spark, sf_dir):
     is bit-stable under any partitioning — sums/means at 1e9 magnitude
     would sit inside cross-engine FP noise (determinism.py r6 caveat) and
     belong in q_agg_stats-style per-group queries instead. The Spark plan melts the four columns with a stack() generator
-    and profiles them in ONE scan + one hash aggregate keyed by column
+    and profiles them in ONE scan + a TWO-LEVEL aggregate keyed by column
     name — at 100 TB that is 4× cheaper than the naive
     per-column-pass profiler the oracle SQL spells out, and adding a
-    column to the profile adds zero extra scans."""
+    column to the profile adds zero extra scans. The explicit two-level
+    shape (groupBy(col, v) counts, then groupBy(col)) ships 3 columns
+    through the (col, v) exchange where the countDistinct rewrite
+    shipped 5 — Catalyst's distinct rewrite carries partial
+    min/max/null-sum alongside every (col, v) group, all derivable from
+    the group key and its count; every statistic reads off the grouped
+    frame exactly: n_distinct = count of non-null v groups, n_null =
+    the null group's row count (r14)."""
     li = T(spark, sf_dir, "lineitem")
     melted = li.select(
         F.expr(
@@ -709,11 +716,12 @@ def q_profile_columns(spark, sf_dir):
             " AS (col, v)"
         )
     )
-    return melted.groupBy("col").agg(
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+    g = melted.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return g.groupBy("col").agg(
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_null"),
-        F.countDistinct("v").alias("n_distinct"),
+        F.count("v").alias("n_distinct"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
         (F.max("v") - F.min("v")).alias("range_v"),

@@ -644,14 +644,28 @@ def q_sketch_kmv_setops(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
 
-    def keys(df):
-        return df.select(
+    # ONE keyed aggregation builds every key set (r14; previously each
+    # side ran its own DISTINCT exchange and the truth audit re-exchanged
+    # their persisted union a third time): groupBy(k) with min/max side
+    # flags dedups map-side exactly like the per-side DISTINCTs did, each
+    # side's distinct key set is a filter of the grouped frame, and the
+    # exact-truth audit is a plain aggregate over the same persisted rows
+    # — no third exchange. The k-row sketches stay checkpointed because
+    # three set operations consume each.
+    g = _ckpt(
+        ev.select(
             F.concat_ws(
                 "@",
                 F.col("user_id").cast("string"),
                 F.col("ts").cast("date").cast("string"),
-            ).alias("k")
-        ).distinct()
+            ).alias("k"),
+            (F.col("ts") >= cutoff).cast("int").alias("side"),
+        )
+        .groupBy("k")
+        .agg(F.min("side").alias("s_min"), F.max("side").alias("s_max"))
+    )
+    a_keys = g.filter(F.col("s_min") == 0).select("k")
+    b_keys = g.filter(F.col("s_max") == 1).select("k")
 
     def sketch(kdf):
         return (
@@ -666,16 +680,6 @@ def q_sketch_kmv_setops(spark, sf_dir):
             .limit(KMV_K)
         )
 
-    # Materialize each distinct key set ONCE (runtime.checkpoint): the sets
-    # feed both the sketch build and the exact-truth audit, and the k-row
-    # sketches feed three set operations each — without materialization
-    # Catalyst re-derived every consumer from the raw scan (10 events scans
-    # / 8 TakeOrdereds in the round-2 plan audit). Now: 2 scans to build
-    # the key sets, 2 TakeOrdereds to sketch them, and every set operation
-    # is arithmetic over the 2k checkpointed sketch rows — the "driver-side
-    # algebra on 2k doubles" the KMV design promises.
-    a_keys = keys(ev.filter(F.col("ts") < cutoff)).transform(_ckpt)
-    b_keys = keys(ev.filter(F.col("ts") >= cutoff)).transform(_ckpt)
     ka = sketch(a_keys).transform(_ckpt)
     kb = sketch(b_keys).transform(_ckpt)
     ku = (
@@ -687,20 +691,15 @@ def q_sketch_kmv_setops(spark, sf_dir):
         .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_common"))
     )
-    # exact truth (the audit baseline) in ONE pass over a side-tagged
-    # union: |A∪B| = distinct keys, |A∩B| = keys seen on both sides
-    tagged = a_keys.withColumn("side", F.lit(0)).unionByName(
-        b_keys.withColumn("side", F.lit(1))
-    )
-    truth = (
-        tagged.groupBy("k")
-        .agg(F.countDistinct("side").alias("ns"))
-        .agg(
-            F.count(F.lit(1)).alias("true_union"),
-            F.sum(F.when(F.col("ns") == 2, 1).otherwise(0)).alias(
-                "true_intersection"
-            ),
-        )
+    # exact truth (the audit baseline) off the SAME grouped frame:
+    # |A∪B| = its row count, |A∩B| = keys whose side flags span both
+    truth = g.agg(
+        F.count(F.lit(1)).alias("true_union"),
+        F.sum(
+            F.when(
+                (F.col("s_min") == 0) & (F.col("s_max") == 1), 1
+            ).otherwise(0)
+        ).alias("true_intersection"),
     )
     union_est = F.lit(KMV_K - 1) / F.col("hk")
     jacc = F.col("n_common") / KMV_K

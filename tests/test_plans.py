@@ -297,6 +297,39 @@ def test_profiler_single_scan(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
 
 
+def test_profiler_narrow_first_exchange(spark):
+    # r14: the explicit (col, v) count level must ship ONLY the count
+    # through the first exchange — Catalyst's countDistinct rewrite
+    # carried partial min/max/null-sum alongside every (col, v) group
+    # (5 columns instead of 3), all derivable from the group key and
+    # its count at the (col) level
+    df = QUERIES["q_profile_columns"](spark, SF_DIR)
+    plan = explain_str(df)
+    # the (col, v) level aggregates a bare count...
+    assert "Functions [1]: [partial_count(1)]" in plan, plan
+    # ...and the distinct rewrite's wide merge stages are gone
+    assert "merge_min" not in plan, plan
+
+
+def test_cooccur_baskets_without_selfjoin(spark):
+    # r14: baskets are collect_set aggregates and pairs are generated
+    # in-array — the basket-key self-join (and any shuffled join) must
+    # stay out of the plan; the only joins left are the tiny broadcast
+    # total/count attachments
+    df = QUERIES["q_events_cooccur"](spark, SF_DIR)
+    plan = assert_not_in_plan(df, "SortMergeJoin", "ShuffledHashJoin")
+    assert "collect_set" in plan, plan
+
+
+def test_kmv_setops_single_key_exchange(spark):
+    # r14: both sides' distinct key sets and the exact-truth audit read
+    # one groupBy(k) frame — events is scanned once and no per-side
+    # DISTINCT re-exchanges the keys
+    df = QUERIES["q_sketch_kmv_setops"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
 def test_itemcf_norms_broadcast(spark):
     df = QUERIES["q_ml_itemcf"](spark, SF_DIR)
     assert_in_plan(df, "BroadcastHashJoin")

@@ -44,7 +44,7 @@ DEEP_SHUFFLE_JUSTIFICATION = {
     "q_graph_sssp": "two Bellman-Ford relaxation rounds (frontier join + per-node MIN each) plus the shared transition-graph derivation — constant shuffles per round",
     "q_graph_triangles": "3-way self-join on rotated edge keys — each key rotation is one unavoidable shuffle",
     "q_graph_assortativity": "edge list joined to both endpoint degree tables + correlation aggs — one shuffle per distinct join/grouping key",
-    "q_events_cooccur": "basket (user-day) item-pair self-join + per-item margin aggs for lift — pair key ≠ basket key ≠ item key",
+    "q_events_cooccur": "collect_set baskets (r14) + in-array pair explode, then pair/type/total aggs — counted unshared under audit (production persists the basket frame once)",
     "q_llm_neardup_pairs": "tokenize→signature→band→candidate→verify pipeline; audit counts unshared stages (production shares them via the session cache)",
     "q_llm_ann_pairs": "bucket-blocked BLAS rerank (r13): signature→band derivation + chunk-count/assignment joins of _blocked_cosine_pairs, counted unshared under audit (production shares the band table via the session cache)",
     "q_llm_dedup_incremental": "same pipeline over delta AND corpus sides plus exact-hash semi-join; persisted-state deployment (tests/test_incremental_state.py) replaces the corpus-side stages with bucketed reads",
@@ -59,7 +59,7 @@ DEEP_SHUFFLE_JUSTIFICATION = {
     "q_ml_cov_offdiag": "covariance of every feature pair — one agg per pair family over an exploded feature frame",
     "q_ml_conformal": "calibration split quantile histogram (train-stats + calib-histogram passes; r13 removed the coverage re-scan, likely below threshold now — entry kept in case audit-mode re-derivation still counts deep)",
     "q_profile_fd": "functional-dependency profiling: one distinct-count agg per candidate column pair",
-    "q_sketch_kmv_setops": "per-table KMV sketch build (distinct+min-k each) then set-op estimates — one shuffle per input sketch",
+    "q_sketch_kmv_setops": "one groupBy(k) key pass (r14) feeding both sketches + the truth audit, then set-op estimates — counted unshared under audit (production persists the key frame once)",
     "q_text_kl": "two unigram distributions (one shuffle each) + join + divergence agg",
 }
 

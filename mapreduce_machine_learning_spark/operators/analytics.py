@@ -2088,38 +2088,38 @@ def q_events_assoc_rules(spark, sf_dir):
     P(A∧B) and confidence P(B|A) for every DIRECTED event-type pair —
     the level-1 Apriori output that q_events_cooccur's symmetric lift
     doesn't give (confidence is asymmetric: error→purchase and
-    purchase→error differ). Shares the basket census and the
-    within-basket self-join with the co-occurrence kernel — at scale the
-    basket table is the one shuffle and the per-basket item set bounds
-    the join fan-out (≤5 types here; cap per-basket items on real
-    data, the standard Apriori guard)."""
+    purchase→error differ). Same shape as the co-occurrence kernel
+    (r14): baskets are one collect_set aggregation per (user, day) —
+    partial collect_set dedups map-side exactly like the old DISTINCT's
+    partial aggregation did, but the basket frame is shuffled ONCE
+    instead of distinct + both sides of a basket-key self-join + a
+    second (user, day) distinct for the basket count. Directed pairs
+    come from a per-basket array comprehension (≤ types·(types−1) per
+    basket, the exact fan-out the self-join had; cap per-basket items
+    on real data, the standard Apriori guard), and pair counts get
+    map-side partial aggregation the join output never had."""
     ev = T(spark, sf_dir, "events")
-    # materialized once: four consumers (both join sides, singles, the
-    # basket count) would otherwise each re-derive the events distinct
-    basket = (
-        ev.select(
-            "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-        )
-        .distinct()
-        .transform(_ckpt)
+    # one exchange: baskets as sorted type-sets, shared by the pair
+    # counts, the antecedent totals AND the basket count
+    basket = _ckpt(
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select("types")
     )
-    nb = basket.select("user_id", "day").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_baskets")
-    )
-    singles = basket.groupBy(
-        F.col("event_type").alias("antecedent")
+    nb = basket.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    singles = basket.select(F.explode("types").alias("antecedent")).groupBy(
+        "antecedent"
     ).agg(F.count(F.lit(1)).cast("double").alias("n_a"))
-    a, b = basket.alias("a"), basket.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(types, x -> "
+        "transform(filter(types, y -> y != x), "
+        "y -> struct(x AS antecedent, y AS consequent))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.event_type") != F.col("b.event_type")),
-        )
+        basket.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.event_type").alias("antecedent"),
-            F.col("b.event_type").alias("consequent"),
+            F.col("p.antecedent").alias("antecedent"),
+            F.col("p.consequent").alias("consequent"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
     )

@@ -896,9 +896,15 @@ def q_profile_fd(spark, sf_dir):
     group holds >1 distinct Y. Output per candidate: LHS group count,
     violating-group count, and the verdict — the schema-quality audit that
     decides which columns are denormalizable / safe join keys before a
-    pipeline relies on them. Each check is one groupBy(X) +
-    countDistinct(Y) partial-aggregated pass (violations counted where the
-    groups already live, only per-candidate totals cross the network);
+    pipeline relies on them. Each check is one groupBy(X) with a
+    MIN/MAX pair instead of COUNT(DISTINCT Y): a group violates X→Y iff
+    it holds >1 distinct non-null Y iff min(Y) ≠ max(Y) — including the
+    null cases (all-null group: both sides NULL, the inequality is NULL,
+    counted 0, same as countDistinct 0; nulls + one value: min = max).
+    min/max partial-aggregate map-side in ONE level where Catalyst plans
+    countDistinct as a two-level aggregate with a (X, Y)-keyed exchange
+    before the (X)-keyed one (r14, guide §2.3 — the violation verdict
+    needs distinct-count CARDINALITY ≤ 1, never the count itself);
     candidates on the same table could further share one scan via
     grouping-sets if the candidate list grew."""
     results = None
@@ -906,9 +912,9 @@ def q_profile_fd(spark, sf_dir):
         g = (
             T(spark, sf_dir, table)
             .groupBy(lhs)
-            .agg(F.countDistinct(rhs).alias("ys"))
+            .agg((F.min(rhs) != F.max(rhs)).alias("viol"))
         )
-        viol = F.sum(F.when(F.col("ys") > 1, 1).otherwise(0))
+        viol = F.sum(F.when(F.col("viol"), 1).otherwise(0))
         one = g.agg(
             F.count(F.lit(1)).alias("lhs_groups"),
             viol.cast("bigint").alias("violating_groups"),

@@ -311,6 +311,19 @@ def test_profiler_narrow_first_exchange(spark):
     assert "merge_min" not in plan, plan
 
 
+def test_profile_fd_single_group_exchange(spark):
+    # r14: each FD check is one groupBy(X) with a MIN/MAX pair — the
+    # countDistinct rewrite's (X, Y)-keyed pre-exchange (a second
+    # full-cardinality shuffle for the near-unique-X checks) must be gone
+    df = QUERIES["q_profile_fd"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert not ("o_orderkey" in line and "o_orderstatus" in line), line
+            assert not ("l_orderkey" in line and "l_returnflag" in line), line
+
+
 def test_cooccur_baskets_without_selfjoin(spark):
     # r14: baskets are collect_set aggregates and pairs are generated
     # in-array — the basket-key self-join (and any shuffled join) must

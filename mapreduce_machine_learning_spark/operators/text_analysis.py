@@ -459,43 +459,78 @@ def q_ann_ivf(spark, sf_dir):
     Scale shape: assignment is one broadcast-join map pass; writing the
     table partitioned by cell turns every later query into partition
     pruning — a ~(n_cells/nprobe)× scan cut, with brute-force q_ml_knn as
-    the exact-recall baseline."""
+    the exact-recall baseline.
+
+    Plan shape (r14, guide §2.4): the 4 centroids ride ONE broadcast row
+    as a (cid, cemb) struct array, so each vector's argmax cell is a
+    per-row struct-max over its 4 round-6 cosines — the old
+    crossJoin→row_number form shuffled the 4n-row cosine table by vec_id
+    for the window and joined it back to the vector table; both
+    exchanges (and the 4n-row persist) are gone. The tie rule is
+    unchanged: max of struct(cos, -cid) ≡ row_number over
+    (cos DESC, cid ASC) = 1."""
     emb = T(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    # the cosine table feeds BOTH the assignment window and the probe
-    # ranking — uncached, each consumer re-ran the broadcast-cosine pass
-    # over the vector table (6 embeddings scans measured round 4)
-    vc = _ckpt(
-        emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", r6(cosine("embedding", "cemb")).alias("cos")
+    # one broadcast row: the 4 (cid, cemb) centroid structs (sort only
+    # for a deterministic array — argmax/probe ranks are order-free);
+    # checkpointed because BOTH the assignment pass and the probe row
+    # attach it
+    cents = _ckpt(
+        emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cid"),
+                        F.col("embedding").alias("cemb"),
+                    )
+                )
+            ).alias("cents")
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
-    assign = (
-        vc.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+    # per vector: all 4 round-6 cell cosines in one map pass, argmax by
+    # (cos DESC, cid ASC) as the struct-max of (cos, -cid)
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                r6(cosine("embedding", c["cemb"])).alias("cos"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
     )
-    w_probe = Window.orderBy(F.desc("cos"), "cid")
+    assigned = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", (-best["negcid"]).alias("cid")
+    )
+    # the query vector's 2 nearest cells, off its own 4-cosine row:
+    # ascending struct sort on (-cos, cid) ≡ (cos DESC, cid ASC)
     probe = (
-        vc.filter(F.col("vec_id") == 0)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
-        .select(F.col("cid").alias("probe_cid"))
-    )
-    cand = (
-        assign.join(F.broadcast(probe), F.col("cid") == F.col("probe_cid"))
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(
+                                (-r6(cosine("embedding", c["cemb"]))).alias(
+                                    "negcos"
+                                ),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                lambda s: s["cid"],
+            ).alias("probe_cids"),
+            F.col("embedding").alias("qe"),
+        )
     )
     return (
-        emb.join(cand, "vec_id")
-        .crossJoin(F.broadcast(q))
+        assigned.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.array_contains("probe_cids", F.col("cid")))
         .select("vec_id", r6(cosine("embedding", "qe")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)

@@ -311,6 +311,17 @@ def test_profiler_narrow_first_exchange(spark):
     assert "merge_min" not in plan, plan
 
 
+def test_ann_ivf_mapside_argmax(spark):
+    # r14: cell assignment is a per-row struct-max over the broadcast
+    # centroid array — the 4n-row cosine table's vec_id window exchange
+    # and the join back to the vector table must stay out of the plan
+    df = QUERIES["q_ann_ivf"](spark, SF_DIR)
+    plan = assert_not_in_plan(
+        df, "Window", "SortMergeJoin", "ShuffledHashJoin"
+    )
+    assert "array_max" in plan, plan
+
+
 def test_profile_fd_single_group_exchange(spark):
     # r14: each FD check is one groupBy(X) with a MIN/MAX pair — the
     # countDistinct rewrite's (X, Y)-keyed pre-exchange (a second

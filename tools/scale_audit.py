@@ -58,7 +58,7 @@ DEEP_SHUFFLE_JUSTIFICATION = {
     "q_ml_kendall_tau": "concordant/discordant double-sum on the CONTINGENCY TABLE (cell×cell join of ~1k×1k aggregated cells), never row pairs",
     "q_ml_cov_offdiag": "covariance of every feature pair — one agg per pair family over an exploded feature frame",
     "q_ml_conformal": "calibration split quantile histogram (train-stats + calib-histogram passes; r13 removed the coverage re-scan, likely below threshold now — entry kept in case audit-mode re-derivation still counts deep)",
-    "q_profile_fd": "functional-dependency profiling: one distinct-count agg per candidate column pair",
+    "q_profile_fd": "functional-dependency profiling: one min/max group agg per candidate column pair (r14 — the countDistinct pre-exchange is gone; 2 exchanges per check × 5 checks)",
     "q_sketch_kmv_setops": "one groupBy(k) key pass (r14) feeding both sketches + the truth audit, then set-op estimates — counted unshared under audit (production persists the key frame once)",
     "q_text_kl": "two unigram distributions (one shuffle each) + join + divergence agg",
 }
